@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's deterministic test tables
+  * (`/root/testdata/sf&#42;/{name}.parquet`, schemas in FIXTURES.md §5).
+  *
+  * All engine queries load inputs through here so per-table quirks are
+  * handled once:
+  *
+  *  - `events.ts` is ns-precision parquet (FIXTURES.md §5). Spark reads it
+  *    as long-nanos (with `nanosAsLong`, see [[GraftSession.tune]]) and we
+  *    truncate to micros with integer division — `ts div 1000` — matching
+  *    DuckDB's native ns→µs read. Plain `/` would go through Double and
+  *    lose precision: 2024 epoch-nanos ≈ 1.7e18 > 2^53.
+  *
+  * Scale note: loaders return the bare scan; column pruning and predicate
+  * pushdown into the parquet reader are Catalyst's job and verified in
+  * PlanSpec. Nothing here forces a materialization.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      case "events" =>
+        // ts arrives as LongType (nanos) under nanosAsLong; keep every other
+        // column untouched.
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else df
+      case _ => df
+    }
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Register every table as a temp view (for `spark.sql` entry points). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar/aggregate function surface of the engine — thin, codegen-friendly
+  * compositions of built-in Catalyst expressions, so every DuckDB-parity
+  * decision lives in one reviewed place (SURVEY §2.8, hazards H1/H2/H7).
+  *
+  * Everything here stays inside whole-stage codegen: no Scala UDFs, no
+  * driver-side loops.
+  */
+object GraftFunctions {
+
+  // --------------------------------------------------------------------------
+  // Discrete quantile (SURVEY H1; reference: fct_headways.sql:21-22)
+  // --------------------------------------------------------------------------
+
+  /** DuckDB `quantile`/`quantile_disc(x, q)`: the element at 1-indexed
+    * position `ceil(q * n)` of the group sorted ascending — an actual input
+    * element, never interpolated. Verified empirically against DuckDB 1.0.0
+    * on 11 edge cases (n ∈ {1,2,3,4,5,6,7,10}, q ∈ {0.2,0.25,0.4,0.5,0.9}),
+    * including fp-rounding traps like q=0.2, n=5 where `0.2*5 == 1.0`
+    * exactly in IEEE double (both engines do the same double multiply).
+    *
+    * Exact by construction (sort-based), so it hash-matches the oracle.
+    * Scale note: materializes the group as an array, so it is intended for
+    * bounded groups (headways per line/stop/hour; quantiles per category).
+    * For unbounded groups at 100 TB use [[quantileApprox]] instead —
+    * `percentile_approx` also returns actual elements, with a bounded-memory
+    * sketch, but is not guaranteed to pick the identical element.
+    */
+  def quantileDisc(x: Column, q: Double): Column = {
+    val sorted = array_sort(collect_list(x))
+    val n = size(sorted).cast("double")
+    val idx = greatest(lit(1L), ceil(n * lit(q))).cast("int")
+    element_at(sorted, idx)
+  }
+
+  /** Sketch-based discrete quantile for unbounded groups at scale. */
+  def quantileApprox(x: Column, q: Double): Column =
+    percentile_approx(x, lit(q), lit(10000))
+
+  // --------------------------------------------------------------------------
+  // Timestamp arithmetic (SURVEY H2; reference: fct_headways.sql:13-14)
+  // --------------------------------------------------------------------------
+
+  /** Exact microsecond difference `a - b` as a long. The parity-safe
+    * building block for headways: integer arithmetic has no summation-order
+    * sensitivity, unlike DuckDB's fractional `extract(epoch from interval)`
+    * (a double). Oracle-side equivalent: `epoch_us(a - b)`.
+    */
+  def epochDiffUs(a: Column, b: Column): Column =
+    unix_micros(a) - unix_micros(b)
+
+  /** Seconds difference as double (micros / 1e6) — identical division in
+    * both engines given the same exact integer micros.
+    */
+  def epochDiffSeconds(a: Column, b: Column): Column =
+    (unix_micros(a) - unix_micros(b)).cast("double") / lit(1000000.0)
+
+  /** Hour bucket (reference F1: `date_trunc('hour', ts)`) — built-in parity. */
+  def hourBucket(ts: Column): Column = date_trunc("hour", ts)
+
+  // --------------------------------------------------------------------------
+  // Deterministic aggregates over doubles (SURVEY H7)
+  // --------------------------------------------------------------------------
+
+  /** Order-independent sum of a double money-ish column: round through an
+    * exact decimal. `cast(double as decimal(p, s>=1))` is deterministic
+    * across engines — decimal ties (k·10^-s + 5·10^-(s+1)) are non-dyadic
+    * for s ≥ 1, so no double ever lands exactly on a rounding tie and the
+    * engines' tie-break rules never fire. The decimal sum itself is exact
+    * integer arithmetic, hence partition-order-independent; the final cast
+    * back to double is a single deterministic conversion.
+    * Oracle-side equivalent: `cast(sum(cast(x as decimal(18,6))) as double)`.
+    */
+  def sumExact(x: Column): Column =
+    sum(x.cast("decimal(18,6)")).cast("double")
+
+  /** Order-independent mean via exact decimal sum / count. Oracle:
+    * `cast(sum(cast(x as decimal(18,6))) as double) / count(x)`.
+    */
+  def avgExact(x: Column): Column =
+    sum(x.cast("decimal(18,6)")).cast("double") / count(x)
+}
