@@ -1,17 +1,17 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.core.Tables
-import graft.etl.FctHeadways
-import graft.functions.GraftFunctions._
+import graft.core.QueryDef
+import graft.queries._
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
   * Every implemented operator from SURVEY §2 gets a `queries` entry
   * (Spark-side) and, when SQL-expressible, an `oracleSql` entry (DuckDB
-  * side). Parity rules applied throughout (SURVEY H1-H7):
+  * side); approximate/hash-seeded operators declare no oracle and get the
+  * driver's rows-only check. Parity rules applied throughout (SURVEY
+  * H1-H7):
   *  - deterministic output order: every query ends in an ORDER BY over a
   *    unique key, mirrored in the oracle;
   *  - double aggregation goes through exact integer/decimal sums
@@ -23,75 +23,24 @@ import graft.functions.GraftFunctions._
   */
 object SparkEntry {
 
+  private val modules: Seq[graft.core.QueryModule] =
+    Seq(Flagship, Relational, Quality, Text, DedupQueries,
+      SimilarityQueries, MultimodalQueries)
+
+  private lazy val defs: Map[String, QueryDef] =
+    modules.flatMap(_.queries).toMap
+
   /** Flagship query on sf=0.001: the reference's headway mart computed over
-    * the `events` fixture (event_type≈line, user≈stop). Driver smoke-checks
-    * rows > 0.
+    * the `events` fixture. Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame =
     queries("q07_headways")(spark, "/root/testdata/sf0.001")
 
-  /** events → the staging contract the headway mart consumes. */
-  private def eventsAsArrivals(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
-      col("event_type").as("line_id"),
-      col("user_id").cast("string").as("stop_id"),
-      col("ts").as("event_ts"))
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (k, d) => k -> d.build }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // A1-A4/F-surface: TPC-H Q1-style pricing summary — group-by hash
-    // aggregate with exact-decimal sums (H7) over a pruned parquet scan.
-    "q01_pricing" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sumExact(col("l_quantity")).as("sum_qty"),
-          sumExact(col("l_extendedprice")).as("sum_base_price"),
-          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("sum_disc_price"),
-          avgExact(col("l_quantity")).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    // W1+A1-A3+F1-F2: the reference's headway mart (lag window → epoch diff
-    // → hour bucket → avg/p50/p90 with discrete quantiles).
-    "q07_headways" -> ((s, dir) => {
-      FctHeadways(eventsAsArrivals(s, dir))
-        .orderBy("line_id", "stop_id", "hour")
-    }))
-
-  def oracleSql: Map[String, String] = Map(
-
-    "q01_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  cast(sum(cast(l_quantity AS decimal(18,6))) AS double) AS sum_qty,
-        |  cast(sum(cast(l_extendedprice AS decimal(18,6))) AS double) AS sum_base_price,
-        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,6))) AS double) AS sum_disc_price,
-        |  cast(sum(cast(l_quantity AS decimal(18,6))) AS double) / count(*) AS avg_qty,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q07_headways" ->
-      """WITH arrivals AS (
-        |  SELECT event_type AS line_id, cast(user_id AS varchar) AS stop_id, ts AS event_ts
-        |  FROM events WHERE ts IS NOT NULL
-        |), ordered AS (
-        |  SELECT *, lag(event_ts) OVER (PARTITION BY line_id, stop_id ORDER BY event_ts) AS prev_ts
-        |  FROM arrivals
-        |), gaps AS (
-        |  SELECT line_id, stop_id,
-        |         epoch_us(event_ts - prev_ts) AS headway_us,
-        |         date_trunc('hour', event_ts) AS hour
-        |  FROM ordered WHERE prev_ts IS NOT NULL
-        |)
-        |SELECT line_id, stop_id, hour,
-        |  cast(sum(headway_us) AS double) / count(*) / 1000000.0 AS avg_headway_s,
-        |  cast(quantile_disc(headway_us, 0.5) AS double) / 1000000.0 AS p50_headway_s,
-        |  cast(quantile_disc(headway_us, 0.9) AS double) / 1000000.0 AS p90_headway_s
-        |FROM gaps
-        |GROUP BY 1, 2, 3
-        |ORDER BY line_id, stop_id, hour""".stripMargin)
+  /** DuckDB-equivalent SQL for each hash-verifiable query. */
+  def oracleSql: Map[String, String] =
+    defs.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
 }

@@ -1,0 +1,135 @@
+package graft.jobs
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.core.{GraftSession, Schemas}
+import graft.etl.{FctHeadways, StgArrivals}
+import graft.ingest.{Http, SyntheticArrivals}
+import graft.quality.Expectations
+import graft.quality.Expectations.{Between, NotNull, Warning}
+
+/** The reference's three entry points (SURVEY §3), re-expressed Spark-first.
+  * Scheduling stays external, exactly as in the reference (Airflow cron →
+  * here: anything that can invoke a main).
+  */
+object Jobs {
+
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+  private val fileFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)
+
+  /** The TfL arrival payload schema the ingest decodes (FIXTURES.md §1). */
+  private val payloadSchema: DataType = DataType.fromDDL(
+    "array<struct<naptanId:string,stationName:string,lineId:string," +
+      "platformName:string,destinationName:string,timeToStation:bigint," +
+      "timestamp:string>>")
+
+  /** Fetch (retry + per-stop error isolation) and decode to the raw-zone
+    * column contract — shared by [[ingest]] and [[align]]. JSON decoding
+    * runs through the engine's own `from_json` path with the DECLARED
+    * schema (S5): unknown fields dropped, missing fields null (P9).
+    */
+  def fetchArrivals(spark: SparkSession, transport: Http.Transport): DataFrame = {
+    import spark.implicits._
+    val urls = SyntheticArrivals.Stops
+      .map(s => s"https://api.tfl.gov.uk/StopPoint/$s/Arrivals")
+    val bodies = Http.fetchMany(urls, transport).collect {
+      case (_, scala.util.Success(body)) => body
+    }
+    spark.createDataset(bodies)
+      .select(explode(from_json(col("value"), payloadSchema)).as("a"))
+      .select(
+        // coalescing projection (P2): naptanId, falling back to stationName
+        coalesce(col("a.naptanId"), col("a.stationName")).as("stopId"),
+        col("a.lineId").as("lineId"),
+        col("a.platformName").as("platformName"),
+        col("a.destinationName").as("destinationName"),
+        col("a.timeToStation").as("timeToStation"),
+        col("a.timestamp").as("timestamp"))
+  }
+
+  /** E1 — realtime ingest: append ONE parquet snapshot into the
+    * hive-date-partitioned raw zone `raw/date=YYYY-MM-DD/` (reference
+    * `tfl_ingest_dag.py`). Zero rows → warn and skip the write. Returns
+    * the row count.
+    */
+  def ingest(spark: SparkSession, rawDir: String, asOf: Instant,
+      transport: Http.Transport): Long = {
+    GraftSession.tune(spark)
+    val parsed = fetchArrivals(spark, transport)
+    val n = parsed.count()
+    if (n == 0) {
+      System.err.println("[ingest] no arrivals fetched; skipping write")
+    } else {
+      parsed
+        .withColumn("date", lit(dateFmt.format(asOf)))
+        .coalesce(1) // one snapshot file per poll, like the reference
+        .write.mode(SaveMode.Append).partitionBy("date")
+        .parquet(rawDir)
+      // restore the reference's file-naming contract
+      // (`arrivals_YYYYmmdd_HHMMSS.parquet`, tfl_ingest_dag.py:49): the
+      // staging glob and the streaming pathGlobFilter key on it, and it is
+      // what makes each poll an identifiable, replayable snapshot. Spark
+      // controls part-file names, so rename the fresh part file post-write.
+      val partDir = new Path(s"$rawDir/date=${dateFmt.format(asOf)}")
+      val fs = FileSystem.get(partDir.toUri, spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(partDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          val suffix = if (i == 0) "" else s"_$i"
+          fs.rename(p, new Path(partDir, s"arrivals_${fileFmt.format(asOf)}$suffix.parquet"))
+        }
+    }
+    n
+  }
+
+  /** E2 — transform: raw glob → staging → headway mart (both fully
+    * recomputed — the reference's `+materialized: table` semantics) →
+    * quality gate (the 9 dbt not_null tests + 2 GX checks on a 10k
+    * sample). Returns the check results; callers decide error-vs-warn.
+    */
+  def transform(spark: SparkSession, rawDir: String, silverDir: String):
+      Seq[Expectations.Result] = {
+    GraftSession.tune(spark)
+    val stg = StgArrivals(spark, rawDir)
+    stg.write.mode(SaveMode.Overwrite).parquet(s"$silverDir/stg_arrivals")
+    val stgBack = spark.read.schema(Schemas.stgArrivals)
+      .parquet(s"$silverDir/stg_arrivals")
+    FctHeadways(stgBack).write.mode(SaveMode.Overwrite)
+      .parquet(s"$silverDir/fct_headways")
+    val fctBack = spark.read.parquet(s"$silverDir/fct_headways")
+    val dbtChecks = Expectations.run(stgBack,
+      Seq(NotNull("line_id"), NotNull("stop_id"), NotNull("event_ts"))) ++
+      Expectations.run(fctBack, Seq(
+        NotNull("line_id"), NotNull("stop_id"), NotNull("hour"),
+        NotNull("avg_headway_s"), NotNull("p50_headway_s"), NotNull("p90_headway_s")))
+    val gxChecks = Expectations.run(stgBack, Seq(
+      Between("time_to_station_s", 0, 3600, Warning),
+      NotNull("line_id", Warning)), sample = Some(10000))
+    dbtChecks ++ gxChecks
+  }
+
+  /** E3 — line alignment: fan-out per-stop fetches, filter to the line,
+    * enrich (raw JSON column, tz-aware arrival ts), one flat snapshot
+    * parquet (reference `tfl_align.py`).
+    */
+  def align(spark: SparkSession, line: String, outDir: String, asOf: Instant,
+      transport: Http.Transport): DataFrame = {
+    GraftSession.tune(spark)
+    val df = fetchArrivals(spark, transport)
+      .filter(col("lineId") === line)
+      .withColumn("snapshot_ts", lit(fileFmt.format(asOf)))
+      .withColumn("raw", to_json(struct(col("stopId"), col("lineId"),
+        col("platformName"), col("destinationName"),
+        col("timeToStation"), col("timestamp"))))
+      .withColumn("expectedArrival_ts", expr("try_cast(timestamp as timestamp)"))
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/arrivals_${line}_${fileFmt.format(asOf)}.parquet")
+    df
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.dedup.Dedup
+
+/** Deduplication operator inventory over `documents`/`embeddings`.
+  *
+  * Exact-math variants (exact dedup, blocked n-gram Jaccard, embedding
+  * cosine pairs) carry DuckDB oracles. The sketch-based variants
+  * (MinHash+LSH, SimHash) are seeded with engine-specific xxhash64, which
+  * DuckDB cannot reproduce — they get the driver's rows-only check here and
+  * exact recall/correctness assertions in DedupSpec (candidate sets are
+  * verified against the oracle-checked exact-Jaccard query).
+  */
+object DedupQueries extends QueryModule {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // Exact dedup: normalized-fingerprint groupBy; survivor = min doc_id.
+    "q30_dedup_exact" -> QueryDef(
+      (s, dir) =>
+        Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+          .orderBy("fp"),
+      Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |  min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
+
+    // MinHash + LSH near-dup candidates, exact-Jaccard verified (rows-only:
+    // xxhash64-seeded signatures are not reproducible in the oracle engine).
+    "q31_dedup_minhash" -> QueryDef(
+      (s, dir) =>
+        Dedup.MinHashLsh.nearDupPairs(Tables.documents(s, dir),
+            "text", "doc_id", threshold = 0.35)
+          .orderBy("id_a", "id_b")),
+
+    // SimHash Hamming-distance near-dup pairs (rows-only, same reason).
+    "q32_dedup_simhash" -> QueryDef(
+      (s, dir) =>
+        Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
+            maxHamming = 14)
+          .orderBy("id_a", "id_b")),
+
+    // Exact blocked n-gram Jaccard — the oracle-verifiable near-dup path.
+    "q33_dedup_jaccard" -> QueryDef(
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+            blockCol = "lang", threshold = 0.5)
+          .orderBy("block", "id_a", "id_b"),
+      Some("""WITH base AS (
+             |  SELECT lang AS block, doc_id AS id,
+             |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tset
+             |  FROM documents
+             |)
+             |SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+             |  cast(len(list_intersect(a.tset, b.tset)) AS double) /
+             |  cast(len(list_distinct(list_concat(a.tset, b.tset))) AS double) AS jaccard
+             |FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+             |WHERE cast(len(list_intersect(a.tset, b.tset)) AS double) /
+             |      cast(len(list_distinct(list_concat(a.tset, b.tset))) AS double) >= 0.5
+             |ORDER BY block, id_a, id_b""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs (exact double math, oracle-mirrored).
+    "q34_dedup_embedding" -> QueryDef(
+      (s, dir) =>
+        Dedup.embeddingNearDup(Tables.embeddings(s, dir), "embedding",
+            "vec_id", threshold = 0.4)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH base AS (
+             |  SELECT vec_id AS id, embedding AS v,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
+             |  FROM embeddings
+             |)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  list_reduce(list_transform(range(1, len(a.v) + 1),
+             |      i -> a.v[i]::double * b.v[i]::double), (x, y) -> x + y)
+             |    / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+             |FROM base a JOIN base b ON a.id < b.id
+             |WHERE list_reduce(list_transform(range(1, len(a.v) + 1),
+             |      i -> a.v[i]::double * b.v[i]::double), (x, y) -> x + y)
+             |    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)))
+}

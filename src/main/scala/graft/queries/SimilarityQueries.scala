@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.similarity.Ann
+
+/** Similarity-search inventory over the `embeddings` fixture: exact
+  * brute-force top-k cosine (oracle-verified to the last bit via explicit
+  * double-fold SQL) and the hyperplane-LSH scale path (rows-only — its
+  * recall against the exact query is asserted in SimilaritySpec).
+  */
+object SimilarityQueries extends QueryModule {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // Exact ANN baseline: every 10th vector queries the full corpus.
+    "q40_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Ann.bruteForceTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
+             |  FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM base WHERE vec_id % 10 = 0
+             |), pairs AS (
+             |  SELECT qid, vec_id AS nid,
+             |    list_reduce(list_transform(range(1, len(qe) + 1),
+             |        i -> qe[i]::double * embedding[i]::double), (x, y) -> x + y)
+             |      / (sqrt(qn2) * sqrt(n2)) AS sim
+             |  FROM base, q WHERE vec_id <> qid
+             |), ranked AS (
+             |  SELECT qid, nid, sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+             |  FROM pairs
+             |)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
+
+    // Scale path: multi-probe hyperplane LSH (bucketed candidates, exact
+    // cosine re-rank). Engine-seeded planes → rows-only check here;
+    // SimilaritySpec measures recall vs q40.
+    "q41_cosine_lsh" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Ann.lshTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+          .orderBy("qid", "rn")
+      }))
+}

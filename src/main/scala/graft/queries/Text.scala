@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.text.TextFunctions._
+
+/** Text-analysis operator inventory over the `documents` fixture: token
+  * accounting, quality scoring, language-ID, fingerprinting, and the one
+  * Generator op in the engine (token explode → frequency top-k).
+  */
+object Text extends QueryModule {
+
+  private def stopList(words: Seq[String]): String =
+    words.mkString("['", "', '", "']")
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // Per-document stats: tokenization + quality signals, one narrow pass.
+    "q20_text_stats" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val t = tokens(col("text"))
+        d.select(col("doc_id"),
+          size(t).as("n_tokens"),
+          bpeishCount(col("text")).as("n_bpeish"),
+          length(col("text")).as("len_chars"),
+          punctCount(col("text")).as("n_punct"),
+          size(array_distinct(t)).cast("double")
+            .divide(size(t).cast("double")).as("uniq_ratio"),
+          stopwordHits(t, enStop).as("en_stop_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+              |  FROM documents
+              |)
+              |SELECT doc_id,
+              |  len(toks) AS n_tokens,
+              |  len(regexp_extract_all(text, '$bpeishPattern')) AS n_bpeish,
+              |  length(text) AS len_chars,
+              |  length(text) - length(regexp_replace(text, '$punctClass', '', 'g')) AS n_punct,
+              |  cast(len(list_distinct(toks)) AS double) / cast(len(toks) AS double) AS uniq_ratio,
+              |  len(list_filter(toks, t -> list_contains(${stopList(enStop)}, t))) AS en_stop_hits
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic (argmax of function-word hits, fixed tie order).
+    "q21_lang_guess" -> QueryDef(
+      (s, dir) => {
+        val t = tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("lang_label"),
+            langGuess(t).as("lang_guess"),
+            stopwordHits(t, enStop).as("en_hits"),
+            stopwordHits(t, deStop).as("de_hits"),
+            stopwordHits(t, frStop).as("fr_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+              |  FROM documents
+              |), h AS (
+              |  SELECT doc_id, lang,
+              |    len(list_filter(toks, t -> list_contains(${stopList(enStop)}, t))) AS en_hits,
+              |    len(list_filter(toks, t -> list_contains(${stopList(deStop)}, t))) AS de_hits,
+              |    len(list_filter(toks, t -> list_contains(${stopList(frStop)}, t))) AS fr_hits
+              |  FROM d
+              |)
+              |SELECT doc_id, lang AS lang_label,
+              |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+              |       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+              |       WHEN fr_hits > 0 THEN 'fr'
+              |       ELSE 'und' END AS lang_guess,
+              |  en_hits, de_hits, fr_hits
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Quality score: composite per-doc double (every division mirrored).
+    "q22_quality_score" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+              |), m AS (
+              |  SELECT doc_id,
+              |    cast(len(list_distinct(toks)) AS double) / cast(len(toks) AS double) AS diversity,
+              |    least(cast(len(toks) AS double) / 64.0, 1.0) AS length_score,
+              |    cast(length(text) - length(regexp_replace(text, '$punctClass', '', 'g')) AS double)
+              |      / cast(length(text) AS double) AS punct_density
+              |  FROM d
+              |)
+              |SELECT doc_id,
+              |  (diversity + length_score + (1.0 - least(punct_density * 10.0, 1.0))) / 3.0 AS quality
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Whitespace-normalized md5 fingerprint (exact-dup key; md5 is
+    // engine-portable unlike xxhash64).
+    "q23_fingerprint" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // The Generator op: token explode → corpus frequency top-k.
+    "q24_token_topk" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(tokens(lower(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50),
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             |  FROM documents
+             |)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)))
+}

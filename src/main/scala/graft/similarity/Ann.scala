@@ -1,0 +1,93 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the scale plan:
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
+  *    against the full corpus; one pass, no shuffle of the corpus side.
+  *    Right answer at any corpus size as long as the QUERY side is small.
+  *  - [[lshTopK]] — scale path: random-hyperplane LSH. Each vector gets a
+  *    `nPlanes`-bit signature; candidates are corpus rows sharing a bucket
+  *    with the query (multi-probe: the bucket itself + all 1-bit flips), and
+  *    only candidates get exact cosine. Corpus-side cost drops from
+  *    O(|corpus|·|queries|) to O(bucket volume); the bucket join is a plain
+  *    shuffle join on the bucket key, so it scales horizontally. Planes are
+  *    deterministic (seeded splitmix64 literals) so results are replayable.
+  */
+object Ann {
+
+  /** Exact top-k by cosine. `queries` must be broadcast-small. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      norm2(col("embedding")).as("cn2"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      norm2(col("embedding")).as("qn2"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(dot(col("qe"), col("ce")), col("qn2"), col("cn2")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim doubles in [-1, 1). */
+  private[similarity] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var x = seed
+    def next(): Long = { // splitmix64 — public-domain PRNG step
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(nPlanes, dim)((next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+  }
+
+  /** Bit i = 1 iff dot(v, plane_i) >= 0; bucket = the bits as an int. */
+  private[similarity] def signature(v: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN top-k via multi-probe hyperplane LSH (exact cosine on candidates).
+    *
+    * Probing visits the query's bucket plus every bucket within Hamming
+    * distance 2 — for 8 planes that is 37 of 256 buckets (~14% of the
+    * corpus in expectation), a 7× cost cut vs brute force at useful recall.
+    * On clustered real-world embeddings the same parameters give far
+    * higher recall than on this uniform random fixture (hyperplane
+    * collision probability is 1 - θ/π per bit, so true neighbors
+    * concentrate exponentially faster when cosines are high).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      norm2(col("embedding")).as("cn2"),
+      signature(col("embedding"), ps).as("cbucket"))
+    // multi-probe: query bucket + every bucket within hamming distance 2
+    val flips = Seq(0) ++
+      (0 until nPlanes).map(1 << _) ++
+      (for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield (1 << i) | (1 << j))
+    val probes = array(flips.map(f => col("qbucket").bitwiseXOR(lit(f))): _*)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      norm2(col("embedding")).as("qn2"),
+      signature(col("embedding"), ps).as("qbucket"))
+      .withColumn("probe", explode(probes))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    c.join(q, col("cbucket") === col("probe") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(dot(col("qe"), col("ce")), col("qn2"), col("cn2")).as("sim"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs), each with an
+  * exact DuckDB-SQL mirror so the oracle can hash-verify them:
+  *   - `tokens`        ≡ `regexp_split_to_array(trim(x), '\s+')`
+  *   - `punctCount`    ≡ `length(x) - length(regexp_replace(x, CLASS, '', 'g'))`
+  *   - `stopwordHits`  ≡ `len(list_filter(tokens, t -> list_contains([...], t)))`
+  *   - `fingerprint`   ≡ `md5(lower(regexp_replace(trim(x), '\s+', ' ', 'g')))`
+  *
+  * Scale: everything is a narrow per-row projection — no shuffle, fully
+  * parallel, safe at any data size.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. Split semantics verified equal between Spark
+    * `split(x, "\\s+")` and DuckDB `regexp_split_to_array`: empty string →
+    * `['']`, leading whitespace → leading `''` element — hence the trim.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — a cheap, deterministic proxy for tokenizer
+    * budget accounting (same regex works in DuckDB `regexp_extract_all`).
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Punctuation occurrences (explicit class — portable across regex
+    * dialects, unlike POSIX `[[:punct:]]`).
+    */
+  val punctClass = "[.,!?;:]"
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, punctClass, ""))
+
+  /** Count of tokens (with duplicates) present in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(wordArr, t)))
+  }
+
+  /** Distinct-token ratio — a lexical-diversity quality signal. */
+  def uniqueTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  /** Whitespace-normalized md5 document fingerprint (exact-dup key). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  // --- language-ID heuristic ------------------------------------------------
+
+  /** Tiny function-word lists (public knowledge). Accuracy is not the goal
+    * here — a deterministic, engine-portable heuristic is.
+    */
+  val enStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val deStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf")
+  val frStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour")
+
+  /** Argmax over per-language function-word hits; ties resolve en > de > fr,
+    * zero hits everywhere → "und". Mirrored exactly by a CASE chain in SQL.
+    */
+  def langGuess(toks: Column): Column = {
+    val en = stopwordHits(toks, enStop)
+    val de = stopwordHits(toks, deStop)
+    val fr = stopwordHits(toks, frStop)
+    when(en >= de && en >= fr && en > 0, "en")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Composite quality score in [0,1]: balanced token length, lexical
+    * diversity, low punctuation density. Single deterministic double
+    * expression (each division exact-mirrored in the oracle).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val diversity = size(array_distinct(t)).cast("double") / nTok
+    val punctDensity = punctCount(text).cast("double") / length(text).cast("double")
+    val lengthScore = least(nTok / lit(64.0), lit(1.0))
+    (diversity + lengthScore + (lit(1.0) - least(punctDensity * 10.0, lit(1.0)))) / lit(3.0)
+  }
+}

@@ -1,29 +1,33 @@
 package graft.tools
 
+import java.time.Instant
+
 import org.apache.spark.sql.SparkSession
 
-/** Dev probe for parity hazards (SURVEY H1-H7). Not part of the engine API. */
+import graft.ingest.{Http, SyntheticArrivals}
+
+/** Dev probe — not part of the engine API. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val t0 = Instant.parse("2025-11-20T10:00:00Z")
+    val transport = SyntheticArrivals.transport(t0)
+    val body = transport("https://api.tfl.gov.uk/StopPoint/940GZZLUTS01/Arrivals").body
+    println(s"BODY(first 400): ${body.take(400)}")
+    println(s"BODY length: ${body.length}")
+    val snap = SyntheticArrivals.snapshot(t0)
+    println(s"snapshot rows: ${snap.size}, first: ${snap.headOption}")
+
+    val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.driver.host", "localhost").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
-    // H2: ns-precision timestamps
-    try {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      ev.printSchema()
-      ev.show(3, truncate = false)
-    } catch { case e: Throwable => println(s"EVENTS READ FAILED: ${e.getMessage.take(500)}") }
-    // whitespace split parity probe
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val df = Seq("a b  c", " lead", "trail ", "", "one").toDF("s")
-    df.select($"s", split($"s", "\\s+").as("sp"), size(split($"s", "\\s+")).as("n")).show(truncate = false)
+    graft.core.GraftSession.tune(spark)
+    val df = graft.jobs.Jobs.fetchArrivals(spark, transport)
+    println(s"fetchArrivals count (tuned): ${df.count()}")
+    val tmp = java.nio.file.Files.createTempDirectory("probe-raw").toString
+    val n = graft.jobs.Jobs.ingest(spark, tmp, t0, transport)
+    println(s"ingest returned: $n")
+    println("raw files: " + new java.io.File(tmp).listFiles().toSeq)
     spark.stop()
   }
 }

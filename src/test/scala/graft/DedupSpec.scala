@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Planted-duplicate tests for the dedup family: each sketch method must
+  * find the planted near-dup pairs; exact dedup must group normalized
+  * twins; the exact-Jaccard reference path anchors the sketch outputs.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest before the sun sets tonight"
+  private val nearDup = base.replace("green", "dark") // 1-token change
+  private val unrelated = "completely different words about spark engines " +
+    "processing massive parquet datasets with shuffles joins and windows"
+
+  private def docs = Seq(
+    (0L, base, "en"),
+    (1L, nearDup, "en"),
+    (2L, unrelated, "en"),
+    (3L, "  the   quick brown\tfox ", "en"), // whitespace variant of a prefix
+    (4L, "the quick brown fox", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups whitespace-normalized twins, survivor = min id") {
+    val r = Dedup.exact(docs, "text", "doc_id")
+    assert(r.count() == 4) // docs 3 and 4 collapse
+    val dup = r.filter(col("n_dups") === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 3L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair, not the unrelated one") {
+    val pairs = Dedup.MinHashLsh.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "planted near-dup must surface")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "unrelated doc must not pair above threshold")
+  }
+
+  test("simhash: near-dups at small hamming distance, unrelated far") {
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhash(graft.text.TextFunctions.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)),
+      "near-dup pair closer in hamming space than unrelated pair")
+    assert(ham(sh(3L), sh(4L)) == 0, "identical token streams → identical simhash")
+  }
+
+  test("exact jaccard pairs: blocked, thresholded, deterministic values") {
+    val r = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 0.5)
+      .collect()
+    val planted = r.find(x => x.getLong(1) == 0L && x.getLong(2) == 1L)
+    assert(planted.isDefined)
+    val j = planted.get.getAs[Double]("jaccard")
+    // base has 21 distinct tokens; swap changes 1 → |∩|=20, |∪|=22
+    assert(math.abs(j - 20.0 / 22.0) < 1e-12)
+  }
+
+  test("embedding near-dup: identical vectors cosine 1, orthogonal excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)), // same direction → cosine 1
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{Http, SyntheticArrivals}
+import graft.jobs.Jobs
+import graft.streaming.HeadwaysStream
+
+/** End-to-end pipeline tests: ingest → raw zone → transform → silver →
+  * quality gate, the align CLI job, the streaming variant, and the HTTP
+  * retry policy — all offline via the synthetic transport.
+  */
+class JobsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val t0 = Instant.parse("2025-11-20T10:00:00Z")
+
+  test("ingest appends hive-date-partitioned snapshots; transform builds silver; checks pass") {
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val raw = s"$root/raw"
+    // three 2-minute polls, like the reference's cron
+    val n = (0 until 3).map { i =>
+      val at = t0.plusSeconds(i * 120L)
+      Jobs.ingest(spark, raw, at, SyntheticArrivals.transport(at))
+    }.sum
+    assert(n > 0)
+    val files = new java.io.File(s"$raw/date=2025-11-20").listFiles()
+    assert(files != null && files.count(_.getName.endsWith(".parquet")) >= 1)
+
+    val results = Jobs.transform(spark, raw, s"$root/silver")
+    assert(results.size == 11, "9 dbt not_null + 2 GX checks")
+    // dirty synthetic data nulls some event_ts upstream, but staged/mart
+    // key columns must hold
+    val fct = spark.read.parquet(s"$root/silver/fct_headways")
+    assert(fct.count() > 0)
+    assert(fct.columns.toSeq == Seq("line_id", "stop_id", "hour",
+      "avg_headway_s", "p50_headway_s", "p90_headway_s"))
+    assert(results.filter(_.name.startsWith("not_null_p")).forall(_.passed))
+  }
+
+  test("align writes one flat snapshot for the requested line") {
+    val root = Files.createTempDirectory("graft-align").toString
+    val df = Jobs.align(spark, "central", root, t0, SyntheticArrivals.transport(t0))
+    assert(df.filter(col("lineId") =!= "central").count() == 0)
+    assert(df.columns.contains("raw") && df.columns.contains("expectedArrival_ts"))
+    // raw column is valid JSON round-trippable to the payload fields
+    val raw = df.select("raw").head().getString(0)
+    assert(raw.contains("\"lineId\":\"central\""))
+  }
+
+  test("streaming AvailableNow recompute matches the batch transform") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val raw = s"$root/raw"
+    (0 until 2).foreach { i =>
+      val at = t0.plusSeconds(i * 120L)
+      Jobs.ingest(spark, raw, at, SyntheticArrivals.transport(at))
+    }
+    val q = HeadwaysStream.start(spark, raw, s"$root/silver", s"$root/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$root/silver/fct_headways")
+    Jobs.transform(spark, raw, s"$root/silver_batch")
+    val batch = spark.read.parquet(s"$root/silver_batch/fct_headways")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("http retry: retryable statuses retried with backoff, fatal not") {
+    var calls = 0
+    val flaky: Http.Transport = { _ =>
+      calls += 1
+      if (calls < 3) Http.Response(503, "") else Http.Response(200, "ok")
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val policy = Http.Policy(retries = 3, backoffMillis = 100, sleeper = sleeps += _)
+    assert(Http.fetch("u", flaky, policy).get == "ok")
+    assert(sleeps.toSeq == Seq(100L, 200L), "exponential backoff")
+
+    calls = 0
+    val fatal: Http.Transport = { _ => calls += 1; Http.Response(404, "") }
+    assert(Http.fetch("u", fatal, policy).isFailure)
+    assert(calls == 1, "non-retryable status fails fast")
+  }
+
+  test("fetchMany isolates per-element failures") {
+    val t: Http.Transport = { u =>
+      if (u.contains("bad")) throw new RuntimeException("boom")
+      else Http.Response(200, "ok")
+    }
+    val p = Http.Policy(retries = 1, backoffMillis = 0, sleeper = _ => ())
+    val r = Http.fetchMany(Seq("good1", "bad", "good2"), t, p)
+    assert(r.count(_._2.isSuccess) == 2)
+    assert(r.count(_._2.isFailure) == 1)
+  }
+}

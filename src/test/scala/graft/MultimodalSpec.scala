@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** Binary-column plumbing: schema, stub-codec featurization determinism,
+  * frame sampling shape, and column pruning past the binary payload.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def media = Multimodal.mediaTable(Tables.documents(spark, TestSpark.sfDir))
+
+  test("media table: binary payload + typed metadata") {
+    val m = media
+    assert(m.schema("bytes").dataType.typeName == "binary")
+    val r = m.orderBy("doc_id").head()
+    assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
+    assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+  }
+
+  test("featurize: deterministic stub features, one row per media row") {
+    val f1 = Multimodal.featurize(spark, media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.featurize(spark, media).collect().sortBy(_.doc_id)
+    assert(f1.length == media.count())
+    assert(f1.map(_.avg_byte).toSeq == f2.map(_.avg_byte).toSeq, "stub codec is deterministic")
+    assert(f1.forall(_.feat.length == 4))
+    assert(f1.forall(f => f.avg_byte >= 0 && f.avg_byte <= 255))
+  }
+
+  test("frame sampling: n frames per payload, fixed size") {
+    val frames = Multimodal.frameSample(media, n = 4, frameBytes = 16)
+    val counts = frames.groupBy("doc_id").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSet == Set(4L))
+    assert(frames.filter(octet_length(col("frame")) > 16).count() == 0)
+  }
+
+  test("metadata queries prune the binary column from the scan") {
+    // width/kind derive from doc_id/n_chars only — text (the payload
+    // source) must not be read
+    val plan = media.select("doc_id", "width").queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"binary source column should be pruned from the scan: $read")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale contract. Correctness says what a
+  * query returns; these say how it runs: pushdown reaching parquet,
+  * broadcast where a dimension is small, no shuffle where none is needed,
+  * and whole-stage codegen over the hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02 filter+projection: predicates pushed into the parquet scan") {
+    val p = planOf("q02_filter_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate pushed")
+    // projection pruned to the 5 selected columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity") == false)
+  }
+
+  test("q01 pricing: scan reads only the 5 needed lineitem columns") {
+    val p = planOf("q01_pricing")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_shipdate") && !read.contains("l_partkey"),
+      s"unused columns must be pruned: $read")
+  }
+
+  test("q04 snowflake rollup: dimension side broadcast, not shuffled") {
+    val p = planOf("q04_region_rollup")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q07 headways: exactly one exchange feeds window + aggregate") {
+    val p = planOf("q07_headways")
+    // one shuffle for the window partition keys; the groupBy extends those
+    // keys so no second full shuffle of the data is needed (partial agg +
+    // the final ORDER BY range exchange are expected)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"headways should not cascade shuffles:\n$p")
+  }
+
+  test("q05 semi join: planned as a join, not a distinct+inner rewrite") {
+    val p = planOf("q05_semi_join")
+    assert(p.contains("LeftSemi"), p.take(1500))
+  }
+
+  test("whole-stage codegen covers the aggregation hot path") {
+    // AQE annotates codegen stages only in the final (post-execution) plan
+    val df = SparkEntry.queries("q01_pricing")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("*("), s"agg pipeline must be codegen'd:\n${p.take(1500)}")
+  }
+}
