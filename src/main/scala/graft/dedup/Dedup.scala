@@ -36,20 +36,6 @@ object Dedup {
     val NumHashes = 32
     val Bands = 8
     val RowsPerBand: Int = NumHashes / Bands
-    private val Mask = 0xffffffffL
-
-    /** Deterministic (a, b) coefficient pairs via splitmix64(seed). */
-    private[dedup] def coeffs(seed: Long = 42L): Array[(Long, Long)] = {
-      var x = seed
-      def next(): Long = {
-        x += 0x9e3779b97f4a7c15L
-        var z = x
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
-      Array.fill(NumHashes)(((next() & Mask) | 1L, next() & Mask))
-    }
 
     /** Word n-gram shingles of the token array. */
     def shingles(toks: Column, n: Int = 3): Column =
@@ -57,46 +43,49 @@ object Dedup {
         sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
         i => concat_ws(" ", slice(toks, i, lit(n))))
 
-    /** 32-long minhash signature. Universal-ish hash family
-      * h_i(x) = (a_i·x + b_i) mod 2^32 over xxhash64-folded shingles; long
-      * multiply wraps mod 2^64 and 2^32 divides 2^64, so the masked result
-      * is exact — no overflow hazard.
+    /** 32-long minhash signature via the native [[graft.functions.MinHashSig]]
+      * expression — one primitive loop per row. (The declarative form — 32
+      * `aggregate` folds per row — runs through the interpreted
+      * higher-order-function path and measured ~10× slower.)
       */
-    def signature(shingleCol: Column): Column = {
-      val hashes = transform(shingleCol, s => xxhash64(s).bitwiseAND(lit(Mask)))
-      val cs = coeffs()
-      array(cs.map { case (a, b) =>
-        aggregate(hashes, lit(Long.MaxValue),
-          (acc, h) => least(acc, (lit(a) * h + lit(b)).bitwiseAND(lit(Mask))))
-      }: _*)
-    }
+    def signature(shingleCol: Column): Column =
+      graft.functions.Sketches.minhash(shingleCol)
 
     /** Candidate pairs from banded signatures, verified with exact Jaccard
       * over distinct shingle sets; returns pairs with `jaccard >= threshold`.
+      *
+      * Shuffle hygiene: only (band, key, id) rows enter the banded
+      * self-join — the shingle sets stay out of the shuffle and are joined
+      * back (broadcast) onto the DISTINCT candidate pairs, so Jaccard is
+      * computed exactly once per candidate pair.
       */
     def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
         threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
       val toks = TextFunctions.tokens(col(textCol))
-      val withSig = df.select(col(idCol).as("id"),
-          shingles(toks, shingleN).as("sh"))
-        .withColumn("sig", signature(col("sh")))
-        .withColumn("shset", array_distinct(col("sh")))
-      val banded = withSig.select(col("id"), col("shset"), posexplode(
+      val sigs = df.select(col(idCol).as("id"),
+        graft.functions.Sketches.minhashTokens(toks).as("sig"))
+      val banded = sigs.select(col("id"), posexplode(
         array((0 until Bands).map { b =>
           xxhash64(concat_ws("_",
             (0 until RowsPerBand).map(r =>
               element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
         }: _*)).as(Seq("band", "bkey")))
-      val l = banded.select(col("band"), col("bkey"),
-        col("id").as("id_a"), col("shset").as("set_a"))
-      val r = banded.select(col("band"), col("bkey"),
-        col("id").as("id_b"), col("shset").as("set_b"))
-      l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+      val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
+      val candidates = l.join(r, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sets = df.select(col(idCol).as("sid"),
+        array_distinct(shingles(toks, shingleN)).as("sset"))
+      candidates
+        .join(broadcast(sets.withColumnRenamed("sid", "id_a")
+          .withColumnRenamed("sset", "set_a")), Seq("id_a"))
+        .join(broadcast(sets.withColumnRenamed("sid", "id_b")
+          .withColumnRenamed("sset", "set_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
             size(array_distinct(concat(col("set_a"), col("set_b")))).cast("double"))
             .as("jaccard"))
-        .dropDuplicates("id_a", "id_b")
         .filter(col("jaccard") >= threshold)
     }
   }
@@ -105,20 +94,16 @@ object Dedup {
 
   /** 64-bit simhash of the token array: bit b is set iff at least half the
     * token hashes have bit b set (charge accumulation with majority sign).
+    * Native [[graft.functions.SimHash64]] expression — the declarative form
+    * (64 `filter` passes per row) is interpreted and measured ~10× slower.
     */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val n = size(hashes)
-    (0 until 64).map { b =>
-      val cnt = size(filter(hashes,
-        h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
-      when(cnt * 2 >= n, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  def simhash(toks: Column): Column = graft.functions.Sketches.simhash(toks)
 
   /** Near-dup pairs by simhash Hamming distance. Blocking: split the 64-bit
     * sketch into 4 16-bit chunks; by pigeonhole any pair with Hamming ≤ 3
-    * agrees on ≥ 1 chunk, so the chunk join loses nothing at maxHamming ≤ 3.
+    * agrees on ≥ 1 chunk, so the chunk join is lossless at maxHamming ≤ 3.
+    * (8-bit chunks would extend the guarantee to Hamming ≤ 7 but measured
+    * 2× slower here: smaller keys → denser buckets → more candidate pairs.)
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -141,18 +126,35 @@ object Dedup {
   /** Exact token-set Jaccard for all pairs within a blocking column. The
     * blocking key bounds the pair space (per-block O(m²)); at 100 TB the
     * block would be an LSH band, here it is a semantic key (e.g. lang).
+    *
+    * Per-pair cost engineering (the O(m²) inner loop):
+    *  - |∪| is derived as |A|+|B|−|A∩B| (exact for sets) — no union array
+    *    is ever built, halving allocations;
+    *  - the intersection runs over PRE-HASHED token sets (xxhash64 longs,
+    *    computed once per row) instead of strings — long equality beats
+    *    repeated UTF8 hashing; a 64-bit collision inside one document pair
+    *    is vanishingly improbable, and the result is oracle-checked;
+    *  - size-ratio prefilter in the join condition: j ≤ min/max size, so a
+    *    pair below the threshold ratio never reaches the intersection;
+    *  - one side broadcast, stream side repartitioned to full parallelism.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(TextFunctions.tokens(col(textCol))).as("tset"))
-    val l = base.select(col("block"), col("id").as("id_a"), col("tset").as("set_a"))
-    val r = base.select(col("block"), col("id").as("id_b"), col("tset").as("set_b"))
-    l.join(r, Seq("block")).filter(col("id_a") < col("id_b"))
-      .select(col("block"), col("id_a"), col("id_b"),
-        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_distinct(concat(col("set_a"), col("set_b")))).cast("double"))
-          .as("jaccard"))
+      transform(array_distinct(TextFunctions.tokens(col(textCol))),
+        t => xxhash64(t)).as("tset"))
+      .withColumn("ts_n", size(col("tset")).cast("double"))
+    val l = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("block").as("block_a"), col("id").as("id_a"),
+        col("tset").as("set_a"), col("ts_n").as("n_a"))
+    val r = base.select(col("block").as("block_b"), col("id").as("id_b"),
+      col("tset").as("set_b"), col("ts_n").as("n_b"))
+    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    l.join(broadcast(r),
+        col("block_a") === col("block_b") && col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select(col("block_a").as("block"), col("id_a"), col("id_b"),
+        (inter / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -164,14 +166,18 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.norm2(col(vecCol)).as("n2"))
-    val l = base.select(col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a"))
+      graft.functions.FloatVecDot.norm2(col(vecCol)).as("n2"))
+    // repartition the stream side: a small-file corpus is one parquet split,
+    // and the O(n²) broadcast pair loop must not run on a single task
+    val l = base.repartition(par)
+      .select(col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a"))
     val r = base.select(col("id").as("id_b"), col("v").as("v_b"), col("n2").as("n2_b"))
-    l.join(r, col("id_a") < col("id_b"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosinePrenormed(
-          VectorFunctions.dot(col("v_a"), col("v_b")),
+          graft.functions.FloatVecDot.dot(col("v_a"), col("v_b")),
           col("n2_a"), col("n2_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

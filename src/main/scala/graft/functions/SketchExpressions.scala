@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch expressions for the dedup family.
+  *
+  * Why custom expressions (SURVEY §2.10 preference order (b)): the
+  * declarative formulations — 32 `aggregate` folds per row for MinHash, 64
+  * `filter` passes per row for SimHash — run through Catalyst's
+  * higher-order-function interpreter (HOFs are CodegenFallback), costing
+  * tens of millions of boxed lambda steps per million tokens. Each
+  * expression below is ONE primitive JVM loop per row over the token/
+  * shingle array. Both are engine-internal sketches (rows-only at the
+  * oracle), so cross-engine hash parity is not required; determinism is —
+  * seeds are fixed, and results are identical at any parallelism.
+  *
+  * Token hashing uses the same XXH64 core as Spark's `xxhash64` (seed 42).
+  * Null elements hash like empty strings rather than being skipped, keeping
+  * the loop branch-light; fixture corpora carry no null tokens.
+  */
+object Sketches {
+
+  /** splitmix64 — public-domain PRNG step, used for seed-derived coeffs. */
+  private[functions] def splitmix(state: Long): (Long, Long) = {
+    val x = state + 0x9e3779b97f4a7c15L
+    var z = x
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (x, z ^ (z >>> 31))
+  }
+
+  private[functions] def hashToken(s: UTF8String, seed: Long): Long =
+    if (s == null) XXH64.hashLong(0L, seed)
+    else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  def minhash(shingles: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig", shingles)
+
+  /** MinHash over word n-gram shingles built INSIDE the loop from the token
+    * array — no intermediate shingle-array column (the declarative
+    * `transform(sequence, slice, concat_ws)` shingle builder is interpreted
+    * and was the measured bottleneck of the MinHash pipeline).
+    */
+  def minhashTokens(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_tokens", tokens)
+
+  def simhash(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash64", tokens)
+
+  private[functions] def arity(name: String, n: Int)(
+      exprs: Seq[Expression]): Seq[Expression] = {
+    require(exprs.length == n, s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(arity("minhash_sig", 1)(exprs).head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_tokens",
+      exprs => MinHashSig(arity("minhash_tokens", 1)(exprs).head, shingleN = 3), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(arity("simhash64", 1)(exprs).head), "built-in")
+  }
+}
+
+/** MinHash signature: `numHashes` universal-hash minima — h_i(x) =
+  * (a_i·x32 + b_i) mod 2^32, x32 = low 32 bits of XXH64(shingle). Long
+  * multiply wraps mod 2^64 and 2^32 | 2^64, so the masked result is exact
+  * (no overflow hazard).
+  *
+  * With `shingleN = 0` the input elements are hashed as-is (pre-built
+  * shingles); with `shingleN = n > 0` the input is a TOKEN array and word
+  * n-gram shingles are built inside the loop (space-joined), never
+  * materializing a shingle column.
+  */
+case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
+    shingleN: Int = 0)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Mask = 0xffffffffL
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<string>, got $t")
+  }
+
+  private lazy val coeffs: Array[(Long, Long)] = {
+    var st = seed
+    Array.fill(numHashes) {
+      val (s1, a) = Sketches.splitmix(st)
+      val (s2, b) = Sketches.splitmix(s1)
+      st = s2
+      ((a & Mask) | 1L, b & Mask)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    def update(h32: Long): Unit = {
+      var j = 0
+      while (j < numHashes) {
+        val v = (coeffs(j)._1 * h32 + coeffs(j)._2) & Mask
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    if (shingleN <= 0) {
+      var i = 0
+      while (i < n) {
+        update(Sketches.hashToken(arr.getUTF8String(i), seed) & Mask)
+        i += 1
+      }
+    } else {
+      // word n-gram shingles, space-joined, built in-loop; a document
+      // shorter than n tokens contributes its single whole-text shingle
+      val count = math.max(1, n - shingleN + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var k = 0
+        while (k < shingleN && i + k < n) {
+          if (k > 0) sb.append(' ')
+          val t = arr.getUTF8String(i + k)
+          if (t != null) sb.append(t.toString)
+          k += 1
+        }
+        update(Sketches.hashToken(UTF8String.fromString(sb.toString), seed) & Mask)
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** 64-bit SimHash: bit b set iff ≥ half the token hashes have bit b set. */
+case class SimHash64(child: Expression, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = Sketches.hashToken(arr.getUTF8String(i), seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 >= n) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}

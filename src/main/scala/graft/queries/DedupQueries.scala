@@ -36,17 +36,17 @@ object DedupQueries extends QueryModule {
           .orderBy("id_a", "id_b")),
 
     // SimHash Hamming-distance near-dup pairs (rows-only, same reason).
+    // maxHamming=3 keeps the chunk blocking lossless (pigeonhole).
     "q32_dedup_simhash" -> QueryDef(
       (s, dir) =>
-        Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
-            maxHamming = 14)
+        Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id")
           .orderBy("id_a", "id_b")),
 
     // Exact blocked n-gram Jaccard — the oracle-verifiable near-dup path.
     "q33_dedup_jaccard" -> QueryDef(
       (s, dir) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-            blockCol = "lang", threshold = 0.5)
+            blockCol = "lang", threshold = 0.95)
           .orderBy("block", "id_a", "id_b"),
       Some("""WITH base AS (
              |  SELECT lang AS block, doc_id AS id,
@@ -58,7 +58,7 @@ object DedupQueries extends QueryModule {
              |  cast(len(list_distinct(list_concat(a.tset, b.tset))) AS double) AS jaccard
              |FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
              |WHERE cast(len(list_intersect(a.tset, b.tset)) AS double) /
-             |      cast(len(list_distinct(list_concat(a.tset, b.tset))) AS double) >= 0.5
+             |      cast(len(list_distinct(list_concat(a.tset, b.tset))) AS double) >= 0.95
              |ORDER BY block, id_a, id_b""".stripMargin)),
 
     // Embedding-cosine near-dup pairs (exact double math, oracle-mirrored).

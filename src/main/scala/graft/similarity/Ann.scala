@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.FloatVecDot
+
 import VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -22,16 +24,26 @@ import VectorFunctions._
   */
 object Ann {
 
-  /** Exact top-k by cosine. `queries` must be broadcast-small. */
+  /** Exact top-k by cosine. `queries` must be broadcast-small. The corpus
+    * side is repartitioned to the cluster's parallelism first: a small-file
+    * corpus otherwise arrives as one parquet split, and the
+    * broadcast-nested-loop pair evaluation — the O(|corpus|·|queries|) hot
+    * loop — would run on a single task. The pair dot product runs through
+    * the native [[graft.functions.FloatVecDot]] expression (allocation-free
+    * codegen loop, bit-identical to the declarative fold).
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-      norm2(col("embedding")).as("cn2"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        FloatVecDot.norm2(col("embedding")).as("cn2"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      norm2(col("embedding")).as("qn2"))
+      FloatVecDot.norm2(col("embedding")).as("qn2"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     c.join(broadcast(q), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        cosinePrenormed(dot(col("qe"), col("ce")), col("qn2"), col("cn2")).as("sim"))
+        cosinePrenormed(FloatVecDot.dot(col("qe"), col("ce")),
+          col("qn2"), col("cn2")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
@@ -85,7 +97,8 @@ object Ann {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     c.join(q, col("cbucket") === col("probe") && col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        cosinePrenormed(dot(col("qe"), col("ce")), col("qn2"), col("cn2")).as("sim"))
+        cosinePrenormed(FloatVecDot.dot(col("qe"), col("ce")),
+          col("qn2"), col("cn2")).as("sim"))
       .dropDuplicates("qid", "nid")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

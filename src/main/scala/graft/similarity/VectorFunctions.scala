@@ -30,6 +30,12 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  // Note: a fully-unrolled 64-term variant (element_at×128 per pair) was
+  // measured 3× SLOWER than the fold — the giant expression blows codegen
+  // method-size limits and drops out of JIT-friendly code. The array-lambda
+  // fold is the fast path; keep hot-pair-join speedups to parallelism
+  // (repartitioning the stream side), not expression rewrites.
+
   /** Cosine with precomputed norms — the join-side form: norms are computed
     * once per row before the pair join instead of once per pair.
     */

@@ -1,33 +1,30 @@
 package graft.tools
 
-import java.time.Instant
-
 import org.apache.spark.sql.SparkSession
-
-import graft.ingest.{Http, SyntheticArrivals}
 
 /** Dev probe — not part of the engine API. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val t0 = Instant.parse("2025-11-20T10:00:00Z")
-    val transport = SyntheticArrivals.transport(t0)
-    val body = transport("https://api.tfl.gov.uk/StopPoint/940GZZLUTS01/Arrivals").body
-    println(s"BODY(first 400): ${body.take(400)}")
-    println(s"BODY length: ${body.length}")
-    val snap = SyntheticArrivals.snapshot(t0)
-    println(s"snapshot rows: ${snap.size}, first: ${snap.headOption}")
-
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.tune(spark)
-    val df = graft.jobs.Jobs.fetchArrivals(spark, transport)
-    println(s"fetchArrivals count (tuned): ${df.count()}")
-    val tmp = java.nio.file.Files.createTempDirectory("probe-raw").toString
-    val n = graft.jobs.Jobs.ingest(spark, tmp, t0, transport)
-    println(s"ingest returned: $n")
-    println("raw files: " + new java.io.File(tmp).listFiles().toSeq)
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // happy path through the SQL surface of the registered expressions
+    spark.sql(
+      """SELECT vec_id, float_vec_dot(embedding, embedding) AS n2,
+        |  simhash64(array('a','b')) AS sh,
+        |  minhash_sig(array('a','b'))[0] AS mh
+        |FROM embeddings LIMIT 2""".stripMargin).show(false)
+    // wrong types
+    try spark.sql("SELECT float_vec_dot(1, 2)").show()
+    catch { case e: Throwable => println(s"TYPE-ERR OK: ${e.getMessage.linesIterator.next()}") }
+    // wrong arity
+    try spark.sql("SELECT simhash64()").show()
+    catch { case e: Throwable => println(s"ARITY-ERR OK: ${e.getMessage.linesIterator.next()}") }
+    // null input
+    spark.sql("SELECT float_vec_dot(cast(null as array<float>), array(cast(1.0 as float))) AS d").show()
     spark.stop()
   }
 }
