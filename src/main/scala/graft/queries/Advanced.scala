@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.functions.GraftFunctions._
+
+/** Advanced relational operators beyond the reference's own surface: as-of
+  * join, range join, hierarchical rollup, and order-independent statistics —
+  * the time-series / OLAP staples a lakehouse engine is expected to carry.
+  * Each is composed from built-in operators per the preference order
+  * (SURVEY §2.10(a)): Spark's planner handles them well once the
+  * composition is shuffle-clean, so no custom physical operator is needed.
+  */
+object Advanced extends QueryModule {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // As-of join (point-in-time lookup): for each purchase, the same user's
+    // latest click at-or-before it. Composed as union → one window pass:
+    // tag both streams, sort by (ts, tag) with clicks first at ties
+    // (inclusive semantics), carry the last click forward. ONE shuffle on
+    // user_id — the classic scalable formulation; a join-based formulation
+    // would need an expensive inequality join.
+    "q18_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // dedupe clicks to one per (user, ts) so at-equal-ts picks are
+        // well-defined in both engines
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+          .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+            col("click_value"), lit(0).as("tag"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("double").as("click_value"), lit(1).as("tag"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("click_ts",
+            last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+          .withColumn("last_click_value",
+            last(when(col("tag") === 0, col("click_value")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("click_ts"), col("last_click_value").as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+             |), c AS (
+             |  SELECT user_id, ts AS c_ts, max(value) AS click_value
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+             |)
+             |SELECT p.event_id, p.user_id, p.ts, c.c_ts AS click_ts, c.click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Range join: per purchase, how many same-user events landed in the
+    // strictly-preceding hour. Scalable shape: events bucket to the hour,
+    // each purchase probes its own and the previous bucket (every candidate
+    // falls in exactly one, so no dedup), the range predicate filters
+    // exactly — an equi-join the planner can hash/shuffle, instead of a
+    // quadratic inequality join.
+    "q19_range_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val usPerHour = 3600L * 1000000L
+        // integer `div` for bucketing: a double division + floor can round
+        // across a bucket boundary and silently drop candidates
+        val e = ev.select(col("user_id").as("e_user"),
+          unix_micros(col("ts")).as("e_us"),
+          expr(s"unix_micros(ts) div $usPerHour").as("e_bucket"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"),
+            expr(s"unix_micros(ts) div $usPerHour").as("p_bucket"))
+          .withColumn("probe", explode(array(col("p_bucket") - 1, col("p_bucket"))))
+        p.join(e,
+            col("user_id") === col("e_user") && col("probe") === col("e_bucket") &&
+              col("e_us") >= col("p_us") - usPerHour && col("e_us") < col("p_us"),
+            "left")
+          .groupBy("event_id", "user_id")
+          .agg(count(col("e_us")).as("n_prev_hour"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+             |)
+             |SELECT p.event_id, p.user_id, count(e.ts) AS n_prev_hour
+             |FROM p LEFT JOIN events e
+             |  ON e.user_id = p.user_id
+             |  AND e.ts >= p.p_ts - INTERVAL '1 hour' AND e.ts < p.p_ts
+             |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin)),
+
+    // Hierarchical rollup: status × priority with subtotals + grand total.
+    // Explicit NULLS FIRST on both sides (Spark defaults nulls-first,
+    // DuckDB nulls-last — the one place their ORDER BY defaults differ).
+    "q25_rollup" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+            sumExact(col("o_totalprice")).as("sum_price"))
+          .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+          .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, grouping_id(o_orderstatus, o_orderpriority) AS gid,
+             |  count(*) AS n_orders,
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) AS double) AS sum_price
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Order-independent statistics: variance/stddev/correlation from exact
+    // decimal power sums (the engines' native Welford/pairwise streams are
+    // summation-order-dependent and would never hash-match). count(distinct)
+    // rides along as the exact-dedup aggregate.
+    "q26_stats" -> QueryDef(
+      (s, dir) => {
+        val sx = sum(col("value").cast("decimal(18,6)")).cast("double")
+        val sxx = sum((col("value") * col("value")).cast("decimal(24,6)")).cast("double")
+        val sy = sum(col("user_id").cast("decimal(18,6)")).cast("double")
+        val syy = sum((col("user_id") * col("user_id")).cast("decimal(24,6)")).cast("double")
+        val sxy = sum((col("value") * col("user_id")).cast("decimal(24,6)")).cast("double")
+        val n = count(lit(1)).cast("double")
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            ((sxx - sx * sx / n) / (n - 1)).as("var_value"),
+            sqrt((sxx - sx * sx / n) / (n - 1)).as("stddev_value"),
+            ((sxy - sx * sy / n) /
+              (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_value_user"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  count(*) AS n,
+             |  count(DISTINCT user_id) AS n_users,
+             |  (cast(sum(cast(value * value AS decimal(24,6))) AS double)
+             |     - cast(sum(cast(value AS decimal(18,6))) AS double) * cast(sum(cast(value AS decimal(18,6))) AS double) / cast(count(*) AS double))
+             |    / (cast(count(*) AS double) - 1) AS var_value,
+             |  sqrt((cast(sum(cast(value * value AS decimal(24,6))) AS double)
+             |     - cast(sum(cast(value AS decimal(18,6))) AS double) * cast(sum(cast(value AS decimal(18,6))) AS double) / cast(count(*) AS double))
+             |    / (cast(count(*) AS double) - 1)) AS stddev_value,
+             |  (cast(sum(cast(value * user_id AS decimal(24,6))) AS double)
+             |     - cast(sum(cast(value AS decimal(18,6))) AS double) * cast(sum(cast(user_id AS decimal(18,6))) AS double) / cast(count(*) AS double))
+             |    / (sqrt(cast(sum(cast(value * value AS decimal(24,6))) AS double)
+             |          - cast(sum(cast(value AS decimal(18,6))) AS double) * cast(sum(cast(value AS decimal(18,6))) AS double) / cast(count(*) AS double))
+             |       * sqrt(cast(sum(cast(user_id * user_id AS decimal(24,6))) AS double)
+             |          - cast(sum(cast(user_id AS decimal(18,6))) AS double) * cast(sum(cast(user_id AS decimal(18,6))) AS double) / cast(count(*) AS double))) AS corr_value_user
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+}
