@@ -1,0 +1,58 @@
+package graft
+
+import java.time.Instant
+
+import graft.core.GraftSession
+import graft.ingest.SyntheticArrivals
+import graft.jobs.Jobs
+import graft.quality.Expectations
+import graft.streaming.HeadwaysStream
+
+/** CLI dispatcher — the engine's operational entry points, mirroring the
+  * reference's runnables (ingest DAG, transform DAG, `tfl_align.py` CLI):
+  *
+  * {{{
+  * graft.Main ingest    <rawDir> [isoInstant]
+  * graft.Main transform <rawDir> <silverDir>
+  * graft.Main align     <line> <outDir> [isoInstant]
+  * graft.Main stream    <rawDir> <silverDir> <checkpointDir>
+  * }}}
+  *
+  * Scheduling stays external, as in the reference (its Airflow cron ↔ any
+  * scheduler invoking these mains). The synthetic transport stands in for
+  * the TfL API in this zero-egress environment; production swaps it for a
+  * real HTTP transport behind the same [[graft.ingest.Http.Transport]]
+  * interface.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(appName = "graft")
+    try args.toList match {
+      case "ingest" :: rawDir :: rest =>
+        val asOf = rest.headOption.map(Instant.parse).getOrElse(Instant.now())
+        val n = Jobs.ingest(spark, rawDir, asOf, SyntheticArrivals.transport(asOf))
+        println(s"[ingest] wrote $n arrivals to $rawDir")
+      case "transform" :: rawDir :: silverDir :: Nil =>
+        val results = Jobs.transform(spark, rawDir, silverDir)
+        results.foreach { r =>
+          val status = if (r.passed) "PASS" else "FAIL"
+          println(f"[check] $status%-4s ${r.name}%-40s failures=${r.failures}")
+        }
+        val hardFailures = results.filter(r => !r.passed && r.severity == Expectations.Error)
+        if (hardFailures.nonEmpty) sys.exit(1)
+      case "align" :: line :: outDir :: rest =>
+        val asOf = rest.headOption.map(Instant.parse).getOrElse(Instant.now())
+        val df = Jobs.align(spark, line, outDir, asOf, SyntheticArrivals.transport(asOf))
+        df.show(5, truncate = false)
+      case "stream" :: rawDir :: silverDir :: ckpt :: Nil =>
+        val q = HeadwaysStream.start(spark, rawDir, silverDir, ckpt)
+        q.awaitTermination()
+      case other =>
+        System.err.println(s"unknown command: ${other.mkString(" ")}")
+        System.err.println("usage: ingest <rawDir> [t] | transform <rawDir> <silverDir> | " +
+          "align <line> <outDir> [t] | stream <rawDir> <silverDir> <ckpt>")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

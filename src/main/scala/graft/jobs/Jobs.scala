@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.DataType
 
 import graft.core.{GraftSession, Schemas}
 import graft.etl.{FctHeadways, StgArrivals}
-import graft.ingest.{Http, SyntheticArrivals}
+import graft.ingest.{Config, Http, SyntheticArrivals}
 import graft.quality.Expectations
 import graft.quality.Expectations.{Between, NotNull, Warning}
 
@@ -115,14 +115,25 @@ object Jobs {
   }
 
   /** E3 — line alignment: fan-out per-stop fetches, filter to the line,
-    * enrich (raw JSON column, tz-aware arrival ts), one flat snapshot
-    * parquet (reference `tfl_align.py`).
+    * enrich with stop metadata via a BROADCAST lookup join + coalesce
+    * fallback (SURVEY J1 — the reference's nested-loop stop lookup with
+    * `commonName` fallback, `tfl_align.py:147,158-166`, re-expressed as the
+    * scalable join form), add the raw JSON column and the parsed arrival
+    * ts, write one flat snapshot parquet (reference `tfl_align.py`).
     */
   def align(spark: SparkSession, line: String, outDir: String, asOf: Instant,
-      transport: Http.Transport): DataFrame = {
+      transport: Http.Transport,
+      stops: Seq[(String, String)] = Seq.empty): DataFrame = {
     GraftSession.tune(spark)
+    import spark.implicits._
+    val stopMeta = (if (stops.nonEmpty) stops
+      else Config.stopIds().map(id => id -> s"Stop $id"))
+      .toDF("naptanId", "commonName")
     val df = fetchArrivals(spark, transport)
       .filter(col("lineId") === line)
+      .join(broadcast(stopMeta), col("stopId") === col("naptanId"), "left")
+      .withColumn("stationName", coalesce(col("commonName"), col("stopId")))
+      .drop("naptanId", "commonName")
       .withColumn("snapshot_ts", lit(fileFmt.format(asOf)))
       .withColumn("raw", to_json(struct(col("stopId"), col("lineId"),
         col("platformName"), col("destinationName"),

@@ -42,11 +42,14 @@ class JobsSpec extends AnyFunSuite {
     assert(results.filter(_.name.startsWith("not_null_p")).forall(_.passed))
   }
 
-  test("align writes one flat snapshot for the requested line") {
+  test("align writes one flat snapshot for the requested line, enriched via broadcast lookup") {
     val root = Files.createTempDirectory("graft-align").toString
-    val df = Jobs.align(spark, "central", root, t0, SyntheticArrivals.transport(t0))
+    val df = Jobs.align(spark, "central", root, t0, SyntheticArrivals.transport(t0),
+      stops = SyntheticArrivals.Stops.map(s => s -> s"Station $s"))
     assert(df.filter(col("lineId") =!= "central").count() == 0)
     assert(df.columns.contains("raw") && df.columns.contains("expectedArrival_ts"))
+    // J1 enrichment: stop metadata joined in, with coalesce fallback
+    assert(df.filter(col("stationName").startsWith("Station ")).count() > 0)
     // raw column is valid JSON round-trippable to the payload fields
     val raw = df.select("raw").head().getString(0)
     assert(raw.contains("\"lineId\":\"central\""))

@@ -49,6 +49,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("q18 as-of join: one window pass, no inequality join") {
+    val p = planOf("q18_asof_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "as-of must compose via union+window, not a quadratic join")
+    assert(p.contains("Window"), p.take(1200))
+  }
+
+  test("q19 range join: planned as an equi-join on bucket keys, not BNLJ") {
+    val p = planOf("q19_range_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"bucketed range join must hash-join:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE annotates codegen stages only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing")(spark, dir)
