@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.core.{GraftSession, Schemas}
 import graft.etl.{FctHeadways, StgArrivals}
@@ -58,6 +61,70 @@ object HeadwaysStream {
           .parquet(s"$silverDir/fct_headways")
         ()
       }
+      .start()
+  }
+
+  // --- true-incremental variant (beyond the reference) ----------------------
+
+  case class ArrivalEvent(line_id: String, stop_id: String, event_ts: Timestamp)
+  case class HeadwayGap(line_id: String, stop_id: String, event_ts: Timestamp,
+      headway_s: Double)
+  case class LastSeen(lastTs: Long)
+
+  /** Per-(line, stop) gap emission with `flatMapGroupsWithState`: the state
+    * is just the last arrival timestamp per key — O(keys), no recompute.
+    *
+    * Semantics beyond the reference (documented divergence, SURVEY §7.9b):
+    * out-of-order arrivals WITHIN a micro-batch are sorted before state
+    * update, but an arrival older than the stored state (late across
+    * batches) emits a gap measured from the stored maximum — the batch
+    * recompute would instead re-order full history. For reference-identical
+    * results use [[start]]; this path exists for the scale regime where
+    * recomputing history per trigger is impossible. At 100 TB of history
+    * the state here stays at 16 bytes per (line, stop).
+    */
+  def incrementalGaps(spark: SparkSession, arrivals: Dataset[ArrivalEvent]):
+      Dataset[HeadwayGap] = {
+    import spark.implicits._
+    arrivals
+      .groupByKey(a => (a.line_id, a.stop_id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (key: (String, String), rows: Iterator[ArrivalEvent],
+         state: GroupState[LastSeen]) => {
+          val sorted = rows.toSeq.sortBy(_.event_ts.getTime)
+          var last = state.getOption.map(_.lastTs)
+          val gaps = sorted.flatMap { a =>
+            val ts = a.event_ts.getTime
+            val gap = last.map(l => HeadwayGap(key._1, key._2, a.event_ts,
+              (ts - l).toDouble / 1000.0))
+            last = Some(math.max(ts, last.getOrElse(Long.MinValue)))
+            gap
+          }
+          last.foreach(l => state.update(LastSeen(l)))
+          gaps.iterator
+        })
+  }
+
+  /** Start the incremental stream: raw files → per-gap rows, append mode. */
+  def startIncremental(spark: SparkSession, rawDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    GraftSession.tune(spark)
+    import spark.implicits._
+    val raw = spark.readStream
+      .schema(Schemas.rawArrivals)
+      .option("pathGlobFilter", "arrivals_*.parquet")
+      .parquet(s"$rawDir/date=*")
+    val arrivals = StgArrivals.fromRaw(raw)
+      .filter(col("event_ts").isNotNull)
+      .select(col("line_id"), col("stop_id"), col("event_ts"))
+      .as[ArrivalEvent]
+    incrementalGaps(spark, arrivals)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
       .start()
   }
 }

@@ -71,6 +71,26 @@ class JobsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("incremental stream: per-key gap state matches the batch mart's gaps") {
+    val root = Files.createTempDirectory("graft-incr").toString
+    val raw = s"$root/raw"
+    (0 until 3).foreach { i =>
+      val at = t0.plusSeconds(i * 120L)
+      Jobs.ingest(spark, raw, at, SyntheticArrivals.transport(at))
+    }
+    val q = HeadwaysStream.startIncremental(spark, raw, s"$root/gaps", s"$root/ckpt")
+    q.awaitTermination(60000)
+    val gaps = spark.read.parquet(s"$root/gaps")
+    assert(gaps.count() > 0)
+    // single AvailableNow batch: every staged arrival after the first of
+    // its (line, stop) key emits exactly one gap
+    val stg = graft.etl.StgArrivals(spark, raw).filter(col("event_ts").isNotNull)
+    val expected = stg.count() -
+      stg.select("line_id", "stop_id").distinct().count()
+    assert(gaps.count() == expected, s"gaps=${gaps.count()} expected=$expected")
+    assert(gaps.filter(col("headway_s") < 0).count() == 0, "gaps never negative")
+  }
+
   test("http retry: retryable statuses retried with backoff, fatal not") {
     var calls = 0
     val flaky: Http.Transport = { _ =>
