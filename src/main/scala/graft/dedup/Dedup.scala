@@ -75,16 +75,19 @@ object Dedup {
       val candidates = l.join(r, Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
+      // exact verification over sorted hashed shingle sets: merge-scan
+      // intersection, |∪| = |A|+|B|−|∩| — no per-pair hash sets or arrays
       val sets = df.select(col(idCol).as("sid"),
-        array_distinct(shingles(toks, shingleN)).as("sset"))
+        graft.functions.Sketches.shingleSet(toks).as("sset"))
+      val inter = graft.functions.Sketches
+        .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
       candidates
         .join(broadcast(sets.withColumnRenamed("sid", "id_a")
           .withColumnRenamed("sset", "set_a")), Seq("id_a"))
         .join(broadcast(sets.withColumnRenamed("sid", "id_b")
           .withColumnRenamed("sset", "set_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-            size(array_distinct(concat(col("set_a"), col("set_b")))).cast("double"))
+          (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             .as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
@@ -141,15 +144,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      transform(array_distinct(TextFunctions.tokens(col(textCol))),
-        t => xxhash64(t)).as("tset"))
+      array_sort(transform(array_distinct(TextFunctions.tokens(col(textCol))),
+        t => xxhash64(t))).as("tset"))
       .withColumn("ts_n", size(col("tset")).cast("double"))
     val l = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("block").as("block_a"), col("id").as("id_a"),
         col("tset").as("set_a"), col("ts_n").as("n_a"))
     val r = base.select(col("block").as("block_b"), col("id").as("id_b"),
       col("tset").as("set_b"), col("ts_n").as("n_b"))
-    val inter = size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+    val inter = graft.functions.Sketches
+      .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
     l.join(broadcast(r),
         col("block_a") === col("block_b") && col("id_a") < col("id_b") &&
           least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))

@@ -53,6 +53,16 @@ object Sketches {
   def simhash(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", tokens)
 
+  /** Merge-scan |A ∩ B| over sorted distinct long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
+
+  /** Token array → SORTED DISTINCT xxhash64 hashes of its word 3-gram
+    * shingles — the set form consumed by [[sortedIntersectCount]].
+    */
+  def shingleSet(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("shingle_set", tokens)
+
   private[functions] def arity(name: String, n: Int)(
       exprs: Seq[Expression]): Seq[Expression] = {
     require(exprs.length == n, s"$name expects $n argument(s), got ${exprs.length}")
@@ -67,7 +77,56 @@ object Sketches {
       exprs => MinHashSig(arity("minhash_tokens", 1)(exprs).head, shingleN = 3), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(arity("simhash64", 1)(exprs).head), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => {
+        val e = arity("sorted_intersect_count", 2)(exprs)
+        SortedIntersectCount(e.head, e(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("shingle_set",
+      exprs => ShingleSet(arity("shingle_set", 1)(exprs).head), "built-in")
   }
+}
+
+/** Count of common elements between two SORTED long arrays (strictly
+  * increasing, i.e. distinct) — a zero-allocation merge scan. The pair-join
+  * inner loop of set-similarity operators: `array_intersect` builds a hash
+  * set PER PAIR, which dominates O(n²) candidate verification; this walks
+  * two pointers instead.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<bigint>, got $l / $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature: `numHashes` universal-hash minima — h_i(x) =
@@ -144,6 +203,54 @@ case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Token array → sorted distinct xxhash64 hashes of its word n-gram
+  * shingles (space-joined, same construction as [[MinHashSig]] with
+  * `shingleN > 0`): the exact-verification counterpart of the minhash
+  * candidates, in the representation [[SortedIntersectCount]] consumes.
+  */
+case class ShingleSet(child: Expression, shingleN: Int = 3, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_set expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val count = math.max(1, n - shingleN + 1)
+    val hs = new Array[Long](count)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < shingleN && i + k < n) {
+        if (k > 0) sb.append(' ')
+        val t = arr.getUTF8String(i + k)
+        if (t != null) sb.append(t.toString)
+        k += 1
+      }
+      hs(i) = Sketches.hashToken(UTF8String.fromString(sb.toString), seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place on the sorted array
+    var w = 0
+    var r = 0
+    while (r < count) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
 }
 
 /** 64-bit SimHash: bit b set iff ≥ half the token hashes have bit b set. */
