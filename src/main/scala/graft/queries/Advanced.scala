@@ -113,6 +113,77 @@ object Advanced extends QueryModule {
              |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // Skew-proof two-stage salted aggregation. The result is IDENTICAL to
+    // a direct groupBy (exact decimal partials are associative), so the
+    // plain-SQL oracle verifies the technique end-to-end.
+    "q27_salted_agg" -> QueryDef(
+      (s, dir) =>
+        graft.core.Skew.saltedAggregate(
+          Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag"),
+          saltFrom = col("l_orderkey"),
+          sums = Map(
+            "sum_qty" -> col("l_quantity").cast("decimal(18,6)"),
+            "revenue" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,6)")))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  cast(sum(cast(l_quantity AS decimal(18,6))) AS double) AS sum_qty,
+             |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,6))) AS double) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // RANGE window frame: per customer, running order count + spend over a
+    // trailing 30-day event-time window (value-based frame, not row-based).
+    "q28_range_frame" -> QueryDef(
+      (s, dir) => {
+        val us30d = 30L * 86400L * 1000000L
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_us"))
+          .rangeBetween(-us30d, 0)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            // o_orderdate arrives as TIMESTAMP_NTZ (parquet ms, not
+            // UTC-adjusted); cast to session-TZ timestamp (UTC-pinned) so
+            // unix_micros matches DuckDB's epoch_us over the naive value
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+            col("o_totalprice"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            count(lit(1)).over(w).as("n_30d"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+              .cast("double").as("spend_30d"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  count(*) OVER w AS n_30d,
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) OVER w AS double) AS spend_30d
+             |FROM (SELECT *, epoch_us(o_orderdate) AS o_us FROM orders)
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_us
+             |             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Edit distance (integer DP — engine-portable): each doc's head vs the
+    // previous doc's head within its language, via lag + levenshtein.
+    "q29_edit_distance" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            substring(col("text"), 1, 30).as("head"))
+          .withColumn("prev_head", lag("head", 1).over(w))
+          .filter(col("prev_head").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            levenshtein(col("head"), col("prev_head")).as("edit_dist"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang, substr(text, 1, 30) AS head,
+             |    lag(substr(text, 1, 30)) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_head
+             |  FROM documents
+             |)
+             |SELECT doc_id, lang, levenshtein(head, prev_head) AS edit_dist
+             |FROM h WHERE prev_head IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
     // Order-independent statistics: variance/stddev/correlation from exact
     // decimal power sums (the engines' native Welford/pairwise streams are
     // summation-order-dependent and would never hash-match). count(distinct)
