@@ -165,8 +165,8 @@ object Dedup {
   // --- embedding cosine near-dup --------------------------------------------
 
   /** Semantic near-dup: all pairs with cosine ≥ threshold. All-pairs here
-    * (fixture-sized corpus); the scale path blocks through
-    * [[graft.similarity.Ann.lshTopK]] buckets first.
+    * (fixture-sized corpus); [[embeddingNearDupLsh]] is the blocked scale
+    * path.
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
@@ -184,5 +184,34 @@ object Dedup {
           graft.functions.FloatVecDot.dot(col("v_a"), col("v_b")),
           col("n2_a"), col("n2_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Scale path for embedding near-dup: hyperplane-LSH bucket blocking
+    * (multi-probe, same machinery as [[graft.similarity.Ann]]) turns the
+    * all-pairs O(n²) into a shuffle join on bucket keys; candidates get
+    * exact cosine. Recall is parameter-bounded (not exhaustive) — the
+    * standard trade at corpus sizes where n² is impossible.
+    */
+  def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.similarity.Ann
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.FloatVecDot.norm2(col(vecCol)).as("n2"),
+      Ann.signatureFor(col(vecCol), nPlanes, dim).as("bucket"))
+    // probe own bucket + 1-bit neighbors; each unordered pair meets in at
+    // least the bucket they share, dedup handles multi-bucket meetings
+    val probes = array((Seq(0) ++ (0 until nPlanes).map(1 << _))
+      .map(f => col("bucket").bitwiseXOR(lit(f))): _*)
+    val l = base.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("n2").as("n2_a"), explode(probes).as("bkt"))
+    val r = base.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("n2").as("n2_b"), col("bucket").as("bkt"))
+    l.join(r, Seq("bkt")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosinePrenormed(
+          graft.functions.FloatVecDot.dot(col("v_a"), col("v_b")),
+          col("n2_a"), col("n2_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -63,7 +63,7 @@ object Sketches {
   def shingleSet(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("shingle_set", tokens)
 
-  private[functions] def arity(name: String, n: Int)(
+  private[graft] def arity(name: String, n: Int)(
       exprs: Seq[Expression]): Seq[Expression] = {
     require(exprs.length == n, s"$name expects $n argument(s), got ${exprs.length}")
     exprs

@@ -80,5 +80,14 @@ object DedupQueries extends QueryModule {
              |WHERE list_reduce(list_transform(range(1, len(a.v) + 1),
              |      i -> a.v[i]::double * b.v[i]::double), (x, y) -> x + y)
              |    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding near-dup, LSH-blocked scale path (rows-only: recall is
+    // parameter-bounded by design; DedupSpec pins the planted-pair recall
+    // and every emitted pair is exact-cosine-verified ≥ threshold).
+    "q35_dedup_embedding_lsh" -> QueryDef(
+      (s, dir) =>
+        Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), "embedding",
+            "vec_id", threshold = 0.3)
+          .orderBy("id_a", "id_b")))
 }

@@ -5,26 +5,24 @@ import org.apache.spark.sql.SparkSession
 /** Dev probe — not part of the engine API. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    // GraftExtensions via the spark-submit path: functions must resolve in
+    // SQL without any programmatic registration.
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.host", "localhost").getOrCreate()
+      .config("spark.driver.host", "localhost")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.core.GraftSession.tune(spark)
-    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
-    // happy path through the SQL surface of the registered expressions
     spark.sql(
-      """SELECT vec_id, float_vec_dot(embedding, embedding) AS n2,
-        |  simhash64(array('a','b')) AS sh,
-        |  minhash_sig(array('a','b'))[0] AS mh
-        |FROM embeddings LIMIT 2""".stripMargin).show(false)
-    // wrong types
-    try spark.sql("SELECT float_vec_dot(1, 2)").show()
-    catch { case e: Throwable => println(s"TYPE-ERR OK: ${e.getMessage.linesIterator.next()}") }
-    // wrong arity
-    try spark.sql("SELECT simhash64()").show()
-    catch { case e: Throwable => println(s"ARITY-ERR OK: ${e.getMessage.linesIterator.next()}") }
-    // null input
-    spark.sql("SELECT float_vec_dot(cast(null as array<float>), array(cast(1.0 as float))) AS d").show()
+      """SELECT float_vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |                     array(cast(3.0 as float), cast(4.0 as float))) AS dot,
+        |  simhash64(array('a','b','c')) AS sh,
+        |  sorted_intersect_count(array(1L,2L,5L), array(2L,3L,5L)) AS ic,
+        |  size(shingle_set(array('w1','w2','w3','w4'))) AS nsh,
+        |  minhash_tokens(array('w1','w2','w3','w4'))[0] AS mh
+        |""".stripMargin).show(false)
+    println("DESCRIBE: " + spark.sql("DESCRIBE FUNCTION float_vec_dot")
+      .collect().map(_.getString(0)).mkString(" | "))
     spark.stop()
   }
 }

@@ -72,4 +72,15 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r == Set((0L, 1L)))
   }
+
+  test("embedding near-dup LSH path: finds same-direction pair (same bucket)") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(64)(i => 2f * (i + 1))), // colinear → same signature
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDupLsh(vecs, "embedding", "vec_id", 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((0L, 1L)))
+  }
 }

@@ -62,6 +62,22 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed range join must hash-join:\n${p.take(1500)}")
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    import graft.core.{Layout, Tables}
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(li, "li_bkt", "l_orderkey", 8, sortCol = Some("l_orderkey"))
+    Layout.writeBucketed(o, "o_bkt", "o_orderkey", 8, sortCol = Some("o_orderkey"))
+    val joined = spark.table("li_bkt")
+      .join(spark.table("o_bkt"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"co-bucketed equi-join must not shuffle:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE annotates codegen stages only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing")(spark, dir)
