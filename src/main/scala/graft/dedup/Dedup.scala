@@ -37,20 +37,6 @@ object Dedup {
     val Bands = 8
     val RowsPerBand: Int = NumHashes / Bands
 
-    /** Word n-gram shingles of the token array. */
-    def shingles(toks: Column, n: Int = 3): Column =
-      transform(
-        sequence(lit(1), greatest(lit(1), size(toks) - (n - 1))),
-        i => concat_ws(" ", slice(toks, i, lit(n))))
-
-    /** 32-long minhash signature via the native [[graft.functions.MinHashSig]]
-      * expression — one primitive loop per row. (The declarative form — 32
-      * `aggregate` folds per row — runs through the interpreted
-      * higher-order-function path and measured ~10× slower.)
-      */
-    def signature(shingleCol: Column): Column =
-      graft.functions.Sketches.minhash(shingleCol)
-
     /** Candidate pairs from banded signatures, verified with exact Jaccard
       * over distinct shingle sets; returns pairs with `jaccard >= threshold`.
       *
@@ -60,7 +46,7 @@ object Dedup {
       * computed exactly once per candidate pair.
       */
     def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
-        threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+        threshold: Double = 0.5): DataFrame = {
       val toks = TextFunctions.tokens(col(textCol))
       val sigs = df.select(col(idCol).as("id"),
         graft.functions.Sketches.minhashTokens(toks).as("sig"))
@@ -117,11 +103,14 @@ object Dedup {
       .as(Seq("chunk", "ckey")))
     val l = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // filter BEFORE dedup: hamming is a pure function of the pair, so
+    // duplicates across chunk meetings agree — dedup then shuffles only
+    // the surviving near-dups, not every candidate pair
     l.join(r, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // --- exact n-gram Jaccard (oracle-verifiable reference path) --------------

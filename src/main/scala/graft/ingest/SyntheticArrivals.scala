@@ -65,13 +65,18 @@ object SyntheticArrivals {
   def transport(asOf: Instant, seed: Long = 42L): Http.Transport = { url =>
     val stop = url.split("/").takeRight(2).head
     val rows = snapshot(asOf, seed).filter(_.stopId.contains(stop))
-    val body = rows.map { a =>
+    val body = rows.zipWithIndex.map { case (a, i) =>
       def q(v: Option[String]) = v.map(s => "\"" + s + "\"").getOrElse("null")
+      val lineName = a.lineId.map(_.capitalize)
+      val vehicle = Some(s"veh${(i * 131 + stop.hashCode.abs % 997) % 10000}")
       s"""{"naptanId": ${q(a.stopId)}, "lineId": ${q(a.lineId)},
+         | "lineName": ${q(lineName)},
          | "platformName": ${q(a.platformName)},
          | "destinationName": ${q(a.destinationName)},
          | "timeToStation": ${a.timeToStation.getOrElse(0L)},
-         | "timestamp": ${q(a.timestamp)}}""".stripMargin.replaceAll("\n", "")
+         | "timestamp": ${q(a.timestamp)},
+         | "expectedArrival": ${q(a.timestamp)},
+         | "vehicleId": ${q(vehicle)}}""".stripMargin.replaceAll("\n", "")
     }.mkString("[", ",", "]")
     Http.Response(200, body)
   }

@@ -26,18 +26,19 @@ object Jobs {
   /** The TfL arrival payload schema the ingest decodes (FIXTURES.md §1). */
   private val payloadSchema: DataType = DataType.fromDDL(
     "array<struct<naptanId:string,stationName:string,lineId:string," +
-      "platformName:string,destinationName:string,timeToStation:bigint," +
-      "timestamp:string>>")
+      "lineName:string,platformName:string,destinationName:string," +
+      "timeToStation:bigint,timestamp:string,expectedArrival:string," +
+      "vehicleId:string>>")
 
   /** Fetch (retry + per-stop error isolation) and decode to the raw-zone
     * column contract — shared by [[ingest]] and [[align]]. JSON decoding
     * runs through the engine's own `from_json` path with the DECLARED
     * schema (S5): unknown fields dropped, missing fields null (P9).
     */
-  def fetchArrivals(spark: SparkSession, transport: Http.Transport): DataFrame = {
+  def fetchArrivals(spark: SparkSession, transport: Http.Transport,
+      stops: Seq[String] = Config.stopIds()): DataFrame = {
     import spark.implicits._
-    val urls = SyntheticArrivals.Stops
-      .map(s => s"https://api.tfl.gov.uk/StopPoint/$s/Arrivals")
+    val urls = stops.map(s => s"https://api.tfl.gov.uk/StopPoint/$s/Arrivals")
     val bodies = Http.fetchMany(urls, transport).collect {
       case (_, scala.util.Success(body)) => body
     }
@@ -46,11 +47,15 @@ object Jobs {
       .select(
         // coalescing projection (P2): naptanId, falling back to stationName
         coalesce(col("a.naptanId"), col("a.stationName")).as("stopId"),
+        col("a.naptanId").as("naptanId"),
         col("a.lineId").as("lineId"),
+        col("a.lineName").as("lineName"),
         col("a.platformName").as("platformName"),
         col("a.destinationName").as("destinationName"),
         col("a.timeToStation").as("timeToStation"),
-        col("a.timestamp").as("timestamp"))
+        col("a.timestamp").as("timestamp"),
+        col("a.expectedArrival").as("expectedArrival"),
+        col("a.vehicleId").as("vehicleId"))
   }
 
   /** E1 — realtime ingest: append ONE parquet snapshot into the
@@ -61,7 +66,10 @@ object Jobs {
   def ingest(spark: SparkSession, rawDir: String, asOf: Instant,
       transport: Http.Transport): Long = {
     GraftSession.tune(spark)
-    val parsed = fetchArrivals(spark, transport)
+    // the raw zone keeps the reference's exact 6-column contract
+    // (tfl_ingest_dag.py:70-79); the richer CLI fields stay align-only
+    val parsed = fetchArrivals(spark, transport).select(
+      Schemas.rawArrivals.fieldNames.map(col).toSeq: _*)
     val n = parsed.count()
     if (n == 0) {
       System.err.println("[ingest] no arrivals fetched; skipping write")
@@ -76,13 +84,20 @@ object Jobs {
       // staging glob and the streaming pathGlobFilter key on it, and it is
       // what makes each poll an identifiable, replayable snapshot. Spark
       // controls part-file names, so rename the fresh part file post-write.
+      // A replayed poll (same asOf) must not collide with or overwrite an
+      // existing snapshot: probe for a free suffixed name, and fail loudly
+      // if the filesystem rejects the rename — a part- file left behind
+      // would be invisible to every arrivals_* glob downstream.
       val partDir = new Path(s"$rawDir/date=${dateFmt.format(asOf)}")
       val fs = FileSystem.get(partDir.toUri, spark.sparkContext.hadoopConfiguration)
       fs.listStatus(partDir).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (p, i) =>
-          val suffix = if (i == 0) "" else s"_$i"
-          fs.rename(p, new Path(partDir, s"arrivals_${fileFmt.format(asOf)}$suffix.parquet"))
+        .foreach { p =>
+          val base = s"arrivals_${fileFmt.format(asOf)}"
+          val target = Iterator.from(0)
+            .map(i => new Path(partDir, if (i == 0) s"$base.parquet" else s"${base}_$i.parquet"))
+            .find(t => !fs.exists(t)).get
+          require(fs.rename(p, target), s"rename $p -> $target failed")
         }
     }
     n
@@ -131,14 +146,19 @@ object Jobs {
       .toDF("naptanId", "commonName")
     val df = fetchArrivals(spark, transport)
       .filter(col("lineId") === line)
-      .join(broadcast(stopMeta), col("stopId") === col("naptanId"), "left")
+      .join(broadcast(stopMeta.withColumnRenamed("naptanId", "meta_naptanId")),
+        col("stopId") === col("meta_naptanId"), "left")
       .withColumn("stationName", coalesce(col("commonName"), col("stopId")))
-      .drop("naptanId", "commonName")
       .withColumn("snapshot_ts", lit(fileFmt.format(asOf)))
       .withColumn("raw", to_json(struct(col("stopId"), col("lineId"),
-        col("platformName"), col("destinationName"),
-        col("timeToStation"), col("timestamp"))))
-      .withColumn("expectedArrival_ts", expr("try_cast(timestamp as timestamp)"))
+        col("lineName"), col("platformName"), col("destinationName"),
+        col("timeToStation"), col("timestamp"), col("expectedArrival"),
+        col("vehicleId"))))
+      // tz-aware arrival time derives from expectedArrival, as in the
+      // reference (tfl_align.py:180-184), not the snapshot timestamp
+      .withColumn("expectedArrival_ts", expr("try_cast(expectedArrival as timestamp)"))
+      .withColumn("line_id", col("lineId"))
+      .select(Schemas.alignedArrivals.fieldNames.map(col).toSeq: _*)
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/arrivals_${line}_${fileFmt.format(asOf)}.parquet")
     df

@@ -76,12 +76,12 @@ object HeadwaysStream {
     *
     * Semantics beyond the reference (documented divergence, SURVEY §7.9b):
     * out-of-order arrivals WITHIN a micro-batch are sorted before state
-    * update, but an arrival older than the stored state (late across
-    * batches) emits a gap measured from the stored maximum — the batch
-    * recompute would instead re-order full history. For reference-identical
-    * results use [[start]]; this path exists for the scale regime where
-    * recomputing history per trigger is impossible. At 100 TB of history
-    * the state here stays at 16 bytes per (line, stop).
+    * update; an arrival older than the stored state (late ACROSS batches)
+    * is DROPPED — a watermark-style policy that keeps every emitted gap
+    * non-negative. The batch recompute would instead re-order full
+    * history; for reference-identical results use [[start]]. This path
+    * exists for the scale regime where recomputing history per trigger is
+    * impossible — state stays at 16 bytes per (line, stop).
     */
   def incrementalGaps(spark: SparkSession, arrivals: Dataset[ArrivalEvent]):
       Dataset[HeadwayGap] = {
@@ -95,14 +95,42 @@ object HeadwaysStream {
           var last = state.getOption.map(_.lastTs)
           val gaps = sorted.flatMap { a =>
             val ts = a.event_ts.getTime
-            val gap = last.map(l => HeadwayGap(key._1, key._2, a.event_ts,
-              (ts - l).toDouble / 1000.0))
-            last = Some(math.max(ts, last.getOrElse(Long.MinValue)))
-            gap
+            if (last.exists(ts < _)) None // late across batches → drop
+            else {
+              val gap = last.map(l => HeadwayGap(key._1, key._2, a.event_ts,
+                (ts - l).toDouble / 1000.0))
+              last = Some(ts)
+              gap
+            }
           }
           last.foreach(l => state.update(LastSeen(l)))
           gaps.iterator
         })
+  }
+
+  /** Watermarked tumbling-window arrival counts — the canonical Structured
+    * Streaming aggregation shape (SURVEY §2.9 "Windows"/"Watermark" rows):
+    * event-time 1-hour tumbling windows per line, tolerating `lateness` of
+    * out-of-order data before state for a window is finalized and dropped.
+    * The reference gets the same tolerance by full recomputation; this is
+    * the bounded-state form. Append mode → a window row is emitted exactly
+    * once, when the watermark passes it.
+    */
+  def windowedArrivalCounts(spark: SparkSession, rawDir: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    GraftSession.tune(spark)
+    val raw = spark.readStream
+      .schema(Schemas.rawArrivals)
+      .option("pathGlobFilter", "arrivals_*.parquet")
+      .parquet(s"$rawDir/date=*")
+    StgArrivals.fromRaw(raw)
+      .filter(col("event_ts").isNotNull)
+      .withWatermark("event_ts", lateness)
+      .groupBy(window(col("event_ts"), "1 hour"), col("line_id"))
+      .agg(count(lit(1)).as("n_arrivals"),
+        approx_count_distinct("stop_id").as("n_stops"))
+      .select(col("window.start").as("hour"), col("line_id"),
+        col("n_arrivals"), col("n_stops"))
   }
 
   /** Start the incremental stream: raw files → per-gap rows, append mode. */

@@ -46,13 +46,18 @@ class JobsSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-align").toString
     val df = Jobs.align(spark, "central", root, t0, SyntheticArrivals.transport(t0),
       stops = SyntheticArrivals.Stops.map(s => s -> s"Station $s"))
-    assert(df.filter(col("lineId") =!= "central").count() == 0)
-    assert(df.columns.contains("raw") && df.columns.contains("expectedArrival_ts"))
+    assert(df.filter(col("line_id") =!= "central").count() == 0)
+    // output schema IS the documented CLI-bronze contract
+    assert(df.schema.fieldNames.toSeq ==
+      graft.core.Schemas.alignedArrivals.fieldNames.toSeq)
     // J1 enrichment: stop metadata joined in, with coalesce fallback
     assert(df.filter(col("stationName").startsWith("Station ")).count() > 0)
+    // tz-aware ts derives from expectedArrival
+    assert(df.filter(col("expectedArrival_ts").isNull).count() <
+      df.count(), "expectedArrival parses for most rows")
     // raw column is valid JSON round-trippable to the payload fields
     val raw = df.select("raw").head().getString(0)
-    assert(raw.contains("\"lineId\":\"central\""))
+    assert(raw.contains("\"lineId\":\"central\"") && raw.contains("\"vehicleId\""))
   }
 
   test("streaming AvailableNow recompute matches the batch transform") {
@@ -89,6 +94,36 @@ class JobsSpec extends AnyFunSuite {
       stg.select("line_id", "stop_id").distinct().count()
     assert(gaps.count() == expected, s"gaps=${gaps.count()} expected=$expected")
     assert(gaps.filter(col("headway_s") < 0).count() == 0, "gaps never negative")
+  }
+
+  test("watermarked windowed aggregation over the raw stream") {
+    val root = Files.createTempDirectory("graft-window").toString
+    val raw = s"$root/raw"
+    (0 until 2).foreach { i =>
+      val at = t0.plusSeconds(i * 120L)
+      Jobs.ingest(spark, raw, at, SyntheticArrivals.transport(at))
+    }
+    val agg = HeadwaysStream.windowedArrivalCounts(spark, raw)
+    assert(agg.isStreaming, "windowed agg must be a streaming frame")
+    // complete mode keeps open windows visible, so the streamed state can
+    // be compared exactly against the batch-equivalent aggregation
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+    val streamed = spark.table("win_counts")
+      .select("hour", "line_id", "n_arrivals")
+    val batchEquiv = graft.etl.StgArrivals(spark, raw)
+      .filter(col("event_ts").isNotNull)
+      .groupBy(org.apache.spark.sql.functions
+        .window(col("event_ts"), "1 hour")("start").as("hour"), col("line_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_arrivals"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchEquiv).isEmpty &&
+      batchEquiv.exceptAll(streamed).isEmpty,
+      "streamed windowed counts must equal the batch aggregation")
   }
 
   test("http retry: retryable statuses retried with backoff, fatal not") {
