@@ -184,6 +184,44 @@ object Advanced extends QueryModule {
              |SELECT doc_id, lang, levenshtein(head, prev_head) AS edit_dist
              |FROM h WHERE prev_head IS NOT NULL ORDER BY doc_id""".stripMargin)),
 
+    // Distribution analytics windows: percent_rank / cume_dist / ntile —
+    // all deterministic under a total order (unique tie-break key), so the
+    // integer-ratio doubles match across engines bit-for-bit.
+    "q36_window_analytics" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd,
+             |  ntile(4) OVER w AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Ordered string aggregation (DuckDB string_agg ... ORDER BY ≡ sorted
+    // collect + join; sort key prepended in a struct so array_sort orders
+    // by it, then projected away).
+    "q37_string_agg" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("o_orderkey"), col("o_orderstatus")))),
+              x => x.getField("o_orderstatus"))).as("statuses"))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             |  string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // Order-independent statistics: variance/stddev/correlation from exact
     // decimal power sums (the engines' native Welford/pairwise streams are
     // summation-order-dependent and would never hash-match). count(distinct)
