@@ -40,7 +40,6 @@ object GraftSession {
     c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    graft.functions.FloatVecDot.register(spark)
     graft.functions.Sketches.register(spark)
     spark
   }

@@ -88,11 +88,6 @@ object FloatVecDot {
   /** Squared L2 norm as self-dot. */
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Register `float_vec_dot` on the session (Column + SQL callers). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vec_dot", exprs => {
-        val e = Sketches.arity("float_vec_dot", 2)(exprs)
-        FloatVecDot(e.head, e(1))
-      }, "built-in")
+  // session registration lives in Sketches.registry (single source for
+  // both the programmatic and spark.sql.extensions surfaces)
 }

@@ -69,21 +69,57 @@ object Sketches {
     exprs
   }
 
+  /** Single source of truth for every native function the engine exposes:
+    * (name, usage, arity, builder). Consumed by BOTH registrars —
+    * [[register]] (programmatic sessions via GraftSession.tune) and
+    * [[graft.GraftExtensions]] (spark.sql.extensions deployments) — so the
+    * two surfaces cannot drift.
+    */
+  val registry: Seq[(String, String, Int, Seq[Expression] => Expression)] = Seq(
+    ("float_vec_dot", "_FUNC_(a, b) - double dot product of two float vectors",
+      2, es => FloatVecDot(es.head, es(1))),
+    ("minhash_sig", "_FUNC_(shingles) - 32-long minhash signature",
+      1, es => MinHashSig(es.head)),
+    ("minhash_tokens", "_FUNC_(tokens) - minhash over in-loop 3-gram shingles",
+      1, es => MinHashSig(es.head, shingleN = 3)),
+    ("simhash64", "_FUNC_(tokens) - 64-bit simhash",
+      1, es => SimHash64(es.head)),
+    ("sorted_intersect_count", "_FUNC_(a, b) - merge-scan intersection count",
+      2, es => SortedIntersectCount(es.head, es(1))),
+    ("shingle_set", "_FUNC_(tokens) - sorted distinct hashed 3-gram shingles",
+      1, es => ShingleSet(es.head)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSig(arity("minhash_sig", 1)(exprs).head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_tokens",
-      exprs => MinHashSig(arity("minhash_tokens", 1)(exprs).head, shingleN = 3), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(arity("simhash64", 1)(exprs).head), "built-in")
-    reg.createOrReplaceTempFunction("sorted_intersect_count",
-      exprs => {
-        val e = arity("sorted_intersect_count", 2)(exprs)
-        SortedIntersectCount(e.head, e(1))
-      }, "built-in")
-    reg.createOrReplaceTempFunction("shingle_set",
-      exprs => ShingleSet(arity("shingle_set", 1)(exprs).head), "built-in")
+    registry.foreach { case (name, _, n, build) =>
+      reg.createOrReplaceTempFunction(name,
+        exprs => build(arity(name, n)(exprs)), "built-in")
+    }
+  }
+
+  /** Iterate n-gram shingle hashes of a token array — THE shingle
+    * construction, shared by [[MinHashSig]] (candidates) and [[ShingleSet]]
+    * (exact verification); the Jaccard pipeline is only correct while both
+    * hash the same strings.
+    */
+  private[functions] def foreachShingleHash(arr: ArrayData, shingleN: Int,
+      seed: Long)(f: Long => Unit): Unit = {
+    val n = arr.numElements()
+    val count = math.max(1, n - shingleN + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < shingleN && i + k < n) {
+        if (k > 0) sb.append(' ')
+        val t = arr.getUTF8String(i + k)
+        if (t != null) sb.append(t.toString)
+        k += 1
+      }
+      f(hashToken(UTF8String.fromString(sb.toString), seed))
+      i += 1
+    }
   }
 }
 
@@ -181,23 +217,10 @@ case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
         i += 1
       }
     } else {
-      // word n-gram shingles, space-joined, built in-loop; a document
-      // shorter than n tokens contributes its single whole-text shingle
-      val count = math.max(1, n - shingleN + 1)
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i < count) {
-        sb.setLength(0)
-        var k = 0
-        while (k < shingleN && i + k < n) {
-          if (k > 0) sb.append(' ')
-          val t = arr.getUTF8String(i + k)
-          if (t != null) sb.append(t.toString)
-          k += 1
-        }
-        update(Sketches.hashToken(UTF8String.fromString(sb.toString), seed) & Mask)
-        i += 1
-      }
+      // word n-gram shingles built in-loop (shared construction — see
+      // Sketches.foreachShingleHash); a document shorter than n tokens
+      // contributes its single whole-text shingle
+      Sketches.foreachShingleHash(arr, shingleN, seed)(h => update(h & Mask))
     }
     new GenericArrayData(mins)
   }
@@ -225,20 +248,8 @@ case class ShingleSet(child: Expression, shingleN: Int = 3, seed: Long = 42L)
     val n = arr.numElements()
     val count = math.max(1, n - shingleN + 1)
     val hs = new Array[Long](count)
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i < count) {
-      sb.setLength(0)
-      var k = 0
-      while (k < shingleN && i + k < n) {
-        if (k > 0) sb.append(' ')
-        val t = arr.getUTF8String(i + k)
-        if (t != null) sb.append(t.toString)
-        k += 1
-      }
-      hs(i) = Sketches.hashToken(UTF8String.fromString(sb.toString), seed)
-      i += 1
-    }
+    var w0 = 0
+    Sketches.foreachShingleHash(arr, shingleN, seed) { h => hs(w0) = h; w0 += 1 }
     java.util.Arrays.sort(hs)
     // dedupe in place on the sorted array
     var w = 0

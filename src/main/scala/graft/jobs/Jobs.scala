@@ -38,7 +38,11 @@ object Jobs {
   def fetchArrivals(spark: SparkSession, transport: Http.Transport,
       stops: Seq[String] = Config.stopIds()): DataFrame = {
     import spark.implicits._
-    val urls = stops.map(s => s"https://api.tfl.gov.uk/StopPoint/$s/Arrivals")
+    // credentials ride as query params, like the reference's authenticated
+    // calls (env-only; never logged)
+    val auth = Config.credentials()
+      .map { case (id, key) => s"?app_id=$id&app_key=$key" }.getOrElse("")
+    val urls = stops.map(s => s"https://api.tfl.gov.uk/StopPoint/$s/Arrivals$auth")
     val bodies = Http.fetchMany(urls, transport).collect {
       case (_, scala.util.Success(body)) => body
     }
@@ -71,8 +75,18 @@ object Jobs {
     val parsed = fetchArrivals(spark, transport).select(
       Schemas.rawArrivals.fieldNames.map(col).toSeq: _*)
     val n = parsed.count()
+    // idempotence: the snapshot filename (poll instant) IS the dedup key —
+    // the reference writes one arrivals_<ts>.parquet per poll, so a
+    // replayed/retried poll for the same asOf must not append a duplicate
+    // snapshot (every arrivals_* glob downstream would double-count)
+    val snapshotPath = new Path(
+      s"$rawDir/date=${dateFmt.format(asOf)}/arrivals_${fileFmt.format(asOf)}.parquet")
+    val fsCheck = FileSystem.get(snapshotPath.toUri, spark.sparkContext.hadoopConfiguration)
     if (n == 0) {
       System.err.println("[ingest] no arrivals fetched; skipping write")
+    } else if (fsCheck.exists(snapshotPath)) {
+      System.err.println(s"[ingest] snapshot $snapshotPath already exists; " +
+        "skipping write (replayed poll)")
     } else {
       parsed
         .withColumn("date", lit(dateFmt.format(asOf)))
@@ -83,11 +97,11 @@ object Jobs {
       // (`arrivals_YYYYmmdd_HHMMSS.parquet`, tfl_ingest_dag.py:49): the
       // staging glob and the streaming pathGlobFilter key on it, and it is
       // what makes each poll an identifiable, replayable snapshot. Spark
-      // controls part-file names, so rename the fresh part file post-write.
-      // A replayed poll (same asOf) must not collide with or overwrite an
-      // existing snapshot: probe for a free suffixed name, and fail loudly
-      // if the filesystem rejects the rename — a part- file left behind
-      // would be invisible to every arrivals_* glob downstream.
+      // controls part-file names, so rename the fresh part file post-write
+      // (exactly one: the write coalesces to a single snapshot file; the
+      // `_i` fallback covers a caller overriding that). Fail loudly if the
+      // filesystem rejects a rename — a part- file left behind would be
+      // invisible to every arrivals_* glob downstream.
       val partDir = new Path(s"$rawDir/date=${dateFmt.format(asOf)}")
       val fs = FileSystem.get(partDir.toUri, spark.sparkContext.hadoopConfiguration)
       fs.listStatus(partDir).map(_.getPath)
@@ -141,10 +155,14 @@ object Jobs {
       stops: Seq[(String, String)] = Seq.empty): DataFrame = {
     GraftSession.tune(spark)
     import spark.implicits._
-    val stopMeta = (if (stops.nonEmpty) stops
-      else Config.stopIds().map(id => id -> s"Stop $id"))
-      .toDF("naptanId", "commonName")
-    val df = fetchArrivals(spark, transport)
+    // `stops` scopes the fetch AND supplies the (naptanId, commonName)
+    // lookup, mirroring the reference CLI where /Line/{id}/StopPoints
+    // drives both (tfl_align.py:104-109,135)
+    val stopPairs =
+      if (stops.nonEmpty) stops
+      else Config.stopIds().map(id => id -> s"Stop $id")
+    val stopMeta = stopPairs.toDF("naptanId", "commonName")
+    val df = fetchArrivals(spark, transport, stopPairs.map(_._1))
       .filter(col("lineId") === line)
       .join(broadcast(stopMeta.withColumnRenamed("naptanId", "meta_naptanId")),
         col("stopId") === col("meta_naptanId"), "left")

@@ -32,6 +32,16 @@ import graft.etl.{FctHeadways, StgArrivals}
   */
 object HeadwaysStream {
 
+  /** The raw-zone file stream — one definition of the layout contract
+    * (declared schema, snapshot glob, hive date dirs) for all three
+    * streaming paths.
+    */
+  private def rawStream(spark: SparkSession, rawDir: String) =
+    spark.readStream
+      .schema(Schemas.rawArrivals)
+      .option("pathGlobFilter", "arrivals_*.parquet")
+      .parquet(s"$rawDir/date=*")
+
   /** Start the stream: raw files in → silver parquet out, one full
     * recompute per trigger. `Trigger.AvailableNow` processes everything
     * present and stops — the scheduled-batch cadence of the reference.
@@ -39,10 +49,7 @@ object HeadwaysStream {
   def start(spark: SparkSession, rawDir: String, silverDir: String,
       checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
     GraftSession.tune(spark)
-    val raw = spark.readStream
-      .schema(Schemas.rawArrivals)
-      .option("pathGlobFilter", "arrivals_*.parquet")
-      .parquet(s"$rawDir/date=*")
+    val raw = rawStream(spark, rawDir)
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime("2 minutes") // the reference's cron cadence
@@ -119,11 +126,7 @@ object HeadwaysStream {
   def windowedArrivalCounts(spark: SparkSession, rawDir: String,
       lateness: String = "10 minutes"): DataFrame = {
     GraftSession.tune(spark)
-    val raw = spark.readStream
-      .schema(Schemas.rawArrivals)
-      .option("pathGlobFilter", "arrivals_*.parquet")
-      .parquet(s"$rawDir/date=*")
-    StgArrivals.fromRaw(raw)
+    StgArrivals.fromRaw(rawStream(spark, rawDir))
       .filter(col("event_ts").isNotNull)
       .withWatermark("event_ts", lateness)
       .groupBy(window(col("event_ts"), "1 hour"), col("line_id"))
@@ -138,11 +141,7 @@ object HeadwaysStream {
       checkpointDir: String): StreamingQuery = {
     GraftSession.tune(spark)
     import spark.implicits._
-    val raw = spark.readStream
-      .schema(Schemas.rawArrivals)
-      .option("pathGlobFilter", "arrivals_*.parquet")
-      .parquet(s"$rawDir/date=*")
-    val arrivals = StgArrivals.fromRaw(raw)
+    val arrivals = StgArrivals.fromRaw(rawStream(spark, rawDir))
       .filter(col("event_ts").isNotNull)
       .select(col("line_id"), col("stop_id"), col("event_ts"))
       .as[ArrivalEvent]

@@ -126,6 +126,19 @@ class JobsSpec extends AnyFunSuite {
       "streamed windowed counts must equal the batch aggregation")
   }
 
+  test("ingest is idempotent under replay: same poll instant writes once") {
+    val root = Files.createTempDirectory("graft-replay").toString
+    val raw = s"$root/raw"
+    Jobs.ingest(spark, raw, t0, SyntheticArrivals.transport(t0))
+    val rowsAfterFirst = graft.etl.StgArrivals(spark, raw).count()
+    // scheduler retry / operator re-run of the same poll
+    Jobs.ingest(spark, raw, t0, SyntheticArrivals.transport(t0))
+    val files = new java.io.File(s"$raw/date=2025-11-20").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"replay must not append a duplicate snapshot: ${files.toSeq}")
+    assert(graft.etl.StgArrivals(spark, raw).count() == rowsAfterFirst)
+  }
+
   test("http retry: retryable statuses retried with backoff, fatal not") {
     var calls = 0
     val flaky: Http.Transport = { _ =>
