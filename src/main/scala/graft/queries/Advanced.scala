@@ -222,6 +222,43 @@ object Advanced extends QueryModule {
              |  string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // Pivot (wide rollup): order-status counts + exact spend spread across
+    // columns. Explicit pivot values keep the schema static (a dynamic
+    // pivot would need a driver-side distinct scan first — an anti-pattern
+    // at scale); oracle mirrors with FILTER aggregates.
+    "q38_pivot" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("o_totalprice")).as("spend"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) FILTER (WHERE o_orderstatus = 'F') AS double) AS "F_spend",
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) FILTER (WHERE o_orderstatus = 'O') AS double) AS "O_spend",
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) FILTER (WHERE o_orderstatus = 'P') AS double) AS "P_spend"
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Cube: all 2^2 grouping combinations of (returnflag, linestatus).
+    "q39_cube" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+            sumExact(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, grouping_id(l_returnflag, l_linestatus) AS gid,
+             |  count(*) AS n,
+             |  cast(sum(cast(l_quantity AS decimal(18,6))) AS double) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // Order-independent statistics: variance/stddev/correlation from exact
     // decimal power sums (the engines' native Welford/pairwise streams are
     // summation-order-dependent and would never hash-match). count(distinct)
