@@ -15,6 +15,9 @@ import graft.functions.GraftFunctions._
   */
 object Advanced extends QueryModule {
 
+  /** Typed row for the Dataset-API query (q43). */
+  case class Li(l_returnflag: String, l_quantity: Double, l_extendedprice: Double)
+
   def queries: Map[String, QueryDef] = Map(
 
     // As-of join (point-in-time lookup): for each purchase, the same user's
@@ -258,6 +261,67 @@ object Advanced extends QueryModule {
              |FROM lineitem
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Pure-SQL entry path: the headway mart expressed as spark.sql text
+    // over registered views — proves the SQL API rides the same engine
+    // (and the same oracle) as the DataFrame path.
+    "q42_sql_headways" -> QueryDef(
+      (s, dir) => {
+        graft.core.Tables.registerAll(s, dir)
+        s.sql("""
+          WITH arrivals AS (
+            SELECT event_type AS line_id, cast(user_id AS string) AS stop_id, ts AS event_ts
+            FROM events WHERE ts IS NOT NULL
+          ), ordered AS (
+            SELECT *, lag(event_ts) OVER (PARTITION BY line_id, stop_id ORDER BY event_ts) AS prev_ts
+            FROM arrivals
+          ), gaps AS (
+            SELECT line_id, stop_id,
+                   unix_micros(event_ts) - unix_micros(prev_ts) AS headway_us,
+                   date_trunc('hour', event_ts) AS hour
+            FROM ordered WHERE prev_ts IS NOT NULL
+          )
+          SELECT line_id, stop_id, hour,
+            cast(sum(headway_us) AS double) / count(*) / 1000000.0 AS avg_headway_s
+          FROM gaps GROUP BY 1, 2, 3
+          ORDER BY line_id, stop_id, hour""")
+      },
+      Some("""WITH arrivals AS (
+             |  SELECT event_type AS line_id, cast(user_id AS varchar) AS stop_id, ts AS event_ts
+             |  FROM events WHERE ts IS NOT NULL
+             |), ordered AS (
+             |  SELECT *, lag(event_ts) OVER (PARTITION BY line_id, stop_id ORDER BY event_ts) AS prev_ts
+             |  FROM arrivals
+             |), gaps AS (
+             |  SELECT line_id, stop_id,
+             |         epoch_us(event_ts - prev_ts) AS headway_us,
+             |         date_trunc('hour', event_ts) AS hour
+             |  FROM ordered WHERE prev_ts IS NOT NULL
+             |)
+             |SELECT line_id, stop_id, hour,
+             |  cast(sum(headway_us) AS double) / count(*) / 1000000.0 AS avg_headway_s
+             |FROM gaps GROUP BY 1, 2, 3
+             |ORDER BY line_id, stop_id, hour""".stripMargin)),
+
+    // Typed Dataset path: case-class rows + a custom BigDecimal-exact
+    // Aggregator (§2.10's typed-aggregator mechanism), same oracle shape
+    // as the SQL casts.
+    "q43_typed_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_quantity", "l_extendedprice").as[Li]
+        ds.groupByKey(_.l_returnflag)
+          .agg(
+            new graft.functions.DecimalSum[Li](_.l_quantity).toColumn.name("sum_qty"),
+            new graft.functions.DecimalSum[Li](_.l_extendedprice).toColumn.name("sum_price"))
+          .toDF("l_returnflag", "sum_qty", "sum_price")
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  cast(sum(cast(l_quantity AS decimal(18,6))) AS double) AS sum_qty,
+             |  cast(sum(cast(l_extendedprice AS decimal(18,6))) AS double) AS sum_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Order-independent statistics: variance/stddev/correlation from exact
     // decimal power sums (the engines' native Welford/pairwise streams are
