@@ -18,12 +18,19 @@ class DecimalSum[IN](f: IN => Double)
 
   override def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO
 
-  override def reduce(acc: java.math.BigDecimal, in: IN): java.math.BigDecimal =
-    // valueOf (shortest-string repr), NOT new BigDecimal(double): Spark's
-    // double→decimal cast goes through the string form, and the two differ
-    // on values whose shortest repr lands exactly on a rounding tie
-    acc.add(java.math.BigDecimal.valueOf(f(in))
-      .setScale(Scale, java.math.RoundingMode.HALF_UP))
+  override def reduce(acc: java.math.BigDecimal, in: IN): java.math.BigDecimal = {
+    val v = f(in)
+    // cast-parity guards: decimal(18,6) nulls NaN/Infinity and values past
+    // its 12 integral digits, and SQL sum skips nulls — mirror that here
+    // (BigDecimal.valueOf would otherwise throw on non-finite input)
+    if (v.isNaN || v.isInfinite || math.abs(v) >= 1e12) acc
+    else
+      // valueOf (shortest-string repr), NOT new BigDecimal(double): Spark's
+      // double→decimal cast goes through the string form, and the two
+      // differ on values whose shortest repr lands exactly on a rounding tie
+      acc.add(java.math.BigDecimal.valueOf(v)
+        .setScale(Scale, java.math.RoundingMode.HALF_UP))
+  }
 
   override def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal =
     a.add(b)

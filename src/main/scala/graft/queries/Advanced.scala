@@ -236,6 +236,10 @@ object Advanced extends QueryModule {
           .pivot("o_orderstatus", Seq("F", "O", "P"))
           .agg(count(lit(1)).as("n"),
             sumExact(col("o_totalprice")).as("spend"))
+          // an absent (priority, status) cell pivots to NULL but the
+          // oracle's count(*) FILTER gives 0 — normalize the count columns
+          // (sum cells are NULL on both sides and must stay so)
+          .na.fill(0L, Seq("F_n", "O_n", "P_n"))
           .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
              |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
@@ -267,7 +271,10 @@ object Advanced extends QueryModule {
     // (and the same oracle) as the DataFrame path.
     "q42_sql_headways" -> QueryDef(
       (s, dir) => {
-        graft.core.Tables.registerAll(s, dir)
+        // only the queried view — registering every fixture here would
+        // charge 10 parquet footer reads to this query and couple it to
+        // files it never touches
+        Tables.events(s, dir).createOrReplaceTempView("events")
         s.sql("""
           WITH arrivals AS (
             SELECT event_type AS line_id, cast(user_id AS string) AS stop_id, ts AS event_ts
@@ -286,22 +293,12 @@ object Advanced extends QueryModule {
           FROM gaps GROUP BY 1, 2, 3
           ORDER BY line_id, stop_id, hour""")
       },
-      Some("""WITH arrivals AS (
-             |  SELECT event_type AS line_id, cast(user_id AS varchar) AS stop_id, ts AS event_ts
-             |  FROM events WHERE ts IS NOT NULL
-             |), ordered AS (
-             |  SELECT *, lag(event_ts) OVER (PARTITION BY line_id, stop_id ORDER BY event_ts) AS prev_ts
-             |  FROM arrivals
-             |), gaps AS (
-             |  SELECT line_id, stop_id,
-             |         epoch_us(event_ts - prev_ts) AS headway_us,
-             |         date_trunc('hour', event_ts) AS hour
-             |  FROM ordered WHERE prev_ts IS NOT NULL
-             |)
-             |SELECT line_id, stop_id, hour,
-             |  cast(sum(headway_us) AS double) / count(*) / 1000000.0 AS avg_headway_s
-             |FROM gaps GROUP BY 1, 2, 3
-             |ORDER BY line_id, stop_id, hour""".stripMargin)),
+      Some(Flagship.headwayGapsCte +
+        """
+          |SELECT line_id, stop_id, hour,
+          |  cast(sum(headway_us) AS double) / count(*) / 1000000.0 AS avg_headway_s
+          |FROM gaps GROUP BY 1, 2, 3
+          |ORDER BY line_id, stop_id, hour""".stripMargin)),
 
     // Typed Dataset path: case-class rows + a custom BigDecimal-exact
     // Aggregator (§2.10's typed-aggregator mechanism), same oracle shape

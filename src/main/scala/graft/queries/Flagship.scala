@@ -22,6 +22,24 @@ object Flagship extends QueryModule {
       col("user_id").cast("string").as("stop_id"),
       col("ts").as("event_ts"))
 
+  /** Shared oracle CTE: events → per-(line, stop) headway gaps in exact
+    * integer microseconds. Single definition consumed by q07 (full mart)
+    * and q42 (SQL-entry-path variant) so the two cannot drift.
+    */
+  val headwayGapsCte: String =
+    """WITH arrivals AS (
+      |  SELECT event_type AS line_id, cast(user_id AS varchar) AS stop_id, ts AS event_ts
+      |  FROM events WHERE ts IS NOT NULL
+      |), ordered AS (
+      |  SELECT *, lag(event_ts) OVER (PARTITION BY line_id, stop_id ORDER BY event_ts) AS prev_ts
+      |  FROM arrivals
+      |), gaps AS (
+      |  SELECT line_id, stop_id,
+      |         epoch_us(event_ts - prev_ts) AS headway_us,
+      |         date_trunc('hour', event_ts) AS hour
+      |  FROM ordered WHERE prev_ts IS NOT NULL
+      |)""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
 
     // A1-A4/F-surface: TPC-H Q1-style pricing summary — group-by hash
@@ -54,23 +72,13 @@ object Flagship extends QueryModule {
       (s, dir) =>
         FctHeadways(eventsAsArrivals(s, dir))
           .orderBy("line_id", "stop_id", "hour"),
-      Some("""WITH arrivals AS (
-             |  SELECT event_type AS line_id, cast(user_id AS varchar) AS stop_id, ts AS event_ts
-             |  FROM events WHERE ts IS NOT NULL
-             |), ordered AS (
-             |  SELECT *, lag(event_ts) OVER (PARTITION BY line_id, stop_id ORDER BY event_ts) AS prev_ts
-             |  FROM arrivals
-             |), gaps AS (
-             |  SELECT line_id, stop_id,
-             |         epoch_us(event_ts - prev_ts) AS headway_us,
-             |         date_trunc('hour', event_ts) AS hour
-             |  FROM ordered WHERE prev_ts IS NOT NULL
-             |)
-             |SELECT line_id, stop_id, hour,
-             |  cast(sum(headway_us) AS double) / count(*) / 1000000.0 AS avg_headway_s,
-             |  cast(quantile_disc(headway_us, 0.5) AS double) / 1000000.0 AS p50_headway_s,
-             |  cast(quantile_disc(headway_us, 0.9) AS double) / 1000000.0 AS p90_headway_s
-             |FROM gaps
-             |GROUP BY 1, 2, 3
-             |ORDER BY line_id, stop_id, hour""".stripMargin)))
+      Some(headwayGapsCte +
+        """
+          |SELECT line_id, stop_id, hour,
+          |  cast(sum(headway_us) AS double) / count(*) / 1000000.0 AS avg_headway_s,
+          |  cast(quantile_disc(headway_us, 0.5) AS double) / 1000000.0 AS p50_headway_s,
+          |  cast(quantile_disc(headway_us, 0.9) AS double) / 1000000.0 AS p90_headway_s
+          |FROM gaps
+          |GROUP BY 1, 2, 3
+          |ORDER BY line_id, stop_id, hour""".stripMargin)))
 }
