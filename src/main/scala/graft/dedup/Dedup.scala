@@ -30,6 +30,25 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Quality-aware exact dedup: per normalized fingerprint keep the row the
+    * training pipeline most wants to keep — highest `scoreCol`, ties to the
+    * smallest id (deterministic). One shuffle on the fingerprint (window
+    * partition key); survivors carry the duplicate count.
+    */
+  def exactBest(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("score").desc, col(idCol))
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"),
+        scoreCol.as("score"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("rn") === 1)
+      .select(col("fp"), col(idCol).as("keep_id"), col("score").as("keep_score"),
+        col("n_dups"))
+  }
+
   // --- MinHash + LSH --------------------------------------------------------
 
   object MinHashLsh {

@@ -266,6 +266,45 @@ object Advanced extends QueryModule {
              |GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // Gap-based sessionization — the canonical events-stream operator:
+    // a new session starts after a >30-minute silence per user. Session
+    // ids are cumulative break counts (one window pass), rolled up to one
+    // row per session. Two window passes + one aggregate, all partitioned
+    // by user — a single shuffle of the events table.
+    "q45_sessionize" -> QueryDef(
+      (s, dir) => {
+        val gapUs = 30L * 60L * 1000000L
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("is_break",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts - lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_break
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), sessions AS (
+             |  SELECT user_id, event_id, ts,
+             |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked
+             |)
+             |SELECT user_id, session_id,
+             |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+             |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
     // Pure-SQL entry path: the headway mart expressed as spark.sql text
     // over registered views — proves the SQL API rides the same engine
     // (and the same oracle) as the DataFrame path.

@@ -27,6 +27,24 @@ object DedupQueries extends QueryModule {
              |  min(doc_id) AS keep_id, count(*) AS n_dups
              |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
 
+    // Quality-aware survivor selection: per fingerprint keep the
+    // highest-quality doc (n_chars as the stand-in score; ties → min id).
+    "q44_dedup_best" -> QueryDef(
+      (s, dir) =>
+        Dedup.exactBest(Tables.documents(s, dir), "text", "doc_id",
+            col("n_chars").cast("double"))
+          .orderBy("fp"),
+      Some("""WITH ranked AS (
+             |  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |    doc_id, cast(n_chars AS double) AS score,
+             |    row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             |                       ORDER BY cast(n_chars AS double) DESC, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_dups
+             |  FROM documents
+             |)
+             |SELECT fp, doc_id AS keep_id, score AS keep_score, n_dups
+             |FROM ranked WHERE rn = 1 ORDER BY fp""".stripMargin)),
+
     // MinHash + LSH near-dup candidates, exact-Jaccard verified (rows-only:
     // xxhash64-seeded signatures are not reproducible in the oracle engine).
     "q31_dedup_minhash" -> QueryDef(
