@@ -17,9 +17,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def tz_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
+    """Columns where one side is tz-aware and the other naive.
+
+    The driver's gate hashes raw parquet/arrow schemas, so a Spark output
+    written as timestamp[us, tz=UTC] fails against a naive DuckDB TIMESTAMP
+    even when instants agree. Report that divergence instead of silently
+    normalizing it away.
+    """
+    bad = []
+    for c in sorted(set(got.columns) & set(exp.columns)):
+        g, e = got[c], exp[c]
+        if (pd.api.types.is_datetime64_any_dtype(g)
+                or pd.api.types.is_datetime64_any_dtype(e)):
+            g_tz = getattr(getattr(g, "dt", None), "tz", None) is not None
+            e_tz = getattr(getattr(e, "dt", None), "tz", None) is not None
+            if g_tz != e_tz:
+                bad.append((c, "tz-aware" if g_tz else "naive",
+                            "tz-aware" if e_tz else "naive"))
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonical dtypes for compare
+    # canonical dtypes for VALUE compare only — tz-awareness divergence is
+    # reported separately by tz_mismatches() before this runs
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             s = pd.to_datetime(df[c])
@@ -57,6 +79,11 @@ def main():
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+        tz_bad = tz_mismatches(got, exp)
+        if tz_bad:
+            for c, g_kind, e_kind in tz_bad:
+                print(f"{name}: TZ SCHEMA MISMATCH col {c}: spark={g_kind} duck={e_kind}")
+            n_fail += 1; continue
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
             print(f"{name}: SCHEMA MISMATCH spark={list(g.columns)} duck={list(e.columns)}")

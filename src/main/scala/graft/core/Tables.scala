@@ -31,10 +31,14 @@ object Tables {
     name match {
       case "events" =>
         // ts arrives as LongType (nanos) under nanosAsLong; keep every other
-        // column untouched.
+        // column untouched. The final cast to TIMESTAMP_NTZ matches the
+        // oracle: DuckDB reads the same parquet as naive TIMESTAMP, so any
+        // derived timestamp column the engine emits must carry the NTZ
+        // parquet annotation, not UTC-adjusted LTZ. Under the UTC-pinned
+        // session the instant is unchanged — only the type annotation.
         if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else df
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        else df.withColumn("ts", col("ts").cast("timestamp_ntz"))
       case _ => df
     }
   }

@@ -51,16 +51,27 @@ object GraftFunctions {
     * (a double). Oracle-side equivalent: `epoch_us(a - b)`.
     */
   def epochDiffUs(a: Column, b: Column): Column =
-    unix_micros(a) - unix_micros(b)
+    epochUs(a) - epochUs(b)
 
   /** Seconds difference as double (micros / 1e6) — identical division in
     * both engines given the same exact integer micros.
     */
   def epochDiffSeconds(a: Column, b: Column): Column =
-    (unix_micros(a) - unix_micros(b)).cast("double") / lit(1000000.0)
+    (epochUs(a) - epochUs(b)).cast("double") / lit(1000000.0)
 
-  /** Hour bucket (reference F1: `date_trunc('hour', ts)`) — built-in parity. */
-  def hourBucket(ts: Column): Column = date_trunc("hour", ts)
+  /** Epoch micros of a timestamp of either flavor. `unix_micros` declares
+    * `TimestampType` input, so an NTZ column goes through a session-TZ cast
+    * first — explicit here (a no-op instant-wise under the UTC-pinned
+    * session) rather than relying on implicit coercion.
+    */
+  def epochUs(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
+  /** Hour bucket (reference F1: `date_trunc('hour', ts)`). Spark's
+    * `date_trunc` coerces NTZ input → LTZ output; cast back to NTZ so the
+    * bucket column carries the oracle-matching naive-timestamp annotation.
+    */
+  def hourBucket(ts: Column): Column =
+    date_trunc("hour", ts).cast("timestamp_ntz")
 
   // --------------------------------------------------------------------------
   // Deterministic aggregates over doubles (SURVEY H7)

@@ -73,12 +73,12 @@ object Advanced extends QueryModule {
         // integer `div` for bucketing: a double division + floor can round
         // across a bucket boundary and silently drop candidates
         val e = ev.select(col("user_id").as("e_user"),
-          unix_micros(col("ts")).as("e_us"),
-          expr(s"unix_micros(ts) div $usPerHour").as("e_bucket"))
+          epochUs(col("ts")).as("e_us"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $usPerHour").as("e_bucket"))
         val p = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("p_us"),
-            expr(s"unix_micros(ts) div $usPerHour").as("p_bucket"))
+            epochUs(col("ts")).as("p_us"),
+            expr(s"unix_micros(cast(ts as timestamp)) div $usPerHour").as("p_bucket"))
           .withColumn("probe", explode(array(col("p_bucket") - 1, col("p_bucket"))))
         p.join(e,
             col("user_id") === col("e_user") && col("probe") === col("e_bucket") &&
@@ -280,7 +280,7 @@ object Advanced extends QueryModule {
           .withColumn("prev_ts", lag("ts", 1).over(w))
           .withColumn("is_break",
             when(col("prev_ts").isNull ||
-              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+              epochDiffUs(col("ts"), col("prev_ts")) > gapUs, 1L)
               .otherwise(0L))
           .withColumn("session_id",
             sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -323,8 +323,8 @@ object Advanced extends QueryModule {
             FROM arrivals
           ), gaps AS (
             SELECT line_id, stop_id,
-                   unix_micros(event_ts) - unix_micros(prev_ts) AS headway_us,
-                   date_trunc('hour', event_ts) AS hour
+                   unix_micros(cast(event_ts AS timestamp)) - unix_micros(cast(prev_ts AS timestamp)) AS headway_us,
+                   cast(date_trunc('hour', event_ts) AS timestamp_ntz) AS hour
             FROM ordered WHERE prev_ts IS NOT NULL
           )
           SELECT line_id, stop_id, hour,

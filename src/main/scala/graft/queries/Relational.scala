@@ -232,7 +232,10 @@ object Relational extends QueryModule {
     "q14_month_rollup" -> QueryDef(
       (s, dir) =>
         Tables.orders(s, dir)
-          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          // o_orderdate is NTZ; Spark's date_trunc coerces NTZ→LTZ, so cast
+          // back to NTZ to keep the oracle-matching naive annotation
+          .groupBy(date_trunc("month", col("o_orderdate"))
+            .cast("timestamp_ntz").as("month"))
           .agg(count(lit(1)).as("n_orders"),
             sumExact(col("o_totalprice")).as("sum_price"))
           .orderBy("month"),

@@ -55,11 +55,12 @@ class HeadwaysSpec extends AnyFunSuite {
     assert(rows.length == 2)
     val Row(l1, s1, h1, avg1, p50a, p90a) = rows(0)
     assert((l1, s1) == ("central", "stopA"))
-    assert(h1.toString.startsWith("2025-11-20 10:00:00"))
+    // NTZ hour comes back as LocalDateTime ("T"-separated ISO)
+    assert(h1.toString.replace('T', ' ').startsWith("2025-11-20 10:00"))
     assert(avg1 == 120.0 && p50a == 120.0 && p90a == 120.0)
     val Row(l2, s2, h2, avg2, _, _) = rows(1)
     assert((l2, s2) == ("victoria", "stopA"))
-    assert(h2.toString.startsWith("2025-11-20 11:00:00"), "gap buckets to later arrival's hour")
+    assert(h2.toString.replace('T', ' ').startsWith("2025-11-20 11:00"), "gap buckets to later arrival's hour")
     assert(avg2 == 240.0)
   }
 
