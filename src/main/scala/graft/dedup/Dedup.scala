@@ -60,9 +60,14 @@ object Dedup {
       * over distinct shingle sets; returns pairs with `jaccard >= threshold`.
       *
       * Shuffle hygiene: only (band, key, id) rows enter the banded
-      * self-join — the shingle sets stay out of the shuffle and are joined
-      * back (broadcast) onto the DISTINCT candidate pairs, so Jaccard is
-      * computed exactly once per candidate pair.
+      * self-join — the shingle sets stay out of that shuffle and are joined
+      * back onto the DISTINCT candidate pairs, so Jaccard is computed
+      * exactly once per candidate pair. The join-back is a plain equi-join
+      * on id: the per-document shingle-set table grows with the corpus, so
+      * forcing a broadcast of it would cap the operator at driver/executor
+      * memory — Catalyst still picks a broadcast on its own when the side
+      * is under the auto-broadcast threshold, which is the right call at
+      * fixture scale and the safe one at 100 TB.
       */
     def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
         threshold: Double = 0.5): DataFrame = {
@@ -87,10 +92,10 @@ object Dedup {
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
       candidates
-        .join(broadcast(sets.withColumnRenamed("sid", "id_a")
-          .withColumnRenamed("sset", "set_a")), Seq("id_a"))
-        .join(broadcast(sets.withColumnRenamed("sid", "id_b")
-          .withColumnRenamed("sset", "set_b")), Seq("id_b"))
+        .join(sets.withColumnRenamed("sid", "id_a")
+          .withColumnRenamed("sset", "set_a"), Seq("id_a"))
+        .join(sets.withColumnRenamed("sid", "id_b")
+          .withColumnRenamed("sset", "set_b"), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             .as("jaccard"))

@@ -26,6 +26,17 @@ object Http {
   final case class Policy(retries: Int = 3, backoffMillis: Long = 500,
       sleeper: Long => Unit = Thread.sleep)
 
+  /** URL with its query string dropped — credentials ride as query params
+    * (`app_id`/`app_key`), so anything user-facing (error messages, the
+    * correlation keys [[fetchMany]] returns) must carry the redacted form
+    * or Config's "never logged" contract breaks the moment a caller logs
+    * a failure. The path alone still identifies the element.
+    */
+  def redact(url: String): String = {
+    val q = url.indexOf('?')
+    if (q < 0) url else url.substring(0, q) + "?<redacted>"
+  }
+
   /** GET with retry/backoff; returns the body or the final failure. */
   def fetch(url: String, transport: Transport,
       policy: Policy = Policy()): Try[String] = {
@@ -37,7 +48,7 @@ object Http {
           policy.sleeper(policy.backoffMillis * (1L << attempt))
           go(attempt + 1)
         case Success(Response(code, _)) =>
-          Failure(new RuntimeException(s"HTTP $code for $url"))
+          Failure(new RuntimeException(s"HTTP $code for ${redact(url)}"))
         case Failure(e) if attempt < policy.retries =>
           policy.sleeper(policy.backoffMillis * (1L << attempt))
           go(attempt + 1)
@@ -51,5 +62,5 @@ object Http {
     */
   def fetchMany(urls: Seq[String], transport: Transport,
       policy: Policy = Policy()): Seq[(String, Try[String])] =
-    urls.map(u => u -> fetch(u, transport, policy))
+    urls.map(u => redact(u) -> fetch(u, transport, policy))
 }
