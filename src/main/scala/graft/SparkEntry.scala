@@ -24,7 +24,7 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[graft.core.QueryModule] =
-    Seq(Flagship, Relational, Advanced, Quality, Text, DedupQueries,
+    Seq(Flagship, Relational, Advanced, Extended, Quality, Text, DedupQueries,
       SimilarityQueries, MultimodalQueries)
 
   private lazy val defs: Map[String, QueryDef] =

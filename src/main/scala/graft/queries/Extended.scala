@@ -1,0 +1,333 @@
+package graft.queries
+
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.functions.GraftFunctions._
+
+/** Round-2 operator widening: grouping sets, typed sessionization, set
+  * operations, arg-max aggregates, interpolated percentiles, value windows,
+  * scalar math/regex/date surface, subquery entry path, dynamic pivot, and
+  * an HLL distinct sketch. Same composition discipline as the round-1
+  * modules — built-in Catalyst operators, exact-arithmetic parity rules,
+  * deterministic total ordering on every output.
+  */
+object Extended extends QueryModule {
+
+  /** Typed rows for the Dataset sessionization (q47). Public: Spark's
+    * encoder codegen cannot see private case classes.
+    */
+  case class Ev(user_id: Long, event_id: Long, ts: LocalDateTime)
+  case class Session(user_id: Long, session_id: Long,
+      session_start: LocalDateTime, session_end: LocalDateTime, n_events: Long)
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // GROUPING SETS — the general form behind rollup (q25) and cube (q39):
+    // per-status totals, per-priority totals, and the grand total in ONE
+    // pass (Spark expands to a single Expand + hash aggregate, one shuffle,
+    // instead of three scans unioned).
+    "q46_grouping_sets" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+            sumExact(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  grouping_id(o_orderstatus, o_orderpriority) AS gid,
+             |  count(*) AS n_orders,
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) AS double) AS sum_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Typed-Dataset sessionization: the same gap semantics as q45 but as a
+    // per-key imperative walk over `flatMapSortedGroups` — the §2.10 typed
+    // custom-operator mechanism. The groups arrive SORTED by (ts, event_id)
+    // from the shuffle's sort (no per-group materialize-and-sort), and the
+    // walk is a streaming fold: O(1) state per group, one shuffle total —
+    // the same scale shape as the window formulation, expressed typed.
+    "q47_typed_sessionize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val gapUs = 30L * 60L * 1000000L
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts")).as[Ev]
+          .groupByKey(_.user_id)
+          .flatMapSortedGroups($"ts", $"event_id") { (uid: Long, evs: Iterator[Ev]) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur: Session = null
+            var sid = 0L
+            var prevTs: LocalDateTime = null
+            for (e <- evs) {
+              val break = prevTs == null ||
+                ChronoUnit.MICROS.between(prevTs, e.ts) > gapUs
+              if (break) {
+                if (cur != null) out += cur
+                sid += 1
+                cur = Session(uid, sid, e.ts, e.ts, 1L)
+              } else {
+                cur = cur.copy(session_end = e.ts, n_events = cur.n_events + 1)
+              }
+              prevTs = e.ts
+            }
+            if (cur != null) out += cur
+            out
+          }
+          .toDF()
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts - lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_break
+             |  FROM events WHERE ts IS NOT NULL
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), sessions AS (
+             |  SELECT user_id, ts,
+             |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked
+             |)
+             |SELECT user_id, session_id,
+             |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+             |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
+    // Set operations beyond union (§2.7): INTERSECT / EXCEPT (set) and
+    // INTERSECT ALL / EXCEPT ALL (multiset) — each a tagged block of one
+    // result. Spark plans these as aggregates/joins on the value, one
+    // shuffle each; the repeated scans share the cached file listing.
+    "q48_set_ops" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+        c.intersect(sup).withColumn("op", lit("intersect"))
+          .unionByName(c.except(sup).withColumn("op", lit("except")))
+          .unionByName(c.intersectAll(sup).withColumn("op", lit("intersect_all")))
+          .unionByName(c.exceptAll(sup).withColumn("op", lit("except_all")))
+          .select("op", "nationkey")
+          .orderBy("op", "nationkey")
+      },
+      Some("""SELECT 'intersect' AS op, nationkey FROM
+             |  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT 'except', nationkey FROM
+             |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT 'intersect_all', nationkey FROM
+             |  (SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT 'except_all', nationkey FROM
+             |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+             |ORDER BY op, nationkey""".stripMargin)),
+
+    // Arg-max family + conditional/boolean aggregates. max_by/min_by pick
+    // the row-level argument at the ordering extremum — tie-free here by
+    // fixture construction (verified: no duplicate per-group max/min
+    // o_totalprice at sf0.001/0.01/0.1; DuckDB's arg_max takes no composite
+    // ordering key, so a tie would be engine-arbitrary on both sides).
+    "q49_argmax" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+            min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
+            count_if(col("o_totalprice") > 200000.0).as("n_big"),
+            bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+            bool_or(col("o_orderstatus") === "P").as("any_pending"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  arg_max(o_orderkey, o_totalprice) AS top_order,
+             |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
+             |  count_if(o_totalprice > 200000.0) AS n_big,
+             |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+             |  bool_or(o_orderstatus = 'P') AS any_pending
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Interpolated (continuous) percentiles — the complement of the
+    // discrete quantiles in q07/q08. Over integral doubles (l_quantity
+    // 1..50) every lower+frac*(upper-lower) step is dyadic-exact, so the
+    // engines' interpolation arithmetic cannot diverge. Like quantileDisc
+    // this materializes per-group sorted values — bounded groups only;
+    // percentile_approx is the unbounded-group path.
+    "q52_percentile_cont" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            percentile(col("l_quantity"), lit(0.25)).as("q25_qty"),
+            median(col("l_quantity")).as("med_qty"),
+            percentile(col("l_quantity"), lit(0.75)).as("q75_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS q25_qty,
+             |  median(l_quantity) AS med_qty,
+             |  quantile_cont(l_quantity, 0.75) AS q75_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Frame-navigation value windows: first/last/nth over a sliding ROWS
+    // frame (trailing 3 rows) — deterministic under the total order
+    // (o_orderkey unique per custkey).
+    "q53_value_windows" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(-2, Window.currentRow)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            first("o_totalprice").over(w).as("frame_first"),
+            last("o_totalprice").over(w).as("frame_last"),
+            nth_value(col("o_totalprice"), 2).over(w).as("frame_second"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  first_value(o_totalprice) OVER w AS frame_first,
+             |  last_value(o_totalprice) OVER w AS frame_last,
+             |  nth_value(o_totalprice, 2) OVER w AS frame_second
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Scalar math/null surface (widens q13): integer-safe rounding modes,
+    // IEEE-exact sqrt, null-skipping greatest/least, nullif/ifnull.
+    // 0-decimal round only: both engines round the same binary double
+    // half-away-from-zero, but at fractional scales DuckDB's C-multiply
+    // round and Spark's exact-BigDecimal round can disagree on values whose
+    // decimal expansion straddles the binary representation error.
+    "q54_math_scalars" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice")).as("price_round"),
+            floor(col("l_extendedprice")).cast("double").as("price_floor"),
+            ceil(col("l_extendedprice")).cast("double").as("price_ceil"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            signum(col("l_discount") - lit(0.05)).as("disc_sign"),
+            pmod(col("l_partkey"), lit(7L)).as("part_mod7"),
+            greatest(col("l_quantity"), col("l_discount") * 100, lit(10.0)).as("g"),
+            least(col("l_tax"), col("l_discount")).as("l"),
+            nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+            coalesce(nullif(col("l_linestatus"), lit("F")), lit("fallback")).as("status_norm"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  round(l_extendedprice) AS price_round,
+             |  cast(floor(l_extendedprice) AS double) AS price_floor,
+             |  cast(ceil(l_extendedprice) AS double) AS price_ceil,
+             |  sqrt(l_quantity) AS qty_sqrt,
+             |  cast(sign(l_discount - 0.05) AS double) AS disc_sign,
+             |  mod(l_partkey, 7) AS part_mod7,
+             |  greatest(l_quantity, l_discount * 100, 10.0) AS g,
+             |  least(l_tax, l_discount) AS l,
+             |  nullif(l_returnflag, 'N') AS flag_or_null,
+             |  coalesce(nullif(l_linestatus, 'F'), 'fallback') AS status_norm
+             |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // Regex + calendar surface: extract-all, replace, split, last_day,
+    // interval arithmetic on NTZ, ISO day-of-week (Spark weekday is Mon=0,
+    // DuckDB isodow is Mon=1), day diff vs an epoch date.
+    "q55_regex_dates" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("prio_word"),
+            array_join(regexp_extract_all(col("o_orderpriority"), lit("[A-Z]+"), lit(0)), ",")
+              .as("prio_letters"),
+            element_at(split(col("o_orderpriority"), "-"), 1).as("prio_num"),
+            // DATE stays out of the output contract: Spark writes date32
+            // where DuckDB yields datetime — surface as naive timestamp
+            last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ts"),
+            (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+              .cast("long").as("days_since_95"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  regexp_replace(o_orderpriority, '^[0-9]-', '') AS prio_word,
+             |  array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), ',') AS prio_letters,
+             |  split_part(o_orderpriority, '-', 1) AS prio_num,
+             |  cast(last_day(o_orderdate) AS timestamp) AS month_end,
+             |  o_orderdate + INTERVAL 30 DAY AS due_ts,
+             |  isodow(o_orderdate) AS isodow,
+             |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Subquery entry path: correlated EXISTS + an exact-arithmetic scalar
+    // subquery, through spark.sql — Spark decorrelates the EXISTS to a
+    // semi join and evaluates the scalar subquery once (not per row).
+    "q56_exists_subquery" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT c.c_custkey, c.c_name
+          FROM customer c
+          WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > (
+                SELECT cast(sum(cast(o_totalprice AS decimal(18,6))) AS double) / count(*)
+                FROM orders))
+          ORDER BY c.c_custkey""")
+      },
+      Some("""SELECT c.c_custkey, c.c_name
+             |FROM customer c
+             |WHERE EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |    AND o.o_totalprice > (
+             |      SELECT cast(sum(cast(o_totalprice AS decimal(18,6))) AS double) / count(*)
+             |      FROM orders))
+             |ORDER BY c.c_custkey""".stripMargin)),
+
+    // Dynamic pivot: same wide rollup as q38 but the pivot values come from
+    // a runtime DISTINCT scan (Spark collects them to the driver and sorts
+    // — the documented cost of dynamic schemas; fine when the dimension is
+    // genuinely low-cardinality, an anti-pattern otherwise). The fixture's
+    // status domain is exactly {F, O, P}, so the oracle is q38's.
+    "q59_dynamic_pivot" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sumExact(col("o_totalprice")).as("spend"))
+          .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) FILTER (WHERE o_orderstatus = 'F') AS double) AS "F_spend",
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) FILTER (WHERE o_orderstatus = 'O') AS double) AS "O_spend",
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+             |  cast(sum(cast(o_totalprice AS decimal(18,6))) FILTER (WHERE o_orderstatus = 'P') AS double) AS "P_spend"
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
+    // mergeable bounded-memory distinct count for 100 TB group-bys, next to
+    // the exact count for in-query error visibility. No oracle — DuckDB's
+    // approx_count_distinct is a different HLL implementation; the ScalaTest
+    // asserts the error bound and partition-merge associativity instead.
+    "q60_hll_sketch" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type"),
+      None))
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Advanced, Extended}
+
+/** Behavior specs for the round-2 Extended module. The oracle gate proves
+  * value parity; these pin the SEMANTICS (frame boundaries, session breaks,
+  * multiset arithmetic, sketch error/merge laws) on constructed inputs
+  * where the expected answer is computable by hand.
+  */
+class ExtendedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  private def q(name: String) = Extended.queries(name).build(spark, dir)
+
+  test("grouping sets: per-status + per-priority + grand total partition the rows") {
+    val rows = q("q46_grouping_sets").collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    // gid 1 = (status) sets, gid 2 = (priority) sets, gid 3 = grand total
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    val total = byGid(3L).head.getAs[Long]("n_orders")
+    assert(byGid(1L).map(_.getAs[Long]("n_orders")).sum == total)
+    assert(byGid(2L).map(_.getAs[Long]("n_orders")).sum == total)
+  }
+
+  test("typed sessionize matches the window-based q45 on shared rows") {
+    // q45 includes null-ts rows; q47 filters them — compare on the non-null
+    // subset by recomputing q45's pipeline with the same filter
+    val typed = q("q47_typed_sessionize")
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    val windowed = Advanced.queries("q45_sessionize").build(spark, dir)
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    // events fixture has no null ts at sf0.001 iff counts agree; either way
+    // the typed walk must agree with the window formulation row-for-row
+    // wherever both define sessions
+    assert(typed.exceptAll(windowed).isEmpty, "typed sessions not in windowed result")
+  }
+
+  test("session walk: gap strictly over 30min breaks, <=30min continues") {
+    import java.time.LocalDateTime
+    val base = LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+    val evs = Seq(
+      Extended.Ev(1L, 1L, base),
+      Extended.Ev(1L, 2L, base.plusMinutes(30)),      // exactly 30min -> same session
+      Extended.Ev(1L, 3L, base.plusMinutes(61)),      // 31min gap -> break
+      Extended.Ev(2L, 4L, base)).toDS()
+    evs.createOrReplaceTempView("ext_spec_events")
+    val gapUs = 30L * 60L * 1000000L
+    val out = evs.groupByKey(_.user_id)
+      .flatMapSortedGroups($"ts", $"event_id") { (uid: Long, it: Iterator[Extended.Ev]) =>
+        // reuse the production walk via the public query is not possible on
+        // a synthetic view, so exercise the same grouping mechanism inline
+        var sid = 0L; var prev: LocalDateTime = null
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        for (e <- it) {
+          if (prev == null || java.time.temporal.ChronoUnit.MICROS.between(prev, e.ts) > gapUs) sid += 1
+          b += ((uid, sid, e.event_id)); prev = e.ts
+        }
+        b
+      }.collect().toSet
+    assert(out == Set((1L, 1L, 1L), (1L, 1L, 2L), (1L, 2L, 3L), (2L, 1L, 4L)))
+  }
+
+  test("set ops: multiset identities hold (|A| = |A intersect_all B| + |A except_all B|)") {
+    val rows = q("q48_set_ops").groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCustomer = core.Tables.customer(spark, dir).count()
+    assert(rows.getOrElse("intersect_all", 0L) + rows.getOrElse("except_all", 0L) == nCustomer)
+    // distinct intersect is bounded by the multiset intersect
+    assert(rows.getOrElse("intersect", 0L) <= rows.getOrElse("intersect_all", 0L))
+  }
+
+  test("argmax: max_by returns the key of the row with the max ordering value") {
+    val got = q("q49_argmax").filter(col("o_orderpriority").isNotNull).collect()
+    val orders = core.Tables.orders(spark, dir)
+    got.foreach { r =>
+      val prio = r.getAs[String]("o_orderpriority")
+      val expected = orders.filter(col("o_orderpriority") === prio)
+        .orderBy(col("o_totalprice").desc).select("o_orderkey").head().getLong(0)
+      assert(r.getAs[Long]("top_order") == expected, s"priority $prio")
+    }
+  }
+
+  test("percentile_cont: interpolation formula lower + (n-1)q-frac * (upper-lower)") {
+    val df = Seq(1.0, 2.0, 4.0, 8.0).toDF("x")
+    val p = df.agg(percentile(col("x"), lit(0.3))).head().getDouble(0)
+    // (n-1)*q = 0.9 -> between 1 and 2 at frac 0.9 -> 1.9 (matches DuckDB probe)
+    assert(p == 1.9)
+  }
+
+  test("value windows: trailing-3 frame boundaries") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy("i").rowsBetween(-2, 0)
+    val out = (1 to 5).map(_.toDouble).toDF("i")
+      .select(col("i"), first("i").over(w).as("f"), nth_value(col("i"), 2).over(w).as("s"))
+      .orderBy("i").collect()
+    // row 1: frame [1]      -> first 1, second null
+    // row 3: frame [1,2,3]  -> first 1, second 2
+    // row 5: frame [3,4,5]  -> first 3, second 4
+    assert(out(0).getDouble(1) == 1.0 && out(0).isNullAt(2))
+    assert(out(2).getDouble(1) == 1.0 && out(2).getDouble(2) == 2.0)
+    assert(out(4).getDouble(1) == 3.0 && out(4).getDouble(2) == 4.0)
+  }
+
+  test("dynamic pivot infers exactly the static pivot's schema and values") {
+    val dynamic = q("q59_dynamic_pivot")
+    val static = Advanced.queries("q38_pivot").build(spark, dir)
+    assert(dynamic.schema.fieldNames.toSeq == static.schema.fieldNames.toSeq)
+    assert(dynamic.exceptAll(static).isEmpty && static.exceptAll(dynamic).isEmpty)
+  }
+
+  test("hll sketch: estimate within 5% of exact, and partition-merge associative") {
+    val rows = q("q60_hll_sketch").collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+    }
+    // merge law: union of per-group sketches == sketch of the union
+    val ev = core.Tables.events(spark, dir)
+    val merged = ev.groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head().getLong(0)
+    assert(merged == direct)
+  }
+}
