@@ -315,6 +315,34 @@ object Extended extends QueryModule {
              |  cast(sum(cast(o_totalprice AS decimal(18,6))) FILTER (WHERE o_orderstatus = 'P') AS double) AS "P_spend"
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Native session_window operator — the engine-level form of the
+    // sessionization family (q45 window arithmetic, q47 typed fold): one
+    // aggregate over merged gap intervals, and the ONLY formulation that
+    // also runs stateful on an unbounded stream (watermark-evicted state;
+    // see streaming.Sessions). Split rule is boundary-inclusive
+    // (gap >= 30min splits), hence the >= in the oracle where q45 uses >.
+    "q61_session_window" -> QueryDef(
+      (s, dir) =>
+        graft.streaming.Sessions.sessionAgg(
+            Tables.events(s, dir).select("user_id", "ts"), "30 minutes")
+          .orderBy("user_id", "session_start"),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts - lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_break
+             |  FROM events WHERE ts IS NOT NULL
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), sessions AS (
+             |  SELECT user_id, ts,
+             |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked
+             |)
+             |SELECT user_id,
+             |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+             |FROM sessions GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
     // mergeable bounded-memory distinct count for 100 TB group-bys, next to
     // the exact count for in-query error visibility. No oracle — DuckDB's

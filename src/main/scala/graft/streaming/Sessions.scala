@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Session operators shared by the batch and streaming paths.
+  *
+  * [[sessionAgg]] uses Spark's native `session_window` — the engine-level
+  * gap-sessionization operator: on a batch frame it plans as a single
+  * aggregate over merged session intervals (one shuffle on the grouping
+  * key); on a streaming frame the same expression becomes stateful
+  * session-window aggregation with watermark-driven state eviction —
+  * O(open sessions) state, the 100 TB-stream formulation of q45/q47.
+  *
+  * Break rule: a session window spans `[ts, ts + gap)` per event and
+  * merges overlapping windows, so consecutive events split exactly when
+  * `next_ts - prev_ts >= gap` (boundary-inclusive split — one tick
+  * stricter than the `> gap` rule of the lag-based q45; both documented,
+  * each oracle encodes its own rule).
+  */
+object Sessions {
+
+  /** Gap-based sessions of an events frame (`user_id`, `ts`, ...): one row
+    * per session with its first/last event time and event count. Works on
+    * batch and streaming frames alike; streaming append mode additionally
+    * needs `withWatermark` applied upstream.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+
+  /** Streaming exact dedup with bounded state: drops rows whose key columns
+    * were already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). The streaming form of
+    * [[graft.dedup.Dedup.exact]]: state holds one entry per key seen in the
+    * last `lateness` of event time and is evicted as the watermark passes —
+    * the only dedup shape that survives an unbounded stream.
+    */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

@@ -88,6 +88,33 @@ class PlanSpec extends AnyFunSuite {
       s"co-bucketed equi-join must not shuffle:\n${p.take(2000)}")
   }
 
+  test("q11 window top-k: rank filter plans a WindowGroupLimit (bounded per-key state)") {
+    // Spark's InferWindowGroupLimit turns rank()<=k into a per-partition
+    // top-k pass — the difference between sorting every group fully and
+    // keeping k rows per key at 100 TB
+    val p = planOf("q11_window_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q54 scalar zoo: the line-number predicate is pushed to parquet") {
+    val p = planOf("q54_math_scalars")
+    assert(p.contains("EqualTo(l_linenumber,1)"), p.take(2000))
+  }
+
+  test("q46 grouping sets: one Expand + one aggregate shuffle, not a union of scans") {
+    val p = planOf("q46_grouping_sets")
+    assert(p.linesIterator.count(_.contains("Expand")) >= 1)
+    assert(!p.contains("Union"), "grouping sets must not plan as unioned scans")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"grouping sets reads the table once:\n${p.take(1500)}")
+  }
+
+  test("q61 session_window: sessions aggregate in one shuffle on user_id") {
+    val p = planOf("q61_session_window")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"session_window should shuffle once:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE annotates codegen stages only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing")(spark, dir)

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Tables
+import graft.streaming.Sessions
+
+/** Streaming session operators: the native session_window aggregation and
+  * watermark-bounded streaming dedup, each checked against its exact batch
+  * equivalent over the same files.
+  */
+class StreamingSessionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(tag: String) = Files.createTempDirectory(tag).toString
+
+  test("streaming session_window agg equals the batch sessionAgg") {
+    val root = freshDir("graft-sess")
+    val ev = Tables.events(spark, TestSpark.sfDir).select("user_id", "ts")
+    // two files so the source has multiple splits to discover
+    ev.limit(400).write.parquet(s"$root/in/a")
+    ev.exceptAll(ev.limit(400)).write.parquet(s"$root/in/b")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$root/in/*")
+    val agg = Sessions.sessionAgg(stream)
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+    val streamed = spark.table("sess_stream")
+    val batch = Sessions.sessionAgg(spark.read.parquet(s"$root/in/*"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup within watermark drops exact duplicates, keeps state bounded") {
+    val root = freshDir("graft-sdedup")
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .filter(col("ts").isNotNull)
+    // write the same rows twice — a replayed snapshot, the reference's
+    // at-least-once ingest failure mode
+    ev.write.parquet(s"$root/in/a")
+    ev.write.parquet(s"$root/in/b")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$root/in/*")
+    val deduped = Sessions.streamingDedup(stream, Seq("event_id"), "ts")
+    assert(deduped.isStreaming)
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+    val got = spark.table("dedup_stream")
+    assert(got.count() == ev.count(), "each event_id exactly once")
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+  }
+}
