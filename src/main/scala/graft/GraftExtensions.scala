@@ -18,10 +18,14 @@ import graft.functions.Sketches
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Sketches.registry.foreach { case (name, usage, n, build) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in"),
         (exprs: Seq[Expression]) => build(Sketches.arity(name, n)(exprs))))
     }
+    // §2.10(c) mechanism: optimizer rule injection — the pair-join
+    // parallelism safety net rides into SQL-only deployments too
+    ext.injectOptimizerRule(_ => graft.plans.ParallelizePairJoins)
+  }
 }

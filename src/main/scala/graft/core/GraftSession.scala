@@ -41,6 +41,11 @@ object GraftSession {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     graft.functions.Sketches.register(spark)
+    // the pair-join parallelism safety net (see its scaladoc); contains
+    // check keeps repeated tune() calls from stacking duplicates
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ParallelizePairJoins))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ParallelizePairJoins
     spark
   }
 
