@@ -343,6 +343,31 @@ object Extended extends QueryModule {
              |FROM sessions GROUP BY user_id, session_id
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Time-series gap-fill/resample (etl.Resample): dense hourly spine per
+    // key via sequence+explode (distributed — no driver-side calendar),
+    // zero-fill for silent hours, IGNORE-NULLS forward fill of the last
+    // observation.
+    "q62_gap_fill" -> QueryDef(
+      (s, dir) =>
+        graft.etl.Resample.hourlyGapFill(
+            Tables.events(s, dir).select(col("event_type").as("line_id"), col("ts")),
+            "line_id", "ts")
+          .orderBy("line_id", "hour"),
+      Some("""WITH hourly AS (
+             |  SELECT event_type AS line_id, date_trunc('hour', ts) AS hour, count(*) AS n_events
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+             |), bounds AS (
+             |  SELECT line_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+             |), spine AS (
+             |  SELECT line_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+             |)
+             |SELECT s.line_id, s.hour,
+             |  coalesce(h.n_events, 0) AS n_events,
+             |  last_value(h.n_events IGNORE NULLS) OVER (PARTITION BY s.line_id ORDER BY s.hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_n
+             |FROM spine s LEFT JOIN hourly h ON s.line_id = h.line_id AND s.hour = h.hour
+             |ORDER BY s.line_id, s.hour""".stripMargin)),
+
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
     // mergeable bounded-memory distinct count for 100 TB group-bys, next to
     // the exact count for in-query error visibility. No oracle — DuckDB's
