@@ -397,6 +397,23 @@ object Extended extends QueryModule {
       },
       None),
 
+    // Approximate percentile sketch (Greenwald-Khanna via
+    // percentile_approx) — the bounded-memory unbounded-group path next to
+    // the exact quantiles of q07/q08/q52. Returns actual input elements at
+    // sketch-bounded rank error; DuckDB's approx_quantile is a different
+    // sketch, so rows-only at the driver with the rank-error bound pinned
+    // in ExtendedSpec.
+    "q65_quantile_sketch" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            quantileApprox(col("l_extendedprice"), 0.5).as("p50_price"),
+            quantileApprox(col("l_extendedprice"), 0.9).as("p90_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      None),
+
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
     // mergeable bounded-memory distinct count for 100 TB group-bys, next to
     // the exact count for in-query error visibility. No oracle — DuckDB's

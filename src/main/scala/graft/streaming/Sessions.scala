@@ -33,6 +33,28 @@ object Sessions {
         count(lit(1)).as("n_events"))
       .select("user_id", "session_start", "session_end", "n_events")
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding `horizon` of event time. Both sides carry
+    * watermarks, so Spark bounds the join state to the interval window and
+    * evicts it as the watermarks advance — the streaming form of the q19
+    * range join (which buckets the same predicate for batch). Equi-key on
+    * user_id plus a time-range conjunct is exactly the shape Structured
+    * Streaming's state store supports; without the range bound the state
+    * would grow forever.
+    */
+  def clickPurchaseJoin(purchases: DataFrame, clicks: DataFrame,
+      horizon: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon") &&
+        col("c_ts") < col("p_ts"))
+  }
+
   /** Streaming exact dedup with bounded state: drops rows whose key columns
     * were already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark`). The streaming form of

@@ -113,6 +113,22 @@ class ExtendedSpec extends AnyFunSuite {
     assert(dynamic.exceptAll(static).isEmpty && static.exceptAll(dynamic).isEmpty)
   }
 
+  test("quantile sketch: returned element's true rank is within sketch error of target") {
+    val li = core.Tables.lineitem(spark, dir)
+    q("q65_quantile_sketch").collect().foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val grp = li.filter(col("l_returnflag") === flag)
+      val n = r.getAs[Long]("n").toDouble
+      Seq(("p50_price", 0.5), ("p90_price", 0.9)).foreach { case (c, tgt) =>
+        val v = r.getAs[Double](c)
+        val rank = grp.filter(col("l_extendedprice") <= v).count() / n
+        assert(math.abs(rank - tgt) <= 0.01, s"$flag/$c: rank $rank vs $tgt")
+        // sketch returns an actual input element, never an interpolation
+        assert(grp.filter(col("l_extendedprice") === v).count() >= 1)
+      }
+    }
+  }
+
   test("hll sketch: estimate within 5% of exact, and partition-merge associative") {
     val rows = q("q60_hll_sketch").collect()
     rows.foreach { r =>

@@ -37,6 +37,31 @@ class StreamingSessionsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val root = freshDir("graft-ssj")
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+      .filter(col("ts").isNotNull)
+    ev.filter(col("event_type") === "purchase").write.parquet(s"$root/p")
+    ev.filter(col("event_type") === "click").write.parquet(s"$root/c")
+    val pStream = spark.readStream
+      .schema(spark.read.parquet(s"$root/p").schema).parquet(s"$root/p")
+    val cStream = spark.readStream
+      .schema(spark.read.parquet(s"$root/c").schema).parquet(s"$root/c")
+    val joined = Sessions.clickPurchaseJoin(pStream, cStream)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+    val streamed = spark.table("ssj")
+    val batch = Sessions.clickPurchaseJoin(
+      spark.read.parquet(s"$root/p"), spark.read.parquet(s"$root/c"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup within watermark drops exact duplicates, keeps state bounded") {
     val root = freshDir("graft-sdedup")
     val ev = Tables.events(spark, TestSpark.sfDir)
