@@ -49,5 +49,16 @@ object SimilarityQueries extends QueryModule {
         val emb = Tables.embeddings(s, dir)
         Ann.lshTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")
+      }),
+
+    // Second scale path: inverted-file index (data-aware cells, one cell
+    // per corpus vector, nProbe cells per query). Centroid draw is
+    // engine-hash-seeded → rows-only; SimilaritySpec measures recall and
+    // single-cell membership.
+    "q66_cosine_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Ann.ivfTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+          .orderBy("qid", "rn")
       }))
 }

@@ -48,4 +48,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
     assert(approx.nonEmpty)
   }
+
+  test("IVF top-k: recall vs exact baseline; deterministic across runs") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(Ann.bruteForceTopK(emb, queries, k = 5))
+    val a = pairs(Ann.ivfTopK(emb, queries, k = 5))
+    val b = pairs(Ann.ivfTopK(emb, queries, k = 5))
+    assert(a == b, "hash-seeded centroids must make IVF replayable")
+    val recall = (exact & a).size.toDouble / exact.size
+    // nProbe/nCells = 4/16 visits ~25% of a uniform corpus; recall well
+    // above that floor means the cell ordering is doing its job
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("IVF index: every corpus vector lands in exactly one cell") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    // every (qid, nid) pair appears once — single-cell membership means no
+    // dedup pass is needed, unlike multi-probe LSH
+    val got = Ann.ivfTopK(emb, queries, k = 5)
+      .groupBy("qid", "nid").count().filter(col("count") > 1)
+    assert(got.isEmpty)
+  }
 }
