@@ -17,24 +17,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _temporal_kind(s: pd.Series):
+    """'tz-aware' / 'naive' / 'date32' / None (not temporal)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return ("tz-aware"
+                if getattr(getattr(s, "dt", None), "tz", None) is not None
+                else "naive")
+    if s.dtype == object:
+        import datetime
+        vals = s.dropna()
+        if len(vals) and all(isinstance(v, datetime.date)
+                             and not isinstance(v, datetime.datetime)
+                             for v in vals.head(100)):
+            return "date32"
+    return None
+
+
 def tz_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
-    """Columns where one side is tz-aware and the other naive.
+    """Columns whose temporal flavor differs between the two sides.
 
     The driver's gate hashes raw parquet/arrow schemas, so a Spark output
     written as timestamp[us, tz=UTC] fails against a naive DuckDB TIMESTAMP
-    even when instants agree. Report that divergence instead of silently
-    normalizing it away.
+    even when instants agree — and a Spark DATE (parquet date32, pandas
+    object-of-date) fails against a DuckDB naive TIMESTAMP the same way.
+    Report both divergence classes instead of silently normalizing them.
     """
     bad = []
     for c in sorted(set(got.columns) & set(exp.columns)):
-        g, e = got[c], exp[c]
-        if (pd.api.types.is_datetime64_any_dtype(g)
-                or pd.api.types.is_datetime64_any_dtype(e)):
-            g_tz = getattr(getattr(g, "dt", None), "tz", None) is not None
-            e_tz = getattr(getattr(e, "dt", None), "tz", None) is not None
-            if g_tz != e_tz:
-                bad.append((c, "tz-aware" if g_tz else "naive",
-                            "tz-aware" if e_tz else "naive"))
+        g_kind, e_kind = _temporal_kind(got[c]), _temporal_kind(exp[c])
+        if (g_kind or e_kind) and g_kind != e_kind:
+            bad.append((c, g_kind or str(got[c].dtype), e_kind or str(exp[c].dtype)))
     return bad
 
 

@@ -30,9 +30,12 @@ object Layout {
     * then pays per-file open/footer costs and schedules thousands of
     * sliver tasks. Compaction rewrites to
     * `ceil(inputBytes / targetBytes)` files via a round-robin shuffle
-    * (even output sizes regardless of input skew), staging to a temp dir
-    * and swapping only after the write succeeds, so a crashed compaction
-    * leaves the source untouched.
+    * (even output sizes regardless of input skew), staged to a temp dir
+    * first. A crash during the write leaves the source untouched; a crash
+    * during the swap never destroys rows — they live in the temp dir until
+    * its final delete, so recovery is finishing the renames. True atomic
+    * swap needs a table format's manifest (Delta/Iceberg), out of scope
+    * for a directory-of-parquet zone.
     *
     * Scale note: at 100 TB this runs per partition directory (date=...),
     * parallel across partitions, never globally.
@@ -42,10 +45,17 @@ object Layout {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return 0L // nothing to compact (also: never read an empty glob)
     val inputBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
-    spark.read.parquet(dir).repartition(nOut)
+    // read EXACTLY the snapshotted file list, not the directory: on a live
+    // zone a file ingested between listStatus and the read would otherwise
+    // be compacted into the output yet survive the delete loop — its rows
+    // duplicated. Pinning the list makes concurrent appends simply invisible
+    // to this compaction run.
+    spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+      .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     files.foreach(f => fs.delete(f.getPath, false))
     fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))

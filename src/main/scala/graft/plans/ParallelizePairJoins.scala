@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.RightOuter
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Repartition, RepartitionOperation}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -35,11 +36,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object ParallelizePairJoins extends Rule[LogicalPlan] with PredicateHelper {
 
   private def hasEquiConjunct(cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean =
-    splitConjunctivePredicates(cond).exists {
-      case EqualTo(a, b) =>
+    splitConjunctivePredicates(cond).exists { p =>
+      val sides = p match {
+        case EqualTo(a, b) => Some((a, b))
+        case EqualNullSafe(a, b) => Some((a, b)) // <=> also plans as an equi join
+        case _ => None
+      }
+      sides.exists { case (a, b) =>
         (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
           (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet))
-      case _ => false
+      }
     }
 
   private def singleSplit(p: LogicalPlan): Boolean =
@@ -52,12 +58,17 @@ object ParallelizePairJoins extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, _, cond, _)
+    // the STREAM side of a BNLJ is the left for every join type except
+    // right-outer (which must build/broadcast the left) — repartitioning
+    // the build side would add a shuffle and leave the cliff in place
+    case j @ Join(left, right, joinType, cond, _)
         if !j.isStreaming &&
           cond.forall(c => !hasEquiConjunct(c, left, right)) &&
           singleSplit(left) && singleSplit(right) &&
-          !alreadyLaidOut(left) =>
-      j.copy(left =
-        Repartition(conf.numShufflePartitions, shuffle = true, left))
+          !alreadyLaidOut(if (joinType == RightOuter) right else left) =>
+      val repartitioned = (p: LogicalPlan) =>
+        Repartition(conf.numShufflePartitions, shuffle = true, p)
+      if (joinType == RightOuter) j.copy(right = repartitioned(right))
+      else j.copy(left = repartitioned(left))
   }
 }

@@ -72,13 +72,14 @@ object Advanced extends QueryModule {
         val usPerHour = 3600L * 1000000L
         // integer `div` for bucketing: a double division + floor can round
         // across a bucket boundary and silently drop candidates
-        val e = ev.select(col("user_id").as("e_user"),
-          epochUs(col("ts")).as("e_us"),
-          expr(s"unix_micros(cast(ts as timestamp)) div $usPerHour").as("e_bucket"))
+        // buckets derive FROM the epoch-micros columns (integer `div` — a
+        // double division could round across a bucket boundary), so the
+        // NTZ-cast rule lives only in GraftFunctions.epochUs
+        val e = ev.select(col("user_id").as("e_user"), epochUs(col("ts")).as("e_us"))
+          .withColumn("e_bucket", expr(s"e_us div $usPerHour"))
         val p = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"),
-            epochUs(col("ts")).as("p_us"),
-            expr(s"unix_micros(cast(ts as timestamp)) div $usPerHour").as("p_bucket"))
+          .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("p_us"))
+          .withColumn("p_bucket", expr(s"p_us div $usPerHour"))
           .withColumn("probe", explode(array(col("p_bucket") - 1, col("p_bucket"))))
         p.join(e,
             col("user_id") === col("e_user") && col("probe") === col("e_bucket") &&

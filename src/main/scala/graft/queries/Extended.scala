@@ -319,8 +319,9 @@ object Extended extends QueryModule {
     // sessionization family (q45 window arithmetic, q47 typed fold): one
     // aggregate over merged gap intervals, and the ONLY formulation that
     // also runs stateful on an unbounded stream (watermark-evicted state;
-    // see streaming.Sessions). Split rule is boundary-inclusive
-    // (gap >= 30min splits), hence the >= in the oracle where q45 uses >.
+    // see streaming.Sessions). Split rule is STRICT: an exactly-gap-length
+    // silence merges, only a longer one splits (pinned empirically in
+    // StreamingSessionsSpec) — the same `>` rule as q45's lag formulation.
     "q61_session_window" -> QueryDef(
       (s, dir) =>
         graft.streaming.Sessions.sessionAgg(
@@ -329,7 +330,7 @@ object Extended extends QueryModule {
       Some("""WITH marked AS (
              |  SELECT user_id, ts,
              |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR epoch_us(ts - lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_break
+             |           OR epoch_us(ts - lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_break
              |  FROM events WHERE ts IS NOT NULL
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
              |), sessions AS (

@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * session-window aggregation with watermark-driven state eviction —
   * O(open sessions) state, the 100 TB-stream formulation of q45/q47.
   *
-  * Break rule: a session window spans `[ts, ts + gap)` per event and
-  * merges overlapping windows, so consecutive events split exactly when
-  * `next_ts - prev_ts >= gap` (boundary-inclusive split — one tick
-  * stricter than the `> gap` rule of the lag-based q45; both documented,
-  * each oracle encodes its own rule).
+  * Break rule (pinned empirically in StreamingSessionsSpec): Spark merges
+  * a session whose next event lands exactly at `prev_ts + gap` and splits
+  * only strictly beyond it — i.e. the same strict `next_ts - prev_ts >
+  * gap` rule as the lag-based q45, so all three sessionization
+  * formulations (window arithmetic, typed fold, session_window) agree
+  * bit-for-bit.
   */
 object Sessions {
 

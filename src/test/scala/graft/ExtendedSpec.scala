@@ -34,10 +34,10 @@ class ExtendedSpec extends AnyFunSuite {
       .select("user_id", "session_id", "session_start", "session_end", "n_events")
     val windowed = Advanced.queries("q45_sessionize").build(spark, dir)
       .select("user_id", "session_id", "session_start", "session_end", "n_events")
-    // events fixture has no null ts at sf0.001 iff counts agree; either way
-    // the typed walk must agree with the window formulation row-for-row
-    // wherever both define sessions
+    // two-sided: a typed walk that silently dropped sessions (or returned
+    // nothing) must fail, not just one that invented them
     assert(typed.exceptAll(windowed).isEmpty, "typed sessions not in windowed result")
+    assert(windowed.exceptAll(typed).isEmpty, "windowed sessions missing from typed result")
   }
 
   test("session walk: gap strictly over 30min breaks, <=30min continues") {
@@ -48,7 +48,6 @@ class ExtendedSpec extends AnyFunSuite {
       Extended.Ev(1L, 2L, base.plusMinutes(30)),      // exactly 30min -> same session
       Extended.Ev(1L, 3L, base.plusMinutes(61)),      // 31min gap -> break
       Extended.Ev(2L, 4L, base)).toDS()
-    evs.createOrReplaceTempView("ext_spec_events")
     val gapUs = 30L * 60L * 1000000L
     val out = evs.groupByKey(_.user_id)
       .flatMapSortedGroups($"ts", $"event_id") { (uid: Long, it: Iterator[Extended.Ev]) =>

@@ -37,6 +37,23 @@ class StreamingSessionsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("session_window boundary: an exactly-gap-length silence does NOT split") {
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2026, 5, 1, 12, 0, 0)
+    val df = Seq(
+      (1L, base),
+      (1L, base.plusMinutes(30)),                  // exactly the gap
+      (1L, base.plusMinutes(60).plusNanos(1000)))  // 30min + 1µs since prev
+      .toDF("user_id", "ts")
+    val out = Sessions.sessionAgg(df, "30 minutes")
+      .orderBy("session_start").collect()
+    // pins the engine rule the q61 oracle must encode: merge at <= gap,
+    // split strictly beyond — same strict-gap rule as the lag-based q45
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val root = freshDir("graft-ssj")
     val ev = Tables.events(spark, TestSpark.sfDir)
