@@ -117,5 +117,40 @@ object Text extends QueryModule {
              |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
              |  FROM documents
              |)
-             |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)))
+             |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    // The curation composition: C4-style keep/drop per document from the
+    // oracle-verified primitives (lang metadata, length bounds, q22's
+    // quality score, q30's dedup canonicality), with per-criterion
+    // booleans so a run reports WHY each document dropped.
+    "q67_corpus_filter" -> QueryDef(
+      (s, dir) =>
+        graft.pipeline.CorpusFilter(Tables.documents(s, dir))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang, n_chars, text,
+              |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+              |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+              |  FROM documents
+              |), m AS (
+              |  SELECT doc_id, lang, n_chars, fp,
+              |    cast(len(list_distinct(toks)) AS double) / cast(len(toks) AS double) AS diversity,
+              |    least(cast(len(toks) AS double) / 64.0, 1.0) AS length_score,
+              |    cast(length(text) - length(regexp_replace(text, '$punctClass', '', 'g')) AS double)
+              |      / cast(length(text) AS double) AS punct_density
+              |  FROM d
+              |), q AS (
+              |  SELECT doc_id, lang, n_chars, fp,
+              |    (diversity + length_score + (1.0 - least(punct_density * 10.0, 1.0))) / 3.0 AS quality,
+              |    min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+              |  FROM m
+              |)
+              |SELECT doc_id,
+              |  lang <> 'xx' AS ok_lang,
+              |  n_chars BETWEEN 80 AND 10000 AS ok_len,
+              |  quality >= 0.5 AS ok_quality,
+              |  doc_id = canonical_id AS is_canonical,
+              |  (lang <> 'xx' AND n_chars BETWEEN 80 AND 10000
+              |    AND quality >= 0.5 AND doc_id = canonical_id) AS keep
+              |FROM q ORDER BY doc_id""".stripMargin)))
 }

@@ -128,6 +128,23 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus filter: keep is the conjunction; canonicality matches exact dedup") {
+    val out = graft.pipeline.CorpusFilter(
+      core.Tables.documents(spark, dir)).collect()
+    out.foreach { r =>
+      val expected = r.getAs[Boolean]("ok_lang") && r.getAs[Boolean]("ok_len") &&
+        r.getAs[Boolean]("ok_quality") && r.getAs[Boolean]("is_canonical")
+      assert(r.getAs[Boolean]("keep") == expected)
+    }
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length, s"kept $kept of ${out.length}")
+    // canonical docs == distinct fingerprints (exact-dedup survivors)
+    val canonical = out.count(_.getAs[Boolean]("is_canonical"))
+    val nFps = graft.dedup.Dedup.exact(
+      core.Tables.documents(spark, dir), "text", "doc_id").count()
+    assert(canonical.toLong == nFps)
+  }
+
   test("hll sketch: estimate within 5% of exact, and partition-merge associative") {
     val rows = q("q60_hll_sketch").collect()
     rows.foreach { r =>
