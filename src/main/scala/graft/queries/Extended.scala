@@ -415,6 +415,31 @@ object Extended extends QueryModule {
           .orderBy("l_returnflag"),
       None),
 
+    // JSON functions surface (F7's parse direction, beyond q15's regex
+    // extraction): path extraction, schema-declared from_json, missing-key
+    // null tolerance, nested paths and array length — against DuckDB's
+    // JSON extension as the oracle.
+    "q68_json_ops" -> QueryDef(
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k")
+        val doc = concat(lit("{\"a\": {\"b\": ["), k, lit(",2]}}"))
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            k.cast("long").as("k"),
+            from_json(col("props"), lit("k LONG")).getField("k").as("k_typed"),
+            get_json_object(col("props"), "$.missing").as("k_missing"),
+            get_json_object(doc, "$.a.b[0]").cast("long").as("b0"),
+            json_array_length(get_json_object(doc, "$.a.b")).cast("long").as("blen"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  cast(json_extract_string(props, '$.k') AS bigint) AS k,
+             |  cast(json_extract_string(props, '$.k') AS bigint) AS k_typed,
+             |  json_extract_string(props, '$.missing') AS k_missing,
+             |  cast(json_extract_string('{"a": {"b": [' || json_extract_string(props, '$.k') || ',2]}}', '$.a.b[0]') AS bigint) AS b0,
+             |  cast(json_array_length('{"a": {"b": [' || json_extract_string(props, '$.k') || ',2]}}', '$.a.b') AS bigint) AS blen
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
     // mergeable bounded-memory distinct count for 100 TB group-bys, next to
     // the exact count for in-query error visibility. No oracle — DuckDB's
