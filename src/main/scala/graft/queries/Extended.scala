@@ -415,6 +415,66 @@ object Extended extends QueryModule {
           .orderBy("l_returnflag"),
       None),
 
+    // CDC-style keep-latest: one surviving row per key, the newest by
+    // (ts, event_id) — the upsert-view staple over an append-only zone.
+    // The rank-1 filter plans as WindowGroupLimit (verified for q11's
+    // sibling shape in PlanSpec): per-key bounded state, no full sort of
+    // the history at scale.
+    "q69_keep_latest" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, ts, event_type, value FROM (
+             |  SELECT user_id, event_id, ts, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events WHERE ts IS NOT NULL
+             |) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // String-function zoo (widens q13/q20): padding, translate, reverse,
+    // repeat, substring position, left/right slices, char codes, prefix/
+    // containment predicates, first-field split. (initcap omitted: DuckDB
+    // 1.0 has no equivalent.)
+    "q70_string_zoo" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            lpad(col("lang"), 5, "*").as("lang_pad"),
+            rpad(col("lang"), 5, "-").as("lang_rpad"),
+            translate(col("lang"), "aeiou", "AEIOU").as("lang_tr"),
+            reverse(col("lang")).as("lang_rev"),
+            repeat(col("lang"), 2).as("lang_x2"),
+            instr(col("text"), "the").cast("long").as("the_pos"),
+            substring(col("text"), 1, 2).as("head2"),
+            expr("right(text, 2)").as("tail2"),
+            ascii(col("lang")).cast("long").as("lang_ascii"),
+            col("text").startsWith("The").as("starts_the"),
+            col("text").contains("and").as("has_and"),
+            substring_index(col("text"), " ", 1).as("first_word"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  lpad(lang, 5, '*') AS lang_pad,
+             |  rpad(lang, 5, '-') AS lang_rpad,
+             |  translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+             |  reverse(lang) AS lang_rev,
+             |  repeat(lang, 2) AS lang_x2,
+             |  cast(instr(text, 'the') AS bigint) AS the_pos,
+             |  left(text, 2) AS head2,
+             |  right(text, 2) AS tail2,
+             |  cast(ascii(lang) AS bigint) AS lang_ascii,
+             |  starts_with(text, 'The') AS starts_the,
+             |  contains(text, 'and') AS has_and,
+             |  split_part(text, ' ', 1) AS first_word
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // JSON functions surface (F7's parse direction, beyond q15's regex
     // extraction): path extraction, schema-declared from_json, missing-key
     // null tolerance, nested paths and array length — against DuckDB's
