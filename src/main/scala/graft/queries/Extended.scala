@@ -475,6 +475,34 @@ object Extended extends QueryModule {
              |  split_part(text, ' ', 1) AS first_word
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — top-2
+    // orders per customer expressed as a lateral join (the SQL-standard
+    // form of per-key top-k; Spark decorrelates it rather than executing
+    // the subquery per row). Same rows as a rank()<=2 window, different
+    // planner machinery exercised.
+    "q71_lateral_topn" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM customer c,
+          LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+          ) o
+          ORDER BY c.c_custkey, o.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c,
+             |LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+             |) o
+             |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)),
+
     // JSON functions surface (F7's parse direction, beyond q15's regex
     // extraction): path extraction, schema-declared from_json, missing-key
     // null tolerance, nested paths and array length — against DuckDB's
