@@ -16,6 +16,8 @@ import graft.streaming.HeadwaysStream
   * graft.Main transform <rawDir> <silverDir>
   * graft.Main align     <line> <outDir> [isoInstant]
   * graft.Main stream    <rawDir> <silverDir> <checkpointDir>
+  * graft.Main compact   <parquetDir> [targetMiB]
+  * graft.Main curate    <documentsParquet> <outDir>
   * }}}
   *
   * Scheduling stays external, as in the reference (its Airflow cron ↔ any
@@ -48,10 +50,21 @@ object Main {
       case "stream" :: rawDir :: silverDir :: ckpt :: Nil =>
         val q = HeadwaysStream.start(spark, rawDir, silverDir, ckpt)
         q.awaitTermination()
+      case "compact" :: dir :: rest =>
+        val targetBytes = rest.headOption.map(_.toLong * 1024 * 1024)
+          .getOrElse(128L * 1024 * 1024)
+        val n = graft.core.Layout.compact(spark, dir, targetBytes)
+        println(s"[compact] rewrote $dir into $n file(s)")
+      case "curate" :: docs :: outDir :: Nil =>
+        val decisions = graft.pipeline.CorpusFilter(spark.read.parquet(docs))
+        decisions.write.mode("overwrite").parquet(outDir)
+        val kept = decisions.filter(decisions("keep")).count()
+        println(s"[curate] $kept kept of ${decisions.count()} → $outDir")
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println("usage: ingest <rawDir> [t] | transform <rawDir> <silverDir> | " +
-          "align <line> <outDir> [t] | stream <rawDir> <silverDir> <ckpt>")
+          "align <line> <outDir> [t] | stream <rawDir> <silverDir> <ckpt> | " +
+          "compact <dir> [targetMiB] | curate <docsParquet> <outDir>")
         sys.exit(2)
     } finally spark.stop()
   }
