@@ -77,9 +77,9 @@ object Ann {
     * partition of the corpus:
     *
     *  1. `nCells` centroids are drawn deterministically (smallest
-    *     `xxhash64(vec_id)` — a seeded uniform sample; production IVF
-    *     would Lloyd-refine these, pluggable here, but assignment/probe
-    *     mechanics are identical);
+    *     `xxhash64(vec_id)` — a seeded uniform sample) and then
+    *     `refineIters` Lloyd iterations tighten them ([[lloydStep]]:
+    *     exact-decimal cell means, so replay determinism survives);
     *  2. every corpus vector is assigned to its max-cosine centroid —
     *     one broadcast join + `max_by` aggregate, O(n·nCells) map-side
     *     work, ONE shuffle on vec_id (this is the index build; at 100 TB
@@ -92,15 +92,21 @@ object Ann {
     *
     * Expected candidate volume is nProbe/nCells of the corpus (~25% at the
     * 16/4 defaults on this uniform fixture; real clustered embeddings
-    * concentrate true neighbors into far fewer probes).
+    * concentrate true neighbors into far fewer probes). Measured on the
+    * uniform sf0.01 fixture, recall@5 is flat across refineIters 0/1/2
+    * (0.60/0.56/0.62 — noise): Lloyd can only help when there is cluster
+    * structure to find, which uniform random vectors lack by construction;
+    * the default of one iteration is for real corpora, and refineIters=0
+    * skips the cost when the caller knows better.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = corpus
+      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 1): DataFrame = {
+    val init = corpus
       .select(col("embedding").as("cvec"), xxhash64(col("vec_id")).as("h"))
       .orderBy("h").limit(nCells)
       .withColumn("cell", row_number().over(Window.orderBy("h")))
       .select(col("cell"), col("cvec"), FloatVecDot.norm2(col("cvec")).as("cvn2"))
+    val cent = (1 to refineIters).foldLeft(init)((c, _) => lloydStep(corpus, c))
     def cellSim(vec: Column, vn2: Column): Column =
       cosinePrenormed(FloatVecDot.dot(vec, col("cvec")), vn2, col("cvn2"))
     val par = corpus.sparkSession.sparkContext.defaultParallelism
@@ -130,6 +136,41 @@ object Ann {
           col("qn2"), col("cn2")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+  }
+
+  /** One Lloyd iteration: assign every corpus vector to its max-cosine
+    * centroid, replace each centroid with its cell's mean vector. The mean
+    * runs through EXACT decimal sums per dimension — a plain float/double
+    * `avg` is partition-order-dependent in its last bits, which can flip
+    * borderline cell assignments between runs and break the replay
+    * determinism the spec pins. posexplode → (cell, dim) grid aggregate →
+    * rebuild array sorted by dim; empty cells keep their old centroid
+    * (standard k-means practice, keeps nCells stable).
+    */
+  private[similarity] def lloydStep(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    val assigned = corpus
+      .select(col("vec_id").as("nid"), col("embedding").as("v"),
+        FloatVecDot.norm2(col("embedding")).as("vn2"))
+      .join(broadcast(cent), lit(true))
+      .groupBy("nid")
+      .agg(
+        max_by(col("cell"),
+          struct(cosinePrenormed(FloatVecDot.dot(col("v"), col("cvec")),
+            col("vn2"), col("cvn2")), col("cell"))).as("cell"),
+        first("v").as("v"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast("decimal(27,10)")) / count(lit(1)))
+        .cast("float").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("cvec"))
+    cent.select(col("cell"), col("cvec").as("old_cvec"))
+      .join(means, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("cvec"), col("old_cvec")).as("cvec"))
+      .select(col("cell"), col("cvec"), FloatVecDot.norm2(col("cvec")).as("cvn2"))
   }
 
   /** ANN top-k via multi-probe hyperplane LSH (exact cosine on candidates).
