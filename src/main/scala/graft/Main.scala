@@ -50,16 +50,26 @@ object Main {
       case "stream" :: rawDir :: silverDir :: ckpt :: Nil =>
         val q = HeadwaysStream.start(spark, rawDir, silverDir, ckpt)
         q.awaitTermination()
-      case "compact" :: dir :: rest =>
-        val targetBytes = rest.headOption.map(_.toLong * 1024 * 1024)
-          .getOrElse(128L * 1024 * 1024)
+      case "compact" :: dir :: rest if rest.length <= 1 =>
+        val targetBytes = rest.headOption match {
+          case None => 128L * 1024 * 1024
+          case Some(mib) => mib.toLongOption.filter(_ > 0) match {
+            case Some(m) => m * 1024 * 1024
+            case None =>
+              System.err.println(s"compact: targetMiB must be a positive integer, got '$mib'")
+              sys.exit(2)
+          }
+        }
         val n = graft.core.Layout.compact(spark, dir, targetBytes)
         println(s"[compact] rewrote $dir into $n file(s)")
       case "curate" :: docs :: outDir :: Nil =>
-        val decisions = graft.pipeline.CorpusFilter(spark.read.parquet(docs))
-        decisions.write.mode("overwrite").parquet(outDir)
-        val kept = decisions.filter(decisions("keep")).count()
-        println(s"[curate] $kept kept of ${decisions.count()} → $outDir")
+        graft.pipeline.CorpusFilter(spark.read.parquet(docs))
+          .write.mode("overwrite").parquet(outDir)
+        // count from the materialized output — re-counting the pipeline
+        // frame would re-run the fingerprint shuffle twice more
+        val written = spark.read.parquet(outDir)
+        val kept = written.filter(written("keep")).count()
+        println(s"[curate] $kept kept of ${written.count()} → $outDir")
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println("usage: ingest <rawDir> [t] | transform <rawDir> <silverDir> | " +

@@ -30,10 +30,15 @@ object CorpusFilter {
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       .withColumn("canonical_id", min("doc_id").over(w))
+      // every flag coalesces null → false: a null lang, or an empty text
+      // whose quality divisions are null, must surface as a DROPPED row
+      // with its reason, never as keep=NULL (and never NPE a consumer
+      // unboxing booleans)
       .select(col("doc_id"),
-        (col("lang") =!= "xx").as("ok_lang"),
-        (col("n_chars") >= minChars && col("n_chars") <= maxChars).as("ok_len"),
-        (col("quality") >= minQuality).as("ok_quality"),
+        coalesce(col("lang") =!= "xx", lit(false)).as("ok_lang"),
+        coalesce(col("n_chars") >= minChars && col("n_chars") <= maxChars,
+          lit(false)).as("ok_len"),
+        coalesce(col("quality") >= minQuality, lit(false)).as("ok_quality"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
       .withColumn("keep",
         col("ok_lang") && col("ok_len") && col("ok_quality") && col("is_canonical"))

@@ -146,11 +146,11 @@ object Text extends QueryModule {
               |  FROM m
               |)
               |SELECT doc_id,
-              |  lang <> 'xx' AS ok_lang,
-              |  n_chars BETWEEN 80 AND 10000 AS ok_len,
-              |  quality >= 0.5 AS ok_quality,
+              |  coalesce(lang <> 'xx', false) AS ok_lang,
+              |  coalesce(n_chars BETWEEN 80 AND 10000, false) AS ok_len,
+              |  coalesce(quality >= 0.5, false) AS ok_quality,
               |  doc_id = canonical_id AS is_canonical,
-              |  (lang <> 'xx' AND n_chars BETWEEN 80 AND 10000
-              |    AND quality >= 0.5 AND doc_id = canonical_id) AS keep
+              |  (coalesce(lang <> 'xx', false) AND coalesce(n_chars BETWEEN 80 AND 10000, false)
+              |    AND coalesce(quality >= 0.5, false) AND doc_id = canonical_id) AS keep
               |FROM q ORDER BY doc_id""".stripMargin)))
 }

@@ -106,7 +106,12 @@ object Ann {
       .orderBy("h").limit(nCells)
       .withColumn("cell", row_number().over(Window.orderBy("h")))
       .select(col("cell"), col("cvec"), FloatVecDot.norm2(col("cvec")).as("cvn2"))
-    val cent = (1 to refineIters).foldLeft(init)((c, _) => lloydStep(corpus, c))
+    // materialize (collect ≤ nCells rows) between iterations: the lazy
+    // chain would otherwise re-execute every prior iteration's full-corpus
+    // assignment ~2× per further step (the old-centroid branch can't reuse
+    // the broadcast branch's exchange) — exponential in refineIters
+    val cent = (1 to refineIters)
+      .foldLeft(materialize(init))((c, _) => materialize(lloydStep(corpus, c)))
     def cellSim(vec: Column, vn2: Column): Column =
       cosinePrenormed(FloatVecDot.dot(vec, col("cvec")), vn2, col("cvn2"))
     val par = corpus.sparkSession.sparkContext.defaultParallelism
@@ -138,6 +143,19 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** Pin a (tiny, ≤ nCells-row) centroid table as a local relation so each
+    * Lloyd iteration's plan starts from collected data instead of replaying
+    * the whole chain that produced it.
+    */
+  private def materialize(cent: DataFrame): DataFrame = {
+    val spark = cent.sparkSession
+    import spark.implicits._
+    cent.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .toSeq.toDF("cell", "cvec")
+      .select(col("cell"), col("cvec"), FloatVecDot.norm2(col("cvec")).as("cvn2"))
+  }
+
   /** One Lloyd iteration: assign every corpus vector to its max-cosine
     * centroid, replace each centroid with its cell's mean vector. The mean
     * runs through EXACT decimal sums per dimension — a plain float/double
@@ -149,6 +167,9 @@ object Ann {
     */
   private[similarity] def lloydStep(corpus: DataFrame, cent: DataFrame): DataFrame = {
     val assigned = corpus
+      // same explicit parallelism guard as the other Ann hot loops: the
+      // assignment cross join must not run at small-file split count
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("nid"), col("embedding").as("v"),
         FloatVecDot.norm2(col("embedding")).as("vn2"))
       .join(broadcast(cent), lit(true))

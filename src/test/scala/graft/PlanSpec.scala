@@ -115,42 +115,55 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"session_window should shuffle once:\n${p.take(2000)}")
   }
 
+  private def withTempDir[A](tag: String)(f: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory(tag).toFile
+    try f(root.toString)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("hive-partitioned scan prunes partitions on the partition predicate") {
     import org.apache.spark.sql.functions._
-    val root = java.nio.file.Files.createTempDirectory("graft-prune").toString
-    graft.core.Tables.orders(spark, dir)
-      .withColumn("odate", to_date(col("o_orderdate")))
-      .write.partitionBy("odate").parquet(s"$root/zone")
-    val one = spark.read.parquet(s"$root/zone")
-      .filter(col("odate") === spark.read.parquet(s"$root/zone")
-        .select(max("odate")).head().getDate(0))
-    one.collect()
-    val scan = one.queryExecution.executedPlan.toString
-    // the partition filter must reach the scan as a PartitionFilters entry,
-    // not a post-scan Filter over every file
-    assert(scan.contains("PartitionFilters: [") && scan.contains("odate"),
-      scan.take(2000))
-    val allParts = new java.io.File(s"$root/zone").listFiles()
-      .count(_.getName.startsWith("odate="))
-    assert(allParts > 10, s"fixture should span many dates, got $allParts")
-    // partitions actually selected: one, not the whole zone
-    val readParts = one.queryExecution.executedPlan.collectLeaves()
-      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.selectedPartitions.partitionCount }
-    assert(readParts.exists(n => n >= 1 && n < allParts), s"read $readParts of $allParts")
+    withTempDir("graft-prune") { root =>
+      val orders = graft.core.Tables.orders(spark, dir)
+      orders.withColumn("odate", to_date(col("o_orderdate")))
+        .write.partitionBy("odate").parquet(s"$root/zone")
+      // target date from the source frame — no second scan of the zone
+      val target = orders.select(max(to_date(col("o_orderdate")))).head().getDate(0)
+      val one = spark.read.parquet(s"$root/zone").filter(col("odate") === target)
+      one.collect()
+      val scan = one.queryExecution.executedPlan.toString
+      // the partition filter must reach the scan as a PartitionFilters
+      // entry, not a post-scan Filter over every file
+      assert(scan.contains("PartitionFilters: [") && scan.contains("odate"),
+        scan.take(2000))
+      val allParts = new java.io.File(s"$root/zone").listFiles()
+        .count(_.getName.startsWith("odate="))
+      assert(allParts > 10, s"fixture should span many dates, got $allParts")
+      // partitions actually selected: one, not the whole zone
+      val readParts = one.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount }
+      assert(readParts.exists(n => n >= 1 && n < allParts), s"read $readParts of $allParts")
+    }
   }
 
   test("schema evolution: mergeSchema unions columns, old files read as null") {
     import org.apache.spark.sql.functions._
-    val root = java.nio.file.Files.createTempDirectory("graft-evolve").toString
-    val docs = graft.core.Tables.documents(spark, dir)
-    docs.select("doc_id", "lang").write.parquet(s"$root/z/v1")
-    docs.select("doc_id", "lang", "n_chars").write.parquet(s"$root/z/v2")
-    val merged = spark.read.option("mergeSchema", "true").parquet(s"$root/z/*")
-    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars"))
-    assert(merged.count() == docs.count() * 2)
-    assert(merged.filter(col("n_chars").isNull).count() == docs.count(),
-      "v1 rows surface the evolved column as null")
+    withTempDir("graft-evolve") { root =>
+      val docs = graft.core.Tables.documents(spark, dir)
+      docs.select("doc_id", "lang").write.parquet(s"$root/z/v1")
+      docs.select("doc_id", "lang", "n_chars").write.parquet(s"$root/z/v2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(s"$root/z/*")
+      assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars"))
+      assert(merged.count() == docs.count() * 2)
+      assert(merged.filter(col("n_chars").isNull).count() == docs.count(),
+        "v1 rows surface the evolved column as null")
+    }
   }
 
   test("whole-stage codegen covers the aggregation hot path") {
