@@ -54,11 +54,14 @@ object SimilarityQueries extends QueryModule {
     // Second scale path: inverted-file index (data-aware cells, one cell
     // per corpus vector, nProbe cells per query). Centroid draw is
     // engine-hash-seeded → rows-only; SimilaritySpec measures recall and
-    // single-cell membership.
+    // single-cell membership. refineIters=0 here: Lloyd is measured flat
+    // on this uniform fixture (Ann scaladoc), so the benched query skips
+    // the extra assignment pass; the spec exercises lloydStep directly.
     "q66_cosine_ivf" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Ann.ivfTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+        Ann.ivfTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5,
+            refineIters = 0)
           .orderBy("qid", "rn")
       }))
 }
