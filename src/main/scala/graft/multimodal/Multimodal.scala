@@ -72,6 +72,22 @@ object Multimodal {
     }
   }
 
+  /** Deterministic STUB resize: a real codec decodes → scales → re-encodes;
+    * without media libraries the payload truncates proportionally to the
+    * pixel-count ratio (so sizes behave like a real downscale) and the
+    * metadata updates exactly. Pure column expressions — no shuffle, no
+    * driver involvement, prunable metadata — which is the Spark-side
+    * contract a real resize would inherit unchanged.
+    */
+  def resize(media: DataFrame, newW: Int, newH: Int): DataFrame =
+    media.select(col("doc_id"), col("kind"),
+      substring(col("bytes"), lit(1),
+        greatest(lit(1), ceil(
+          octet_length(col("bytes")).cast("double") * lit(newW.toDouble * newH) /
+            (col("width").cast("double") * col("height").cast("double")))
+          .cast("int"))).as("bytes"),
+      lit(newW).as("width"), lit(newH).as("height"))
+
   /** Deterministic frame sampling: n evenly-spaced fixed-size slices of the
     * payload (stand-in for video frame extraction) — pure column exprs.
     */

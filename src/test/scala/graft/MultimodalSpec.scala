@@ -38,6 +38,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(octet_length(col("frame")) > 16).count() == 0)
   }
 
+  test("resize: payload scales with the pixel-count ratio, metadata updates") {
+    val before = media.select(col("doc_id"), octet_length(col("bytes")).as("n0"),
+      col("width"), col("height"))
+    val after = Multimodal.resize(media, 320, 240)
+    assert(after.select("width").distinct().head().getInt(0) == 320)
+    assert(after.select("height").distinct().head().getInt(0) == 240)
+    val joined = after.select(col("doc_id"), octet_length(col("bytes")).as("n1"))
+      .join(before, "doc_id").collect()
+    joined.foreach { r =>
+      val ratio = 320.0 * 240 / (r.getAs[Int]("width").toDouble * r.getAs[Int]("height"))
+      val expect = math.max(1, math.ceil(r.getAs[Int]("n0") * ratio)).toLong
+      // truncation caps at the source length (substring never extends)
+      assert(r.getAs[Int]("n1") == math.min(expect, r.getAs[Int]("n0").toLong),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("metadata queries prune the binary column from the scan") {
     // width/kind derive from doc_id/n_chars only — text (the payload
     // source) must not be read
