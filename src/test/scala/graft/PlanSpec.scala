@@ -166,6 +166,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sweep: no query in the inventory plans a CartesianProduct") {
+    // every intentional pair loop broadcasts one side (BNLJ) — an actual
+    // cartesian (both sides shuffled, |A|×|B| partitions) would mean a
+    // broadcast hint or blocking key was lost somewhere
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
+      val plan = build(spark, dir).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n${plan.take(1200)}")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE annotates codegen stages only in the final (post-execution) plan
     val df = SparkEntry.queries("q01_pricing")(spark, dir)
