@@ -531,6 +531,54 @@ object Extended extends QueryModule {
              |  cast(json_array_length('{"a": {"b": [' || json_extract_string(props, '$.k') || ',2]}}', '$.a.b') AS bigint) AS blen
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // UNPIVOT — the inverse of the q38/q59 pivot: melt the wide per-status
+    // count columns back into (priority, status, n) rows. Spark plans it
+    // as a single Expand (same machinery as grouping sets), no shuffle
+    // beyond the source aggregate.
+    "q72_unpivot" -> QueryDef(
+      (s, dir) => {
+        val wide = Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O", "P"))
+        wide.unpivot(Array(col("o_orderpriority")),
+            Array(col("F"), col("O"), col("P")), "status", "n")
+          .orderBy("o_orderpriority", "status")
+      },
+      Some("""WITH wide AS (
+             |  SELECT o_orderpriority,
+             |    count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             |    count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             |    count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+             |  FROM orders GROUP BY o_orderpriority
+             |)
+             |SELECT o_orderpriority, status, n
+             |FROM wide UNPIVOT (n FOR status IN ("F", "O", "P"))
+             |ORDER BY o_orderpriority, status""".stripMargin)),
+
+    // Running distinct count over an event-time window — no engine supports
+    // count(DISTINCT) in a window frame directly, so both sides compose it
+    // as distinct-of-collected (Spark collect_set, DuckDB list_distinct of
+    // the windowed list): the standard "unique items seen so far" curve.
+    "q73_running_distinct" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            size(collect_set(col("event_type")).over(w)).cast("long")
+              .as("n_types_seen"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  len(list_distinct(list(event_type) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS n_types_seen
+             |FROM events WHERE ts IS NOT NULL
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
     // mergeable bounded-memory distinct count for 100 TB group-bys, next to
     // the exact count for in-query error visibility. No oracle — DuckDB's
