@@ -79,6 +79,29 @@ class StreamingSessionsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    import org.apache.spark.sql.functions.broadcast
+    val root = freshDir("graft-ssj2")
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "event_type", "ts")
+    ev.write.parquet(s"$root/in")
+    // static dimension: a per-event-type label table (broadcast side)
+    import spark.implicits._
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"),
+      ("view", "engagement")).toDF("event_type", "category")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$root/in")
+      .join(broadcast(dim), Seq("event_type"), "left")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+    val streamed = spark.table("enriched")
+    val batch = spark.read.parquet(s"$root/in").join(broadcast(dim), Seq("event_type"), "left")
+    assert(streamed.count() == ev.count(), "left join preserves every stream row")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup within watermark drops exact duplicates, keeps state bounded") {
     val root = freshDir("graft-sdedup")
     val ev = Tables.events(spark, TestSpark.sfDir)
