@@ -18,6 +18,17 @@ import graft.functions.GraftFunctions._
   */
 object Extended extends QueryModule {
 
+  /** One SQL text, two engines (q74): runs verbatim on Spark and DuckDB. */
+  private val filteredAggSql: String =
+    """SELECT l_linestatus,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+      |  cast(sum(cast(l_quantity AS decimal(18,6))) FILTER (WHERE l_discount > 0.05) AS double) AS qty_discounted,
+      |  count(*) FILTER (WHERE l_returnflag IS DISTINCT FROM l_linestatus) AS n_flag_differs
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   /** Typed rows for the Dataset sessionization (q47). Public: Spark's
     * encoder codegen cannot see private case classes.
     */
@@ -578,6 +589,17 @@ object Extended extends QueryModule {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS n_types_seen
              |FROM events WHERE ts IS NOT NULL
              |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Aggregate FILTER clauses + IS DISTINCT FROM, as ONE dialect-portable
+    // SQL text: the same string runs verbatim on Spark (engine side) and
+    // DuckDB (oracle side) — the strongest form of the SQL-surface parity
+    // claim, no per-dialect translation at all.
+    "q74_filtered_agg" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        s.sql(filteredAggSql)
+      },
+      Some(filteredAggSql)),
 
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
     // mergeable bounded-memory distinct count for 100 TB group-bys, next to
