@@ -81,10 +81,15 @@ object Multimodal {
     */
   def resize(media: DataFrame, newW: Int, newH: Int): DataFrame =
     media.select(col("doc_id"), col("kind"),
+      // cap at the source length BEFORE the int cast: substring can never
+      // extend anyway, and an extreme upscale ratio would otherwise
+      // overflow the non-ANSI int cast into a wrapped (even negative)
+      // length
       substring(col("bytes"), lit(1),
-        greatest(lit(1), ceil(
-          octet_length(col("bytes")).cast("double") * lit(newW.toDouble * newH) /
-            (col("width").cast("double") * col("height").cast("double")))
+        greatest(lit(1), least(
+          ceil(octet_length(col("bytes")).cast("double") * lit(newW.toDouble * newH) /
+            (col("width").cast("double") * col("height").cast("double"))),
+          octet_length(col("bytes")).cast("double"))
           .cast("int"))).as("bytes"),
       lit(newW).as("width"), lit(newH).as("height"))
 

@@ -56,7 +56,8 @@ object SimilarityQueries extends QueryModule {
     // engine-hash-seeded → rows-only; SimilaritySpec measures recall and
     // single-cell membership. refineIters=0 here: Lloyd is measured flat
     // on this uniform fixture (Ann scaladoc), so the benched query skips
-    // the extra assignment pass; the spec exercises lloydStep directly.
+    // the extra assignment pass; SimilaritySpec pins the refined path with
+    // an explicit refineIters=1 call.
     "q66_cosine_ivf" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

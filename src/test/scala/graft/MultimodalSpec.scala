@@ -47,8 +47,11 @@ class MultimodalSpec extends AnyFunSuite {
     val joined = after.select(col("doc_id"), octet_length(col("bytes")).as("n1"))
       .join(before, "doc_id").collect()
     joined.foreach { r =>
-      val ratio = 320.0 * 240 / (r.getAs[Int]("width").toDouble * r.getAs[Int]("height"))
-      val expect = math.max(1, math.ceil(r.getAs[Int]("n0") * ratio)).toLong
+      // same arithmetic ORDER as the implementation (multiply before
+      // divide) — computing the ratio first can shift the ceil by 1
+      val expect = math.max(1, math.ceil(
+        r.getAs[Int]("n0").toDouble * (320.0 * 240) /
+          (r.getAs[Int]("width").toDouble * r.getAs[Int]("height")))).toLong
       // truncation caps at the source length (substring never extends)
       assert(r.getAs[Int]("n1") == math.min(expect, r.getAs[Int]("n0").toLong),
         s"doc ${r.getAs[Long]("doc_id")}")

@@ -55,9 +55,11 @@ class SimilaritySpec extends AnyFunSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val exact = pairs(Ann.bruteForceTopK(emb, queries, k = 5))
-    val a = pairs(Ann.ivfTopK(emb, queries, k = 5))
-    val b = pairs(Ann.ivfTopK(emb, queries, k = 5))
-    assert(a == b, "hash-seeded centroids must make IVF replayable")
+    // explicit refineIters=1: pins the Lloyd path regardless of the
+    // default (the benched q66 runs with 0)
+    val a = pairs(Ann.ivfTopK(emb, queries, k = 5, refineIters = 1))
+    val b = pairs(Ann.ivfTopK(emb, queries, k = 5, refineIters = 1))
+    assert(a == b, "hash-seeded centroids + exact-decimal Lloyd means must make IVF replayable")
     val recall = (exact & a).size.toDouble / exact.size
     // nProbe/nCells = 4/16 visits ~25% of a uniform corpus; recall well
     // above that floor means the cell ordering is doing its job
