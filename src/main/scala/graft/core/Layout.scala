@@ -75,8 +75,14 @@ object Layout {
     files.foreach(f => fs.delete(f.getPath, false))
     fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
       .zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(path, f"part-compact-$i%05d.parquet"))
-        ()
+        val dest = new org.apache.hadoop.fs.Path(path, f"part-compact-$i%05d.parquet")
+        // rename signals failure by RETURNING false (e.g. dest already exists
+        // from an interrupted run), not only by throwing — deleting tmp after
+        // a false would destroy the only copy of those rows.
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(
+            s"compact: rename ${f.getPath} -> $dest failed; " +
+              s"temp dir $tmp left intact for recovery")
       }
     fs.delete(tmp, true)
     nOut.toLong

@@ -152,7 +152,12 @@ object Dedup {
     *    is vanishingly improbable, and the result is oracle-checked;
     *  - size-ratio prefilter in the join condition: j ≤ min/max size, so a
     *    pair below the threshold ratio never reaches the intersection;
-    *  - one side broadcast, stream side repartitioned to full parallelism.
+    *  - the block join is left to Catalyst: under the auto-broadcast
+    *    threshold it broadcasts on its own (the fixture case); above it,
+    *    it plans a shuffle join on the block key, and AQE's skew-join
+    *    split keeps an oversized block from pinning one task — forcing a
+    *    whole-corpus broadcast here would cap the operator at executor
+    *    memory, the exact cliff the MinHash path already avoids.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
@@ -167,7 +172,7 @@ object Dedup {
       col("tset").as("set_b"), col("ts_n").as("n_b"))
     val inter = graft.functions.Sketches
       .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
-    l.join(broadcast(r),
+    l.join(r,
         col("block_a") === col("block_b") && col("id_a") < col("id_b") &&
           least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
       .select(col("block_a").as("block"), col("id_a"), col("id_b"),

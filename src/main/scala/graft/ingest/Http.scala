@@ -27,10 +27,10 @@ object Http {
       sleeper: Long => Unit = Thread.sleep)
 
   /** URL with its query string dropped — credentials ride as query params
-    * (`app_id`/`app_key`), so anything user-facing (error messages, the
-    * correlation keys [[fetchMany]] returns) must carry the redacted form
-    * or Config's "never logged" contract breaks the moment a caller logs
-    * a failure. The path alone still identifies the element.
+    * (`app_id`/`app_key`), so anything user-facing (error messages, log
+    * lines) must carry the redacted form or Config's "never logged"
+    * contract breaks the moment a caller logs a failure. The path alone
+    * still identifies the element.
     */
   def redact(url: String): String = {
     val q = url.indexOf('?')
@@ -59,8 +59,12 @@ object Http {
 
   /** Fan-out with per-element isolation: failures are logged-and-skipped,
     * never fatal (reference `tfl_ingest_dag.py:63-64`).
+    *
+    * Keyed by the ORIGINAL url so requests differing only in query params
+    * (pagination pages, per-stop credentials) stay distinguishable; callers
+    * that surface a key to logs must pass it through [[redact]] themselves.
     */
   def fetchMany(urls: Seq[String], transport: Transport,
       policy: Policy = Policy()): Seq[(String, Try[String])] =
-    urls.map(u => redact(u) -> fetch(u, transport, policy))
+    urls.map(u => u -> fetch(u, transport, policy))
 }

@@ -298,8 +298,8 @@ object Advanced extends QueryModule {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |), sessions AS (
              |  SELECT user_id, event_id, ts,
-             |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    cast(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM marked
              |)
              |SELECT user_id, session_id,

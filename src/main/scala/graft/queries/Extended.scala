@@ -105,8 +105,8 @@ object Extended extends QueryModule {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |), sessions AS (
              |  SELECT user_id, ts,
-             |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    cast(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM marked
              |)
              |SELECT user_id, session_id,
@@ -160,7 +160,7 @@ object Extended extends QueryModule {
       Some("""SELECT o_orderpriority,
              |  arg_max(o_orderkey, o_totalprice) AS top_order,
              |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
-             |  count_if(o_totalprice > 200000.0) AS n_big,
+             |  cast(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
              |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
              |  bool_or(o_orderstatus = 'P') AS any_pending
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
@@ -315,7 +315,10 @@ object Extended extends QueryModule {
           .pivot("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             sumExact(col("o_totalprice")).as("spend"))
-          .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+          // fill only columns the discovered pivot domain actually produced —
+          // a fixture missing a status would otherwise make na.fill throw
+          .transform(df => df.na.fill(0L,
+            Seq("F_n", "O_n", "P_n").filter(df.columns.contains)))
           .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
              |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",

@@ -62,6 +62,25 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 20.0 / 22.0) < 1e-12)
   }
 
+  test("jaccard block join never FORCES a corpus broadcast") {
+    // with auto-broadcast off, a forced broadcast() hint would still plan a
+    // BroadcastExchange; the un-hinted equi-join must fall back to a shuffle
+    // join, which is the only shape that survives a 100 TB corpus side
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 0.5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"corpus side must not be broadcast when Catalyst says it's big:\n$plan")
+      // and the pairs themselves are unchanged by the join strategy
+      val r = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 0.5)
+        .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(r.contains((0L, 1L)))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("embedding near-dup: identical vectors cosine 1, orthogonal excluded") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -166,4 +166,15 @@ class JobsSpec extends AnyFunSuite {
     assert(r.count(_._2.isSuccess) == 2)
     assert(r.count(_._2.isFailure) == 1)
   }
+
+  test("fetchMany keys stay distinct across query-param-only URL variants") {
+    val t: Http.Transport = { u => Http.Response(200, u.takeRight(1)) }
+    val p = Http.Policy(retries = 0, backoffMillis = 0, sleeper = _ => ())
+    val urls = Seq("https://x/api?page=1", "https://x/api?page=2")
+    val r = Http.fetchMany(urls, t, p)
+    assert(r.map(_._1) == urls, "original URLs preserved for correlation")
+    assert(r.map(_._2.get) == Seq("1", "2"))
+    // the redacted display form is still available for logging
+    assert(Http.redact(urls.head) == "https://x/api?<redacted>")
+  }
 }

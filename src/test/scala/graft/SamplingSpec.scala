@@ -68,4 +68,21 @@ class SamplingSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet"))
     assert(filesAfter == 1)
   }
+
+  test("compaction aborts (keeping tmp) when the swap is blocked") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-abort").toString
+    val docs = Tables.documents(spark, dir)
+    docs.limit(50).repartition(3).write.parquet(s"$root/zone")
+    // interrupted-run leftover: a destination NAME occupied by a non-empty
+    // directory (non-recursive delete/rename can't displace it)
+    docs.limit(7).coalesce(1)
+      .write.parquet(s"$root/zone/part-compact-00000.parquet")
+    intercept[java.io.IOException] {
+      graft.core.Layout.compact(spark, s"$root/zone", targetBytes = 1L << 40)
+    }
+    // the rows survive in the temp dir — recovery is finishing the swap
+    val tmp = new java.io.File(s"$root/zone__compact_tmp")
+    assert(tmp.isDirectory, "temp dir left intact for recovery")
+    assert(spark.read.parquet(tmp.toString).count() == 57)
+  }
 }
