@@ -57,4 +57,21 @@ object Tables {
   /** Register every table as a temp view (for `spark.sql` entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Cheap content fingerprint of a parquet path (path + per-file sizes +
+    * mtimes), usable in an identifier. Lets derived artifacts (e.g. a
+    * persisted ANN index) key themselves to the data they were built from:
+    * a regenerated fixture changes the fingerprint and forces a rebuild.
+    * One driver-side directory listing — no data read.
+    */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest((path +: parts).mkString("|").getBytes("UTF-8"))
+    h.take(8).map(b => f"$b%02x").mkString
+  }
 }

@@ -121,27 +121,36 @@ object Jobs {
     * recomputed — the reference's `+materialized: table` semantics) →
     * quality gate (the 9 dbt not_null tests + 2 GX checks on a 10k
     * sample). Returns the check results; callers decide error-vs-warn.
+    *
+    * `lineage` (default off) emits an OpenLineage-shaped START/COMPLETE
+    * run-event pair with the job's dataset URIs — the counterpart of the
+    * reference's OpenLineage wiring on its transform DAG
+    * (`tfl_transform_dag.py:93-96`).
     */
-  def transform(spark: SparkSession, rawDir: String, silverDir: String):
-      Seq[Expectations.Result] = {
-    GraftSession.tune(spark)
-    val stg = StgArrivals(spark, rawDir)
-    stg.write.mode(SaveMode.Overwrite).parquet(s"$silverDir/stg_arrivals")
-    val stgBack = spark.read.schema(Schemas.stgArrivals)
-      .parquet(s"$silverDir/stg_arrivals")
-    FctHeadways(stgBack).write.mode(SaveMode.Overwrite)
-      .parquet(s"$silverDir/fct_headways")
-    val fctBack = spark.read.parquet(s"$silverDir/fct_headways")
-    val dbtChecks = Expectations.run(stgBack,
-      Seq(NotNull("line_id"), NotNull("stop_id"), NotNull("event_ts"))) ++
-      Expectations.run(fctBack, Seq(
-        NotNull("line_id"), NotNull("stop_id"), NotNull("hour"),
-        NotNull("avg_headway_s"), NotNull("p50_headway_s"), NotNull("p90_headway_s")))
-    val gxChecks = Expectations.run(stgBack, Seq(
-      Between("time_to_station_s", 0, 3600, Warning),
-      NotNull("line_id", Warning)), sample = Some(10000))
-    dbtChecks ++ gxChecks
-  }
+  def transform(spark: SparkSession, rawDir: String, silverDir: String,
+      lineage: graft.lineage.LineageSink = graft.lineage.Lineage.NoopSink):
+      Seq[Expectations.Result] =
+    graft.lineage.Lineage.tracked(lineage, "graft.transform",
+      inputs = Seq(rawDir),
+      outputs = Seq(s"$silverDir/stg_arrivals", s"$silverDir/fct_headways")) {
+      GraftSession.tune(spark)
+      val stg = StgArrivals(spark, rawDir)
+      stg.write.mode(SaveMode.Overwrite).parquet(s"$silverDir/stg_arrivals")
+      val stgBack = spark.read.schema(Schemas.stgArrivals)
+        .parquet(s"$silverDir/stg_arrivals")
+      FctHeadways(stgBack).write.mode(SaveMode.Overwrite)
+        .parquet(s"$silverDir/fct_headways")
+      val fctBack = spark.read.parquet(s"$silverDir/fct_headways")
+      val dbtChecks = Expectations.run(stgBack,
+        Seq(NotNull("line_id"), NotNull("stop_id"), NotNull("event_ts"))) ++
+        Expectations.run(fctBack, Seq(
+          NotNull("line_id"), NotNull("stop_id"), NotNull("hour"),
+          NotNull("avg_headway_s"), NotNull("p50_headway_s"), NotNull("p90_headway_s")))
+      val gxChecks = Expectations.run(stgBack, Seq(
+        Between("time_to_station_s", 0, 3600, Warning),
+        NotNull("line_id", Warning)), sample = Some(10000))
+      dbtChecks ++ gxChecks
+    }
 
   /** E3 — line alignment: fan-out per-stop fetches, filter to the line,
     * enrich with stop metadata via a BROADCAST lookup join + coalesce

@@ -1,0 +1,131 @@
+package graft.lineage
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** OpenLineage-shaped run-event emission (SURVEY S12) — the engine-side
+  * counterpart of the reference's OpenLineage → Marquez wiring
+  * (`airflow/dags/tfl_transform_dag.py:93-96`,
+  * `docker-compose.override.yml:9-10,28-29`).
+  *
+  * Two layers, mirroring how OpenLineage integrates with Spark:
+  *
+  *  - [[Lineage.tracked]] — job-level START / COMPLETE / FAIL pairs with
+  *    declared input/output dataset URIs, wrapped around an entry point
+  *    (the analog of the reference's per-Airflow-task events). Synchronous
+  *    and deterministic.
+  *  - [[LineageListener]] — a `QueryExecutionListener` deriving datasets
+  *    from the executed plans themselves (parquet scan root paths in,
+  *    insert command output paths out), one event per Spark action. This
+  *    is the "observe everything, instrument nothing" layer; events are
+  *    delivered on Spark's listener bus (asynchronously, like all Spark
+  *    listeners).
+  *
+  * Emission is a [[LineageSink]]: the environment has zero egress, so the
+  * shipped sinks are in-memory / stderr; a deployment POSTs
+  * [[RunEvent.toJson]] to an OpenLineage collector (e.g. Marquez) — the
+  * JSON carries the OpenLineage core fields (eventType, eventTime, run,
+  * job, inputs, outputs, producer).
+  */
+final case class RunEvent(eventType: String, runId: String, job: String,
+    eventTimeMs: Long, inputs: Seq[String], outputs: Seq[String]) {
+
+  def toJson: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def ds(xs: Seq[String]) = xs
+      .map(x => s"""{"namespace":"graft","name":"${esc(x)}"}""")
+      .mkString("[", ",", "]")
+    s"""{"eventType":"$eventType","eventTime":"${java.time.Instant.ofEpochMilli(eventTimeMs)}",""" +
+      s""""run":{"runId":"$runId"},"job":{"namespace":"graft","name":"${esc(job)}"},""" +
+      s""""inputs":${ds(inputs)},"outputs":${ds(outputs)},""" +
+      s""""producer":"graft-lineage"}"""
+  }
+}
+
+trait LineageSink extends Serializable {
+  def emit(e: RunEvent): Unit
+}
+
+/** Collecting sink for tests and local inspection. */
+final class BufferSink extends LineageSink {
+  private val q = new ConcurrentLinkedQueue[RunEvent]()
+  def emit(e: RunEvent): Unit = { q.add(e); () }
+  def events: Seq[RunEvent] = {
+    import scala.jdk.CollectionConverters._
+    q.asScala.toSeq
+  }
+}
+
+object Lineage {
+
+  /** Default: lineage off — emission must never be a tax on callers that
+    * don't ask for it.
+    */
+  object NoopSink extends LineageSink {
+    def emit(e: RunEvent): Unit = ()
+  }
+
+  /** Job-level tracking: emit START, run the body, emit COMPLETE (with the
+    * declared datasets) or FAIL (then rethrow). One runId ties the pair.
+    */
+  def tracked[A](sink: LineageSink, job: String, inputs: Seq[String],
+      outputs: Seq[String])(body: => A): A = {
+    val runId = UUID.randomUUID().toString
+    sink.emit(RunEvent("START", runId, job, System.currentTimeMillis(), inputs, Seq.empty))
+    try {
+      val a = body
+      sink.emit(RunEvent("COMPLETE", runId, job, System.currentTimeMillis(), inputs, outputs))
+      a
+    } catch {
+      case e: Throwable =>
+        sink.emit(RunEvent("FAIL", runId, job, System.currentTimeMillis(), inputs, Seq.empty))
+        throw e
+    }
+  }
+}
+
+/** Plan-derived per-action lineage: register via
+  * `spark.listenerManager.register(new LineageListener(sink))`. Inputs are
+  * the file-scan root paths of the executed plan; outputs are the insert
+  * commands' destination paths. Events arrive on Spark's (async) listener
+  * bus.
+  */
+final class LineageListener(sink: LineageSink, jobPrefix: String = "spark")
+    extends QueryExecutionListener {
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    sink.emit(event("COMPLETE", funcName, qe))
+
+  override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
+    sink.emit(event("FAIL", funcName, qe))
+
+  private def event(tpe: String, fn: String, qe: QueryExecution): RunEvent = {
+    val inputs = qe.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.distinct
+    // v1 file writes surface as InsertIntoHadoopFsRelationCommand — on the
+    // logical side for command QEs, under DataWritingCommandExec physically;
+    // collect from both and dedup, whichever shape this Spark version built
+    val logicalOut = qe.logical.collect {
+      case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+        c.outputPath.toString
+    }
+    val physicalOut = qe.executedPlan.collect {
+      case d: org.apache.spark.sql.execution.command.DataWritingCommandExec =>
+        d.cmd match {
+          case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+            Seq(c.outputPath.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    RunEvent(tpe, UUID.randomUUID().toString, s"$jobPrefix.$fn",
+      System.currentTimeMillis(), inputs, (logicalOut ++ physicalOut).distinct)
+  }
+}

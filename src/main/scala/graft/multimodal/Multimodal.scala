@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support: media payloads ride as opaque `binary`
   * columns with typed metadata; decode / feature-extraction runs as typed
   * `mapPartitions` over the Dataset (the Scala-native analog of
-  * `mapInPandas`) so each partition batches through the "codec" once.
+  * `mapInPandas`) so each partition batches through the codec once.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape, typed
-  * encoders — is real and tested. The codec itself is a clearly-marked
-  * DETERMINISTIC STUB ([[decodeStub]]): the container ships no image/audio
-  * libraries, so "decoding" derives fake-but-stable features from the raw
-  * bytes. Swapping in a real codec changes only that one function.
+  * Two codecs behind one [[Codec]] contract:
+  *  - [[ImageIoCodec]] — REAL PNG/JPEG decode via `javax.imageio` (ships
+  *    in the JDK, headless-safe): actual pixel statistics out of actual
+  *    images;
+  *  - [[StubCodec]] — the deterministic fallback for payload kinds with
+  *    no in-container decoder (audio/video): fake-but-stable features
+  *    from the raw bytes, loudly documented as such.
   *
   * Scale notes: media bytes never hit the driver; featurization is a
   * narrow partition-local map (no shuffle); metadata lives in plain
@@ -28,6 +30,53 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
       avg_byte: Double, feat: Array[Double])
 
+  /** The codec contract: payload bytes → (mean signal level on a 0-255
+    * scale, fixed-width feature vector). Implementations must be
+    * deterministic and serializable — they run inside executor tasks.
+    */
+  trait Codec extends Serializable {
+    def decode(bytes: Array[Byte]): (Double, Array[Double])
+  }
+
+  /** Real image decode via `javax.imageio` (JDK-built-in, no display
+    * needed). Features are exact pixel statistics: mean red/green/blue in
+    * [0,1] and the pixel count; the signal level is the Rec.601 mean luma.
+    * PNG is lossless, so the stats are bit-deterministic for a given
+    * payload. Non-image bytes fail loudly (an unreadable payload in an
+    * image pipeline is a data bug, not a feature).
+    */
+  object ImageIoCodec extends Codec {
+    def decode(bytes: Array[Byte]): (Double, Array[Double]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"payload (${bytes.length} bytes) is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val (r, g, b) = (rs.toDouble / n, gs.toDouble / n, bs.toDouble / n)
+      (0.299 * r + 0.587 * g + 0.114 * b,
+        Array(r / 255.0, g / 255.0, b / 255.0, n.toDouble))
+    }
+  }
+
+  /** STUB codec — deterministic fake decode for payload kinds without an
+    * in-container decoder. The signature (bytes in, fixed-width features
+    * out) is the real contract; swapping in a real audio/video codec
+    * changes only this object.
+    */
+  object StubCodec extends Codec {
+    def decode(bytes: Array[Byte]): (Double, Array[Double]) = decodeStub(bytes)
+  }
+
   /** Synthesize a media table from `documents`: payload = UTF-8 bytes of
     * the text (stand-in for an encoded image/audio blob), kind cycles
     * deterministically, dimensions derive from payload size.
@@ -41,10 +90,6 @@ object Multimodal {
       (col("n_chars") % 640 + 1).cast("int").as("width"),
       (col("n_chars") % 480 + 1).cast("int").as("height"))
 
-  /** STUB codec — deterministic fake decode. A real deployment replaces
-    * this with an actual image/audio decode (libs unavailable here); the
-    * signature (bytes in, fixed-width features out) is the real contract.
-    */
   private[multimodal] def decodeStub(bytes: Array[Byte]): (Double, Array[Double]) = {
     if (bytes.isEmpty) (0.0, Array.fill(4)(0.0))
     else {
@@ -59,17 +104,47 @@ object Multimodal {
     }
   }
 
-  /** Partition-batched featurization: one "codec" pass per partition,
+  /** Partition-batched featurization: one codec pass per partition,
     * typed in/out (Dataset[MediaRow] → Dataset[MediaFeatures]).
     */
-  def featurize(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def featurize(spark: SparkSession, media: DataFrame,
+      codec: Codec = StubCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (avg, feat) = decodeStub(r.bytes)
+        val (avg, feat) = codec.decode(r.bytes)
         MediaFeatures(r.doc_id, r.kind, r.bytes.length, avg, feat)
       }
     }
+  }
+
+  /** Synthesize a REAL-image media table: each document becomes a 4×4
+    * RGB PNG whose pixels derive deterministically from the text bytes —
+    * actual encoded images (javax.imageio PNG writer) flowing through the
+    * actual binary-column plumbing, so the decode path is exercised
+    * end-to-end with no fixture files. Partition-local map; bytes never
+    * hit the driver.
+    */
+  def syntheticPngTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val src = text.getBytes("UTF-8")
+          val img = new java.awt.image.BufferedImage(
+            4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < 16) {
+            val v = if (src.isEmpty) 0 else src(i % src.length) & 0xff
+            img.setRGB(i % 4, i / 4,
+              (v << 16) | (((v * 7) & 0xff) << 8) | ((v * 13) & 0xff))
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(id, "image", bos.toByteArray, 4, 4)
+        }
+      }.toDF()
   }
 
   /** Deterministic STUB resize: a real codec decodes → scales → re-encodes;

@@ -329,6 +329,36 @@ object Extended extends QueryModule {
              |  cast(sum(cast(o_totalprice AS decimal(18,6))) FILTER (WHERE o_orderstatus = 'P') AS double) AS "P_spend"
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Hopping (sliding) time windows — the batch form of the streaming
+    // hop aggregate: every event lands in duration/slide = 3 overlapping
+    // 15-minute windows. Spark's window() generator expands each row to
+    // its covering windows map-side (an Expand, not a join), then one
+    // partial-agg shuffle on the window start — the plan a 100 TB
+    // time-series rollup wants. Oracle mirrors the epoch-aligned window
+    // arithmetic with an explicit 3-offset unnest.
+    "q58_hop_windows" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir).filter(col("ts").isNotNull)
+          .groupBy(window(col("ts"), "15 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("n_events"), col("n_users"))
+          .orderBy("window_start"),
+      Some("""WITH hops AS (
+             |  SELECT make_timestamp((epoch_us(ts) // 300000000 - k) * 300000000) AS window_start,
+             |    user_id
+             |  FROM events, unnest([0, 1, 2]) AS t(k)
+             |  WHERE ts IS NOT NULL
+             |)
+             |SELECT window_start,
+             |  window_start + INTERVAL 15 MINUTE AS window_end,
+             |  count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM hops GROUP BY window_start
+             |ORDER BY window_start""".stripMargin)),
+
     // Native session_window operator — the engine-level form of the
     // sessionization family (q45 window arithmetic, q47 typed fold): one
     // aggregate over merged gap intervals, and the ONLY formulation that

@@ -39,5 +39,24 @@ object MultimodalQueries extends QueryModule {
           .toDF()
           .select(col("doc_id"), col("kind"), col("n_bytes"), col("avg_byte"),
             element_at(col("feat"), 1).as("f0"))
+          .orderBy("doc_id")),
+
+    // REAL image decode end-to-end: synthesize an actual PNG per document
+    // (deterministic pixels from the text bytes), push the encoded binary
+    // through the executor-side javax.imageio codec, emit exact pixel
+    // statistics. Rows-only check (no SQL engine decodes PNG); the
+    // pixel-exact decode values are pinned in MultimodalSpec against
+    // hand-computed channel means.
+    "q75_image_decode" -> QueryDef(
+      (s, dir) =>
+        Multimodal.featurize(s,
+            Multimodal.syntheticPngTable(s, Tables.documents(s, dir)),
+            Multimodal.ImageIoCodec)
+          .toDF()
+          .select(col("doc_id"), col("avg_byte").as("mean_luma"),
+            element_at(col("feat"), 1).as("mean_r"),
+            element_at(col("feat"), 2).as("mean_g"),
+            element_at(col("feat"), 3).as("mean_b"),
+            element_at(col("feat"), 4).cast("long").as("n_pixels"))
           .orderBy("doc_id")))
 }

@@ -119,6 +119,52 @@ object Text extends QueryModule {
              |)
              |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
 
+    // Corpus-level tf-idf: per-document top-3 terms by tf × inverse
+    // document frequency. The idf is the LINEAR ratio n_docs/df rather
+    // than its log: IEEE ops (mul/div) are exactly rounded and therefore
+    // bit-identical across engines, while ln() is libm-dependent — the
+    // log version would be oracle-unverifiable at the hash gate for zero
+    // analytical gain at fixed corpus size (log is monotone, so top-k
+    // per document is IDENTICAL either way).
+    // Shuffle story: tf = one partial-agg shuffle on (doc, token); df =
+    // one on token; corpus size broadcast; tf⋈df shuffles on token. No
+    // driver-side loops, no all-pairs anything.
+    "q57_tfidf" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val tok = d.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+        val total = d.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+        tf.join(dfreq, Seq("token"))
+          .crossJoin(broadcast(total))
+          .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "token", "tf", "df", "score", "rn")
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+             |), dfreq AS (
+             |  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+             |), n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, token, tf, df,
+             |    cast(tf AS double) * n_docs / df AS score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY cast(tf AS double) * n_docs / df DESC, token) AS rn
+             |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+             |)
+             |SELECT doc_id, token, tf, df, score, rn FROM scored WHERE rn <= 3
+             |ORDER BY doc_id, rn""".stripMargin)),
+
     // The curation composition: C4-style keep/drop per document from the
     // oracle-verified primitives (lang metadata, length bounds, q22's
     // quality score, q30's dedup canonicality), with per-criterion

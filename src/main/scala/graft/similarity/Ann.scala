@@ -72,9 +72,16 @@ object Ann {
       when(dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** ANN top-k via an inverted-file index (IVF) — the second scale path
-    * beside [[lshTopK]], trading LSH's stateless hashing for a data-aware
-    * partition of the corpus:
+  /** A built IVF index: the (tiny) centroid table `(cell, cvec, cvn2)` and
+    * the corpus assignment `(nid, cell, ce, cn2)` — every corpus vector in
+    * exactly one cell. Build once ([[buildIvfIndex]]), persist
+    * ([[writeIvfIndex]] — bucketed on `cell` so probe joins scan
+    * shuffle-free), search many times ([[searchIvf]]).
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Build the IVF index — the expensive, once-per-corpus half of
+    * [[ivfTopK]]:
     *
     *  1. `nCells` centroids are drawn deterministically (smallest
     *     `xxhash64(vec_id)` — a seeded uniform sample) and then
@@ -82,25 +89,14 @@ object Ann {
     *     exact-decimal cell means, so replay determinism survives);
     *  2. every corpus vector is assigned to its max-cosine centroid —
     *     one broadcast join + `max_by` aggregate, O(n·nCells) map-side
-    *     work, ONE shuffle on vec_id (this is the index build; at 100 TB
-    *     it is written once and reused across query batches);
-    *  3. a query probes its `nProbe` nearest cells; candidates are the
-    *     corpus vectors of those cells (plain shuffle join on the cell id),
-    *     and only candidates get exact cosine. Each corpus vector lives in
-    *     exactly one cell, so a (query, neighbor) pair meets at most once —
-    *     no dedup pass, unlike multi-probe LSH.
+    *     work, ONE shuffle on vec_id.
     *
-    * Expected candidate volume is nProbe/nCells of the corpus (~25% at the
-    * 16/4 defaults on this uniform fixture; real clustered embeddings
-    * concentrate true neighbors into far fewer probes). Measured on the
-    * uniform sf0.01 fixture, recall@5 is flat across refineIters 0/1/2
-    * (0.60/0.56/0.62 — noise): Lloyd can only help when there is cluster
-    * structure to find, which uniform random vectors lack by construction;
-    * the default of one iteration is for real corpora, and refineIters=0
-    * skips the cost when the caller knows better.
+    * At 100 TB this output is written once via [[writeIvfIndex]] and
+    * reused across every query batch; recomputing the assignment per
+    * query would dominate the search cost.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 1): DataFrame = {
+  def buildIvfIndex(corpus: DataFrame, nCells: Int = 16,
+      refineIters: Int = 1): IvfIndex = {
     val init = corpus
       .select(col("embedding").as("cvec"), xxhash64(col("vec_id")).as("h"))
       .orderBy("h").limit(nCells)
@@ -115,7 +111,7 @@ object Ann {
     def cellSim(vec: Column, vn2: Column): Column =
       cosinePrenormed(FloatVecDot.dot(vec, col("cvec")), vn2, col("cvn2"))
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.repartition(par)
+    val assigned = corpus.repartition(par)
       .select(col("vec_id").as("nid"), col("embedding").as("ce"),
         FloatVecDot.norm2(col("embedding")).as("cn2"))
       .join(broadcast(cent), lit(true))
@@ -124,24 +120,92 @@ object Ann {
         max_by(col("cell"), struct(cellSim(col("ce"), col("cn2")), col("cell")))
           .as("cell"),
         first("ce").as("ce"), first("cn2").as("cn2"))
+    IvfIndex(cent, assigned)
+  }
+
+  /** Persist an IVF index as two tables: `<name>_centroids` (tiny) and
+    * `<name>_assigned` BUCKETED on `cell` — the probe join in [[searchIvf]]
+    * then reads the corpus side pre-partitioned, so only the (small) query
+    * side shuffles. This is the artifact that amortizes the index build
+    * across query batches and JVM restarts.
+    */
+  def writeIvfIndex(idx: IvfIndex, name: String, buckets: Int = 8): Unit = {
+    val spark = idx.assigned.sparkSession
+    Seq(s"${name}_centroids", s"${name}_assigned").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      // without a durable metastore the catalog forgets tables across JVMs
+      // while their warehouse directories persist — clear a stale location
+      // or the CTAS below refuses to create (LOCATION_ALREADY_EXISTS)
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+        t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    idx.centroids.select("cell", "cvec").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_centroids")
+    graft.core.Layout.writeBucketed(
+      idx.assigned, s"${name}_assigned", "cell", buckets)
+  }
+
+  /** Load an index persisted by [[writeIvfIndex]]. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): IvfIndex =
+    IvfIndex(
+      spark.table(s"${name}_centroids")
+        .select(col("cell"), col("cvec"), FloatVecDot.norm2(col("cvec")).as("cvn2")),
+      spark.table(s"${name}_assigned"))
+
+  /** Search a prebuilt IVF index: a query probes its `nProbe` nearest
+    * cells; candidates are the corpus vectors of those cells (equi-join on
+    * the cell id — shuffle-free on the corpus side when the index is
+    * bucketed), and only candidates get exact cosine. Each corpus vector
+    * lives in exactly one cell, so a (query, neighbor) pair meets at most
+    * once — no dedup pass, unlike multi-probe LSH.
+    *
+    * Expected candidate volume is nProbe/nCells of the corpus (~25% at the
+    * 16/4 defaults on this uniform fixture; real clustered embeddings
+    * concentrate true neighbors into far fewer probes).
+    */
+  def searchIvf(idx: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    def cellSim(vec: Column, vn2: Column): Column =
+      cosinePrenormed(FloatVecDot.dot(vec, col("cvec")), vn2, col("cvn2"))
     val qw = Window.partitionBy("qid").orderBy(col("psim").desc, col("cell"))
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         FloatVecDot.norm2(col("embedding")).as("qn2"))
-      .join(broadcast(cent), lit(true))
+      .join(broadcast(idx.centroids), lit(true))
       .select(col("qid"), col("qe"), col("qn2"), col("cell"),
         cellSim(col("qe"), col("qn2")).as("psim"))
       .withColumn("pr", row_number().over(qw))
       .filter(col("pr") <= nProbe)
       .select("qid", "qe", "qn2", "cell")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    c.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
+    idx.assigned.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         cosinePrenormed(FloatVecDot.dot(col("qe"), col("ce")),
           col("qn2"), col("cn2")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** ANN top-k via an inverted-file index (IVF) — the second scale path
+    * beside [[lshTopK]], trading LSH's stateless hashing for a data-aware
+    * partition of the corpus. One-shot convenience:
+    * [[buildIvfIndex]] + [[searchIvf]]; batch callers build (or
+    * [[loadIvfIndex]]) once and search many times.
+    *
+    * Measured on the uniform sf0.01 fixture, recall@5 is flat across
+    * refineIters 0/1/2 (0.60/0.56/0.62 — noise): Lloyd can only help when
+    * there is cluster structure to find, which uniform random vectors lack
+    * by construction; the default of one iteration is for real corpora,
+    * and refineIters=0 skips the cost when the caller knows better.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 1): DataFrame =
+    searchIvf(buildIvfIndex(corpus, nCells, refineIters), queries, k, nProbe)
 
   /** Pin a (tiny, ≤ nCells-row) centroid table as a local relation so each
     * Lloyd iteration's plan starts from collected data instead of replaying

@@ -75,4 +75,38 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy("qid", "nid").count().filter(col("count") > 1)
     assert(got.isEmpty)
   }
+
+  test("persisted IVF index: search skips the assignment pass, results identical") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rn"))).toSet
+    val oneShot = rows(Ann.ivfTopK(emb, queries, k = 5, refineIters = 0))
+
+    Ann.writeIvfIndex(Ann.buildIvfIndex(emb, refineIters = 0), "graft_test_ivf")
+    val search = Ann.searchIvf(Ann.loadIvfIndex(spark, "graft_test_ivf"),
+      queries, k = 5)
+
+    // a second (and every further) query batch pays only the probe join:
+    // no O(n·nCells) max_by assignment anywhere in the search plan
+    val plan = search.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("max_by"),
+      s"search over a prebuilt index must not re-run the assignment:\n$plan")
+    // and the corpus side arrives pre-bucketed on the join key — no
+    // shuffle of the assigned table (the query side may shuffle; it's tiny)
+    val corpusShuffled = search.queryExecution.executedPlan.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.toString.contains("graft_test_ivf_assigned")
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(!corpusShuffled, s"bucketed index scan must not be re-shuffled:\n$plan")
+
+    assert(rows(search) == oneShot,
+      "index round-trip must be bit-identical to the one-shot path")
+  }
 }
