@@ -126,20 +126,24 @@ object Text extends QueryModule {
     // log version would be oracle-unverifiable at the hash gate for zero
     // analytical gain at fixed corpus size (log is monotone, so top-k
     // per document is IDENTICAL either way).
-    // Shuffle story: tf = one partial-agg shuffle on (doc, token); df =
-    // one on token; corpus size broadcast; tf⋈df shuffles on token. No
-    // driver-side loops, no all-pairs anything.
+    // Shuffle story: ONE tokenize+explode pass → tf partial-agg shuffle on
+    // (doc, token); df = count(*) OVER (PARTITION BY token) on top of tf —
+    // tf is already distinct per (doc, token), so rows-per-token IS
+    // distinct-docs-per-token, and the window replaces the join-against-
+    // a-second-aggregation shape (which would re-tokenize: column pruning
+    // diverges the two tf subtrees, defeating exchange reuse). n_docs is a
+    // footer-only parquet count, broadcast. No all-pairs anything.
     "q57_tfidf" -> QueryDef(
       (s, dir) => {
         val d = Tables.documents(s, dir)
         val tok = d.select(col("doc_id"),
           explode(tokens(lower(col("text")))).as("token"))
         val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dfreq = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
         val total = d.agg(count(lit(1)).as("n_docs"))
+        val wt = org.apache.spark.sql.expressions.Window.partitionBy("token")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-        tf.join(dfreq, Seq("token"))
+        tf.withColumn("df", count(lit(1)).over(wt))
           .crossJoin(broadcast(total))
           .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
           .withColumn("rn", row_number().over(w))
