@@ -204,6 +204,67 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  // --- duplicate-cluster connected components ------------------------------
+
+  /** Connected components over an undirected pair list — turns near-dup
+    * PAIRS (any of the pair operators above) into CLUSTER assignments, the
+    * form a dedup pipeline actually consumes (keep one survivor per
+    * component, not per pair).
+    *
+    * Algorithm: min-label propagation. Every node starts labeled with its
+    * own id; each round, a node adopts the minimum label among itself and
+    * its neighbors. Labels only decrease, so the global label sum is
+    * strictly decreasing until fixpoint — convergence is detected from that
+    * single scalar aggregate (no per-row change join, no driver-side data).
+    * Rounds needed = graph diameter. Near-dup graphs are dense clusters of
+    * mutually-similar documents, so diameters stay small (single digits);
+    * `maxIter` caps the adversarial-chain worst case and a converged run
+    * exits early.
+    *
+    * Scale shape: each round is one shuffle join (edges ⋈ labels on node
+    * id) plus one partial-agg shuffle (min per node) — both on the same
+    * key, both skew-handled by AQE. `labels` feeds into itself TWICE per
+    * round (union + join), so without lineage truncation the analyzed plan
+    * doubles every iteration — exponential. Each round is therefore
+    * checkpointed: reliably if the session has a checkpoint dir (the
+    * cluster setting — survives executor loss), else `localCheckpoint`
+    * (executor-block-backed; right for local mode and short jobs). Ids
+    * must be numeric (min ordering); doc ids here are int64.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val half = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = truncate(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
+    // decimal(38,0) sum: overflow-proof at any node count (int64 sums
+    // overflow around 10^10 nodes with 10-digit ids)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = truncate(
+        labels.union(prop).groupBy("id").agg(min("comp").as("comp")))
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Scale path for embedding near-dup: hyperplane-LSH bucket blocking
     * (multi-probe, same machinery as [[graft.similarity.Ann]]) turns the
     * all-pairs O(n²) into a shuffle join on bucket keys; candidates get

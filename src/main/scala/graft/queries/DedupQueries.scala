@@ -107,5 +107,43 @@ object DedupQueries extends QueryModule {
       (s, dir) =>
         Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), "embedding",
             "vec_id", threshold = 0.3)
-          .orderBy("id_a", "id_b")))
+          .orderBy("id_a", "id_b")),
+
+    // Duplicate clusters: connected components over the oracle-verified
+    // exact-Jaccard pair graph (q33's pairs), assigning every paired doc
+    // its cluster (min reachable id) and cluster size. The oracle closes
+    // the same transitive hull with a recursive CTE.
+    "q76_dup_clusters" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+          "text", "doc_id", blockCol = "lang", threshold = 0.95)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+        cc.withColumn("csize", count(lit(1)).over(w))
+          .select(col("id").as("doc_id"), col("comp"), col("csize"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT lang AS block, doc_id AS id,
+             |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tset
+             |  FROM documents
+             |), pairs AS (
+             |  SELECT a.id AS id_a, b.id AS id_b
+             |  FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+             |  WHERE cast(len(list_intersect(a.tset, b.tset)) AS double) /
+             |        cast(len(list_distinct(list_concat(a.tset, b.tset))) AS double) >= 0.95
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION
+             |  SELECT id_b, id_a FROM pairs
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             |), comps AS (
+             |  SELECT src AS doc_id, least(src, min(dst)) AS comp
+             |  FROM reach GROUP BY src
+             |)
+             |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
+             |FROM comps ORDER BY doc_id""".stripMargin)))
 }

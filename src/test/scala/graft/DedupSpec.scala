@@ -92,6 +92,25 @@ class DedupSpec extends AnyFunSuite {
     assert(r == Set((0L, 1L)))
   }
 
+  test("connected components: chain closes transitively, islands stay apart") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), island 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges within maxIter") {
+    // a 30-node path is the adversarial diameter case for label propagation;
+    // every node must still reach the global min label
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 30 && cc.values.forall(_ == 0L))
+  }
+
   test("embedding near-dup LSH path: finds same-direction pair (same bucket)") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => (i + 1).toFloat)),
