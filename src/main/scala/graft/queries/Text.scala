@@ -169,6 +169,65 @@ object Text extends QueryModule {
              |SELECT doc_id, token, tf, df, score, rn FROM scored WHERE rn <= 3
              |ORDER BY doc_id, rn""".stripMargin)),
 
+    // Gopher-style repetition signals per document. dup-token and
+    // dup-5-gram fractions are row-local array math (no shuffle); the
+    // top-bigram coverage needs the per-doc bigram MODE, which is the one
+    // genuinely distributed piece: explode bigrams → partial-agg count on
+    // (doc, gram) → max per doc, left-joined back (a doc with < 2 tokens
+    // has no bigrams → coverage 0). Coverage is the overlap-ignoring
+    // upper bound 2·max_count/n_tokens, capped at 1.
+    "q77_repetition" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val base = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+        val rl = base.select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          dupTokenFrac(col("toks")).as("dup_token_frac"),
+          dupNgramFrac(col("toks"), 5).as("dup_5gram_frac"))
+        val top = base
+          .select(col("doc_id"), explode(tokenNgrams(col("toks"), 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("maxc"))
+        rl.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+            col("dup_5gram_frac"),
+            when(col("n_tokens") > 0,
+              least((coalesce(col("maxc"), lit(0L)) * 2).cast("double")
+                / col("n_tokens"), lit(1.0)))
+              .otherwise(lit(0.0)).as("top_bigram_cover"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents
+             |), rl AS (
+             |  SELECT doc_id, len(toks) AS n_tokens,
+             |    CASE WHEN len(toks) > 0
+             |      THEN cast(len(toks) - len(list_distinct(toks)) AS double)
+             |           / cast(len(toks) AS double) ELSE 0.0 END AS dup_token_frac,
+             |    CASE WHEN len(toks) >= 5
+             |      THEN cast(len(toks) - 4 - len(list_distinct(
+             |             list_transform(range(1, len(toks) - 3), i -> concat_ws(' ',
+             |               toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS double)
+             |           / cast(len(toks) - 4 AS double) ELSE 0.0 END AS dup_5gram_frac,
+             |    toks
+             |  FROM d
+             |), bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |    i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+             |  FROM d WHERE len(toks) >= 2
+             |), cnt AS (
+             |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+             |), top AS (
+             |  SELECT doc_id, max(c) AS maxc FROM cnt GROUP BY 1
+             |)
+             |SELECT rl.doc_id, n_tokens, dup_token_frac, dup_5gram_frac,
+             |  CASE WHEN n_tokens > 0
+             |    THEN least(cast(coalesce(maxc, 0) * 2 AS double) / n_tokens, 1.0)
+             |    ELSE 0.0 END AS top_bigram_cover
+             |FROM rl LEFT JOIN top ON rl.doc_id = top.doc_id
+             |ORDER BY rl.doc_id""".stripMargin)),
+
     // The curation composition: C4-style keep/drop per document from the
     // oracle-verified primitives (lang metadata, length bounds, q22's
     // quality score, q30's dedup canonicality), with per-criterion

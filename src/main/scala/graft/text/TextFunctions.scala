@@ -55,6 +55,40 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  // --- repetition signals (Gopher-style, adapted to token streams) ----------
+
+  /** Token n-grams as space-joined strings; empty when the document has
+    * fewer than n tokens. 1-based `element_at`, mirrored by DuckDB's
+    * 1-based list indexing over `range(1, len - n + 2)`.
+    */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of token instances that are repeats of an earlier token:
+    * (n − n_distinct) / n. Row-local (no shuffle); 0.0 for empty docs.
+    */
+  def dupTokenFrac(toks: Column): Column =
+    when(size(toks) > 0,
+      (size(toks) - size(array_distinct(toks))).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Fraction of n-gram instances that are repeats — the Gopher
+    * "duplicate n-gram" repetition signal on a token stream (the fixture
+    * corpus has no line structure, so the line-based variants are vacuous
+    * here). Row-local: array_distinct over the per-row gram array.
+    */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val g = tokenNgrams(toks, n)
+    when(size(g) > 0,
+      (size(g) - size(array_distinct(g))).cast("double")
+        / size(g).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   // --- language-ID heuristic ------------------------------------------------
 
   /** Tiny function-word lists (public knowledge). Accuracy is not the goal

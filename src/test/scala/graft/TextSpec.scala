@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextFunctions._
+
+/** Planted-value tests for the repetition signal family — covers the short
+  * and empty documents the oracle fixture never produces (its docs are all
+  * dozens of tokens long), where the n-gram guards must kick in.
+  */
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+
+  test("tokenNgrams: counts, contents, and short-doc guard") {
+    val r = frame((0L, "a b c d e f"), (1L, "a b"), (2L, "a"))
+      .select(col("doc_id"), tokenNgrams(col("toks"), 5).as("g5"),
+        tokenNgrams(col("toks"), 2).as("g2"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getSeq[String](1), x.getSeq[String](2))).toMap
+    assert(r(0L)._1 == Seq("a b c d e", "b c d e f"))
+    assert(r(0L)._2.length == 5 && r(0L)._2.head == "a b")
+    assert(r(1L)._1.isEmpty && r(1L)._2 == Seq("a b"))
+    assert(r(2L)._1.isEmpty && r(2L)._2.isEmpty)
+  }
+
+  test("dup fractions: fully repeated doc vs all-distinct doc") {
+    val r = frame((0L, "a a a a a a"), (1L, "a b c d e f"))
+      .select(col("doc_id"), dupTokenFrac(col("toks")).as("dt"),
+        dupNgramFrac(col("toks"), 5).as("d5"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // 6 tokens, 1 distinct → 5/6; two identical 5-grams → 1/2
+    assert(math.abs(r(0L)._1 - 5.0 / 6.0) < 1e-15 && r(0L)._2 == 0.5)
+    assert(r(1L)._1 == 0.0 && r(1L)._2 == 0.0)
+  }
+
+  test("q77 composition handles docs below every n-gram threshold") {
+    val d = Seq((0L, "x y x y x y"), (1L, "solo")).toDF("doc_id", "text")
+    val base = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val rl = base.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+      dupNgramFrac(col("toks"), 5).as("d5"))
+    val top = base
+      .select(col("doc_id"), explode(tokenNgrams(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("maxc"))
+    val r = rl.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least((coalesce(col("maxc"), lit(0L)) * 2).cast("double")
+          / col("n_tokens"), lit(1.0)).as("cover"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // "x y" appears 3× in 6 tokens → 2·3/6 = 1.0 (cap boundary exact)
+    assert(r(0L) == 1.0)
+    assert(r(1L) == 0.0) // no bigrams → null maxc → 0
+  }
+}
