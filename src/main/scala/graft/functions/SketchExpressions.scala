@@ -87,7 +87,9 @@ object Sketches {
     ("sorted_intersect_count", "_FUNC_(a, b) - merge-scan intersection count",
       2, es => SortedIntersectCount(es.head, es(1))),
     ("shingle_set", "_FUNC_(tokens) - sorted distinct hashed 3-gram shingles",
-      1, es => ShingleSet(es.head)))
+      1, es => ShingleSet(es.head)),
+    ("int8_vec_dot", "_FUNC_(a, b) - exact int64 dot of two int8 vectors",
+      2, es => Int8VecDot(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -70,5 +70,49 @@ object SimilarityQueries extends QueryModule {
         Ann.searchIvf(Ann.loadIvfIndex(s, name),
             emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")
-      }))
+      }),
+
+    // Int8-quantized brute-force top-k — q40 at a quarter of the memory
+    // traffic. Symmetric per-vector scales cancel in cosine, so scoring is
+    // exact int64 dot products (native codegen loop) over 1-byte
+    // dimensions; the integer math is bit-reproducible in DuckDB, which is
+    // why this APPROXIMATE operator still carries a full hash-gated
+    // oracle (the approximation is in the quantization, not the engine).
+    "q78_quantized_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.similarity.Quantization
+          .quantizedTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH s AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, y -> abs(y::double)))
+             |      / cast(127 AS double) AS scale
+             |  FROM embeddings
+             |), qz AS (
+             |  SELECT vec_id,
+             |    CASE WHEN scale > 0
+             |      THEN list_transform(embedding, x -> cast(round(x::double / scale) AS tinyint))
+             |      ELSE list_transform(embedding, x -> cast(0 AS tinyint)) END AS q
+             |  FROM s
+             |), base AS (
+             |  SELECT vec_id, q,
+             |    list_reduce(list_transform(q, x -> x::bigint * x::bigint), (x, y) -> x + y) AS qn2
+             |  FROM qz
+             |), qset AS (
+             |  SELECT vec_id AS qid, q AS qe, qn2 AS qqn2 FROM base WHERE vec_id % 10 = 0
+             |), pairs AS (
+             |  SELECT qid, vec_id AS nid,
+             |    cast(list_reduce(list_transform(range(1, len(qe) + 1),
+             |        i -> qe[i]::bigint * q[i]::bigint), (x, y) -> x + y) AS double)
+             |      / (sqrt(cast(qqn2 AS double)) * sqrt(cast(qn2 AS double))) AS sim
+             |  FROM base, qset WHERE vec_id <> qid
+             |), ranked AS (
+             |  SELECT qid, nid, sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+             |  FROM pairs
+             |)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)))
 }
