@@ -25,7 +25,7 @@ object SparkEntry {
 
   private val modules: Seq[graft.core.QueryModule] =
     Seq(Flagship, Relational, Advanced, Extended, Quality, Text, DedupQueries,
-      SimilarityQueries, MultimodalQueries)
+      SimilarityQueries, MultimodalQueries, CurationQueries)
 
   private lazy val defs: Map[String, QueryDef] =
     modules.flatMap(_.queries).toMap

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.pipeline.Curation
+
+/** Set-level curation operators over `documents`: benchmark
+  * decontamination, sequence packing, domain-mixture rebalancing. All
+  * exact math → all hash-gated.
+  */
+object CurationQueries extends QueryModule {
+
+  def queries: Map[String, QueryDef] = Map(
+
+    // Decontamination: every 97th doc stands in for the benchmark set;
+    // corpus docs sharing any 5-gram with it are flagged. The duplicate
+    // clusters in the fixture guarantee real hits.
+    "q79_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Curation.decontaminate(
+            d.filter(col("doc_id") % 97 =!= 0),
+            d.filter(col("doc_id") % 97 === 0),
+            "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+             |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))) AS g
+             |  FROM t WHERE len(tk) >= 5
+             |), bg AS (
+             |  SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0
+             |), hits AS (
+             |  SELECT g.doc_id, count(*) AS n_shared
+             |  FROM g JOIN bg USING (g) WHERE g.doc_id % 97 <> 0 GROUP BY 1
+             |)
+             |SELECT c.doc_id,
+             |  coalesce(n_shared, 0) AS n_shared_grams,
+             |  coalesce(n_shared, 0) > 0 AS contaminated
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
+             |LEFT JOIN hits ON c.doc_id = hits.doc_id
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    // Sequence packing: concat-and-chunk at 256 tokens within each lang,
+    // id-ordered — chunk assignment, start offset, boundary-straddle flag.
+    "q80_seq_pack" -> QueryDef(
+      (s, dir) =>
+        Curation.packSequences(Tables.documents(s, dir),
+            partCol = "lang", idCol = "doc_id", textCol = "text", cap = 256)
+          .orderBy("lang", "doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |  FROM documents
+             |), o AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    cast(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+             |  FROM t
+             |)
+             |SELECT doc_id, lang, n_tokens, start_off,
+             |  cast(floor(start_off / 256.0) AS BIGINT) AS chunk_id,
+             |  cast(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT)
+             |    > cast(floor(start_off / 256.0) AS BIGINT) AS spans_boundary
+             |FROM o ORDER BY lang, doc_id""".stripMargin)),
+
+    // Domain mixture: per (source, lang) token shares and the uniform-mix
+    // downsampling rate.
+    "q81_domain_mix" -> QueryDef(
+      (s, dir) =>
+        Curation.domainMix(Tables.documents(s, dir),
+            Seq("source", "lang"), "text")
+          .orderBy("source", "lang"),
+      Some("""WITH d AS (
+             |  SELECT source, lang, count(*) AS n_docs,
+             |    cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1, 2
+             |), s AS (
+             |  SELECT source, lang, n_docs, n_tokens,
+             |    cast(n_tokens AS double) / cast(sum(n_tokens) OVER () AS double) AS token_share,
+             |    1.0 / cast(count(*) OVER () AS double) AS target_share
+             |  FROM d
+             |)
+             |SELECT source, lang, n_docs, n_tokens, token_share, target_share,
+             |  least(target_share / token_share, 1.0) AS sample_rate
+             |FROM s ORDER BY source, lang""".stripMargin)))
+}

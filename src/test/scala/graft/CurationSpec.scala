@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Curation
+
+/** Planted-value tests for the set-level curation operators — the cases
+  * fixture data can't pin precisely: exact shared-gram counts, chunk
+  * boundary straddles, and mixture rates.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate: shared 5-gram flags the doc, clean doc stays clean") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon more words here"),
+      (2L, "totally unrelated content with no overlapping grams at all"),
+      (3L, "tiny doc")) // < 5 tokens → no grams → clean
+      .toDF("doc_id", "text")
+    val r = Curation.decontaminate(corpus, bench, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    // doc 1 contains "alpha beta gamma delta epsilon" and
+    // "beta gamma delta epsilon zeta"? no — only the first (no zeta) → 1 shared
+    assert(r(1L) == (1L, true))
+    assert(r(2L) == (0L, false))
+    assert(r(3L) == (0L, false))
+  }
+
+  test("packSequences: offsets, chunk ids, and the straddle flag") {
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", words(200, "a")),  // [0, 200) → chunk 0
+      (2L, "en", words(100, "b")),  // [200, 300) → starts chunk 0, straddles
+      (3L, "en", words(56, "c")),   // [300, 356) → chunk 1, fits
+      (4L, "de", words(10, "d")))   // separate partition restarts at 0
+      .toDF("doc_id", "lang", "text")
+    val r = Curation.packSequences(docs, "lang", "doc_id", "text", cap = 256)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("start_off"), x.getAs[Long]("chunk_id"),
+          x.getAs[Boolean]("spans_boundary"))).toMap
+    assert(r(1L) == (0L, 0L, false))
+    assert(r(2L) == (200L, 0L, true))  // ends at 299 ≥ 256 → straddles
+    assert(r(3L) == (300L, 1L, false)) // 300..355 inside chunk 1
+    assert(r(4L) == (0L, 0L, false))
+  }
+
+  test("packSequences rejects a non-power-of-two cap") {
+    val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "lang", "doc_id", "text", cap = 100)
+    }
+  }
+
+  test("domainMix: over-represented domain downsampled, small domain kept") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", "en", words(300)),
+      (2L, "web", "en", words(300)),
+      (3L, "books", "en", words(200)),
+      (4L, "code", "en", words(100)))
+      .toDF("doc_id", "source", "lang", "text")
+    val r = Curation.domainMix(docs, Seq("source", "lang"), "text")
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("token_share"),
+          x.getAs[Double]("sample_rate"))).toMap
+    assert(r("web")._1 == 600L && r("web")._2 == 0.6666666666666666)
+    // target share 1/3; web at 2/3 → rate 1/2; books at 2/9 target 1/3 → keep all
+    assert(math.abs(r("web")._3 - 0.5) < 1e-12)
+    assert(r("books")._3 == 1.0 && r("code")._3 == 1.0)
+  }
+}
