@@ -240,8 +240,12 @@ object Dedup {
       col(bCol).cast("long").as("dst"))
     val edges = truncate(
       half.union(half.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")))
+    // init fuses the first propagation round: label(u) = min({u} ∪ N(u))
+    // straight off the grouped edge list — one aggregation, no join. For
+    // the dominant near-dup shape (dense cliques) this alone is the
+    // fixpoint, so the loop typically runs once to confirm convergence.
+    var labels = truncate(edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("comp")))
     // decimal(38,0) sum: overflow-proof at any node count (int64 sums
     // overflow around 10^10 nodes with 10-digit ids)
     def labelSum(df: DataFrame): java.math.BigDecimal =

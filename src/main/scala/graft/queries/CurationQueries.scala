@@ -68,6 +68,43 @@ object CurationQueries extends QueryModule {
              |    > cast(floor(start_off / 256.0) AS BIGINT) AS spans_boundary
              |FROM o ORDER BY lang, doc_id""".stripMargin)),
 
+    // PII scrub. The fixture corpus is synthetic words, so the query
+    // PLANTS deterministic PII from fixture columns (an email and a
+    // zero-padded phone derived from doc_id) before detecting/redacting —
+    // both engines construct the identical string, so counts and the
+    // redacted text are hash-gated rather than vacuously zero.
+    "q82_pii_redact" -> QueryDef(
+      (s, dir) => {
+        import graft.text.TextFunctions
+        val synth = concat(substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad(col("doc_id").cast("string"), 4, "0"), lit(" now"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), synth.as("synth"))
+          .select(col("doc_id"),
+            TextFunctions.piiCount(col("synth"), TextFunctions.emailPattern)
+              .as("n_emails"),
+            TextFunctions.piiCount(col("synth"), TextFunctions.phonePattern)
+              .as("n_phones"),
+            TextFunctions.redactPii(col("synth")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH synth AS (
+             |  SELECT doc_id,
+             |    substring(text, 1, 40) || ' contact user' || cast(doc_id AS varchar)
+             |      || '@example.com or call 555-' || lpad(cast(doc_id AS varchar), 4, '0')
+             |      || ' now' AS s
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(s, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+             |  regexp_replace(regexp_replace(s,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+             |FROM synth ORDER BY doc_id""".stripMargin)),
+
     // Domain mixture: per (source, lang) token shares and the uniform-mix
     // downsampling rate.
     "q81_domain_mix" -> QueryDef(

@@ -55,6 +55,27 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  // --- PII detection / redaction --------------------------------------------
+
+  /** Email/phone patterns chosen for dual-dialect safety: no backreferences
+    * or lookaround, so Java regex (Spark) and RE2 (DuckDB) accept the same
+    * language and produce identical matches on these shapes.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace every email then every phone with typed placeholders. Order
+    * matters only in that emails are scrubbed first, so a digit run inside
+    * a local-part can't be half-eaten by the phone pass.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   // --- repetition signals (Gopher-style, adapted to token streams) ----------
 
   /** Token n-grams as space-joined strings; empty when the document has

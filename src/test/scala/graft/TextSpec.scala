@@ -39,6 +39,23 @@ class TextSpec extends AnyFunSuite {
     assert(r(1L)._1 == 0.0 && r(1L)._2 == 0.0)
   }
 
+  test("PII redaction: emails and phones scrubbed, counts exact, rest intact") {
+    val r = Seq(
+      (0L, "mail bob.smith+x@corp.example.org or 555-0199 and 123-4567 end"),
+      (1L, "no pii here, just 12-34 and almost@nothing"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        piiCount(col("text"), emailPattern).as("ne"),
+        piiCount(col("text"), phonePattern).as("np"),
+        redactPii(col("text")).as("red"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getString(3)))
+      .toMap
+    assert(r(0L) == (1, 2,
+      "mail <EMAIL> or <PHONE> and <PHONE> end"))
+    // "almost@nothing" has no dot-TLD → not an email; "12-34" too short
+    assert(r(1L) == (0, 0, "no pii here, just 12-34 and almost@nothing"))
+  }
+
   test("q77 composition handles docs below every n-gram threshold") {
     val d = Seq((0L, "x y x y x y"), (1L, "solo")).toDF("doc_id", "text")
     val base = d.select(col("doc_id"), tokens(col("text")).as("toks"))
