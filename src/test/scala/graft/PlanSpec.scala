@@ -190,6 +190,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB shape: a selective dimension filter should cut fact-scan
+    // volume BEFORE the shuffle via Spark's runtime bloom filter (AQE
+    // row-level runtime filtering) — assert the engine's sessions have it
+    // available and that it actually injects on our data layout
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // local fixture sizes are below the production thresholds — drop
+      // them so the test exercises the same plan shape a 100 TB run gets
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.core.Tables.lineitem(spark, dir)
+      val o = graft.core.Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 500000.0) // selective creation side
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        s"runtime bloom filter must inject on the fact side:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sweep: no query in the inventory plans a CartesianProduct") {
     // every intentional pair loop broadcasts one side (BNLJ) — an actual
     // cartesian (both sides shuffled, |A|×|B| partitions) would mean a
