@@ -105,6 +105,45 @@ object CurationQueries extends QueryModule {
              |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
              |FROM synth ORDER BY doc_id""".stripMargin)),
 
+    // Curriculum binning: decile bin per document by quality score.
+    // Scale shape: a global ntile window would funnel the corpus through
+    // ONE task; instead the 9 decile cuts are computed by the exact
+    // quantile aggregate (tiny result), broadcast, and binning is a
+    // map-side array count — same semantics, no global sort, no
+    // single-partition window.
+    "q83_quality_bins" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.GraftFunctions
+        import graft.text.TextFunctions
+        val q = Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        val cuts = q.agg(array((1 to 9).map(i =>
+          GraftFunctions.quantileDisc(col("quality"), i / 10.0)): _*).as("cuts"))
+        q.crossJoin(broadcast(cuts))
+          .select(col("doc_id"), col("quality"),
+            size(filter(col("cuts"), c => c < col("quality"))).as("bin"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+              |), m AS (
+              |  SELECT doc_id,
+              |    cast(len(list_distinct(toks)) AS double) / cast(len(toks) AS double) AS diversity,
+              |    least(cast(len(toks) AS double) / 64.0, 1.0) AS length_score,
+              |    cast(length(text) - length(regexp_replace(text, '${graft.text.TextFunctions.punctClass}', '', 'g')) AS double)
+              |      / cast(length(text) AS double) AS punct_density
+              |  FROM d
+              |), q AS (
+              |  SELECT doc_id,
+              |    (diversity + length_score + (1.0 - least(punct_density * 10.0, 1.0))) / 3.0 AS quality
+              |  FROM m
+              |), c AS (
+              |  SELECT quantile_disc(quality, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+              |  FROM q
+              |)
+              |SELECT doc_id, quality, len(list_filter(cuts, x -> x < quality)) AS bin
+              |FROM q, c ORDER BY doc_id""".stripMargin)),
+
     // Domain mixture: per (source, lang) token shares and the uniform-mix
     // downsampling rate.
     "q81_domain_mix" -> QueryDef(
