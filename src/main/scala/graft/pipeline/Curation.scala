@@ -68,6 +68,24 @@ object Curation {
           > col("chunk_id"))
   }
 
+  /** Deterministic train/val/test split: bucket on the first md5 byte of
+    * the id — stable across runs, engines, partitionings, and corpus
+    * growth (a document's split never changes when other documents are
+    * added, unlike ratio-based `randomSplit`). Boundaries compare the hex
+    * prefix LEXICOGRAPHICALLY ('cd' ≈ 80.1%, 'e7' ≈ 90.2%), which both
+    * Java and DuckDB string orders agree on for lowercase hex. Pure
+    * map-side projection.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainHex: String = "cd", valHex: String = "e7"): DataFrame = {
+    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 2)
+    df.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < trainHex, "train")
+          .when(col("split_bucket") < valHex, "val")
+          .otherwise("test"))
+  }
+
   /** Domain-mixture rebalancing: per-domain token shares and the sampling
     * rate that moves the corpus toward a UNIFORM target mix — rate =
     * min(target_share / actual_share, 1) (downsample the over-represented,

@@ -105,6 +105,20 @@ object CurationQueries extends QueryModule {
              |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
              |FROM synth ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic eval split: md5-bucket assignment, stable under
+    // corpus growth (randomSplit is not), identical in any engine.
+    "q84_data_split" -> QueryDef(
+      (s, dir) =>
+        Curation.splitAssign(
+            Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+             |  substring(md5(cast(doc_id AS varchar)), 1, 2) AS split_bucket,
+             |  CASE WHEN substring(md5(cast(doc_id AS varchar)), 1, 2) < 'cd' THEN 'train'
+             |       WHEN substring(md5(cast(doc_id AS varchar)), 1, 2) < 'e7' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Curriculum binning: decile bin per document by quality score.
     // Scale shape: a global ntile window would funnel the corpus through
     // ONE task; instead the 9 decile cuts are computed by the exact

@@ -56,6 +56,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("splitAssign: pure function of id, sensible fractions on fixture") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id")
+    val a = Curation.splitAssign(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // stability under corpus growth: a subset assigns identically
+    val b = Curation.splitAssign(docs.limit(50), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    b.foreach { case (id, s) => assert(a(id) == s) }
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    val test = a.values.count(_ == "test") / n
+    assert(train > 0.7 && train < 0.9, s"train frac $train")
+    assert(test > 0.03 && test < 0.2, s"test frac $test")
+  }
+
   test("domainMix: over-represented domain downsampled, small domain kept") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(
