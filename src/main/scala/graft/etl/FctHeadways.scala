@@ -34,7 +34,13 @@ import graft.functions.GraftFunctions._
 object FctHeadways {
 
   /** Reference-faithful mart: seconds as double (`extract epoch` semantics). */
-  def apply(stg: DataFrame): DataFrame = {
+  def apply(stg: DataFrame): DataFrame = aggregate(gaps(stg))
+
+  /** The lag pass: consecutive-arrival gaps per (line, stop), hour-bucketed.
+    * Factored out so [[IncrementalHeadways]] can run the identical gap and
+    * aggregation logic over a boundary-augmented slice.
+    */
+  private[etl] def gaps(stg: DataFrame): DataFrame = {
     val w = Window.partitionBy("line_id", "stop_id").orderBy("event_ts")
     stg
       .filter(col("event_ts").isNotNull)
@@ -42,10 +48,14 @@ object FctHeadways {
       .withColumn("prev_ts", lag("event_ts", 1).over(w))
       .filter(col("prev_ts").isNotNull)
       .select(
-        col("line_id"), col("stop_id"),
+        col("line_id"), col("stop_id"), col("event_ts"),
         epochDiffUs(col("event_ts"), col("prev_ts")).as("headway_us"),
         hourBucket(col("event_ts")).as("hour"))
-      .groupBy("line_id", "stop_id", "hour")
+  }
+
+  /** Hourly avg/p50/p90 over gap rows. */
+  private[etl] def aggregate(g: DataFrame): DataFrame =
+    g.groupBy("line_id", "stop_id", "hour")
       .agg(
         (sum("headway_us").cast("double") / count(lit(1)) / lit(1000000.0))
           .as("avg_headway_s"),
@@ -53,5 +63,4 @@ object FctHeadways {
           .as("p50_headway_s"),
         (quantileDisc(col("headway_us"), 0.9).cast("double") / lit(1000000.0))
           .as("p90_headway_s"))
-  }
 }

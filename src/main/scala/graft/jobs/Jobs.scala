@@ -152,6 +152,54 @@ object Jobs {
       dbtChecks ++ gxChecks
     }
 
+  /** E2-incremental — maintain a DATE-PARTITIONED silver layout for one
+    * newly-landed raw date: stage only that date's raw partition and
+    * rewrite only that date's mart partition
+    * ([[graft.etl.IncrementalHeadways]] — exact, not approximate, under
+    * the append-only raw-zone contract). Outputs live beside (not inside)
+    * [[transform]]'s flat tables because the two materialization
+    * strategies are different contracts:
+    * `<silver>/stg_arrivals_by_date/date=<d>/`,
+    * `<silver>/fct_headways_by_date/date=<d>/`.
+    *
+    * `lookbackDays`: bound the boundary scan to the last N date
+    * partitions (partition-pruned). None = exact over all history; set it
+    * when key silences are known-bounded or a last-arrival state table
+    * takes over at extreme scale.
+    */
+  def transformIncremental(spark: SparkSession, rawDir: String,
+      silverDir: String, date: String, lookbackDays: Option[Int] = None,
+      lineage: graft.lineage.LineageSink = graft.lineage.Lineage.NoopSink): Unit =
+    graft.lineage.Lineage.tracked(lineage, "graft.transform_incremental",
+      inputs = Seq(s"$rawDir/date=$date"),
+      outputs = Seq(s"$silverDir/stg_arrivals_by_date/date=$date",
+        s"$silverDir/fct_headways_by_date/date=$date")) {
+      GraftSession.tune(spark)
+      val stgRoot = s"$silverDir/stg_arrivals_by_date"
+      val rawGlob = s"$rawDir/date=$date/arrivals_*.parquet"
+      val stgNew =
+        if (!StgArrivals.globNonEmpty(spark, rawGlob))
+          Schemas.emptyRelation(spark, Schemas.stgArrivals)
+        else StgArrivals.fromRaw(spark.read.parquet(rawGlob))
+      stgNew.write.mode(SaveMode.Overwrite).parquet(s"$stgRoot/date=$date")
+      // boundary source: previously staged partitions, pruned on the
+      // partition column (and further by lookback when given)
+      val priorGlob = s"$stgRoot/date=*"
+      val prior =
+        if (!StgArrivals.globNonEmpty(spark, s"$priorGlob/*.parquet"))
+          Schemas.emptyRelation(spark, Schemas.stgArrivals)
+        else {
+          val all = spark.read.option("basePath", stgRoot).parquet(priorGlob)
+            .filter(col("date") < to_date(lit(date)))
+          lookbackDays.fold(all)(n =>
+            all.filter(col("date") >= date_sub(to_date(lit(date)), n)))
+        }
+      graft.etl.IncrementalHeadways.forDate(
+          spark.read.parquet(s"$stgRoot/date=$date"), prior, date)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$silverDir/fct_headways_by_date/date=$date")
+    }
+
   /** E3 — line alignment: fan-out per-stop fetches, filter to the line,
     * enrich with stop metadata via a BROADCAST lookup join + coalesce
     * fallback (SURVEY J1 — the reference's nested-loop stop lookup with
