@@ -247,12 +247,15 @@ object Dedup {
     var labels = truncate(edges.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("comp")))
     // decimal(38,0) sum: overflow-proof at any node count (int64 sums
-    // overflow around 10^10 nodes with 10-digit ids)
+    // overflow around 10^10 nodes with 10-digit ids). Empty input sums to
+    // null → ZERO, so a pairless corpus converges immediately to an empty
+    // assignment instead of NPE-ing.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (iter < maxIter && !converged) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
@@ -266,6 +269,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // partially propagated labels would silently split one component into
+    // several "clusters" (several dedup survivors) — refuse instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds: the pair " +
+        "graph has a longer chain than maxIter — raise maxIter (rounds " +
+        "needed = graph diameter)")
     labels
   }
 

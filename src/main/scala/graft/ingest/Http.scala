@@ -37,6 +37,15 @@ object Http {
     if (q < 0) url else url.substring(0, q) + "?<redacted>"
   }
 
+  /** Only the credential param VALUES masked; every other query param
+    * (pagination cursors, filters) survives, so the result is both safe to
+    * log and still unique per request — the form [[fetchMany]] keys by.
+    */
+  private val credentialParams = Seq("app_id", "app_key")
+  def redactCredentials(url: String): String =
+    credentialParams.foldLeft(url)((u, p) =>
+      u.replaceAll(s"(?<=[?&]$p=)[^&]*", "***"))
+
   /** GET with retry/backoff; returns the body or the final failure. */
   def fetch(url: String, transport: Transport,
       policy: Policy = Policy()): Try[String] = {
@@ -60,11 +69,13 @@ object Http {
   /** Fan-out with per-element isolation: failures are logged-and-skipped,
     * never fatal (reference `tfl_ingest_dag.py:63-64`).
     *
-    * Keyed by the ORIGINAL url so requests differing only in query params
-    * (pagination pages, per-stop credentials) stay distinguishable; callers
-    * that surface a key to logs must pass it through [[redact]] themselves.
+    * Keyed by [[redactCredentials]] of the url: requests differing in any
+    * non-credential query param (pagination pages) stay distinguishable,
+    * while the key is structurally safe for a caller to log — the "never
+    * logged" credential contract must not depend on every caller
+    * remembering to redact.
     */
   def fetchMany(urls: Seq[String], transport: Transport,
       policy: Policy = Policy()): Seq[(String, Try[String])] =
-    urls.map(u => u -> fetch(u, transport, policy))
+    urls.map(u => redactCredentials(u) -> fetch(u, transport, policy))
 }

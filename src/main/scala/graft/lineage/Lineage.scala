@@ -105,11 +105,25 @@ final class LineageListener(sink: LineageSink, jobPrefix: String = "spark")
   override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
     sink.emit(event("FAIL", funcName, qe))
 
-  private def event(tpe: String, fn: String, qe: QueryExecution): RunEvent = {
-    val inputs = qe.executedPlan.collect {
+  /** File scans of a physical plan. `collect` alone is NOT enough:
+    * under AQE (on by default in every engine session) the whole query sits
+    * inside an `AdaptiveSparkPlanExec`, which is a LEAF node — a flat
+    * collect would find no scans in any plan with an exchange, i.e. every
+    * join/aggregate. Descend explicitly through AQE roots and materialized
+    * query stages.
+    */
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.map(_.toString)
-    }.flatten.distinct
+    }.flatten
+  }
+
+  private def event(tpe: String, fn: String, qe: QueryExecution): RunEvent = {
+    val inputs = scans(qe.executedPlan).distinct
     // v1 file writes surface as InsertIntoHadoopFsRelationCommand — on the
     // logical side for command QEs, under DataWritingCommandExec physically;
     // collect from both and dedup, whichever shape this Spark version built

@@ -135,10 +135,13 @@ object Ann {
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       // without a durable metastore the catalog forgets tables across JVMs
       // while their warehouse directories persist — clear a stale location
-      // or the CTAS below refuses to create (LOCATION_ALREADY_EXISTS)
+      // or the CTAS below refuses to create (LOCATION_ALREADY_EXISTS).
+      // Resolve the path through the catalog: it honors the CURRENT
+      // database (<warehouse>/<db>.db/<table>), where a hand-built
+      // <warehouse>/<table> would delete the wrong directory
       val loc = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
-        t.toLowerCase)
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t.toLowerCase)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

@@ -102,6 +102,18 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: empty pair list → empty assignment, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+  }
+
+  test("connected components: refuses to return partial labels at maxIter") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2).count()
+    }
+  }
+
   test("connected components: long path converges within maxIter") {
     // a 30-node path is the adversarial diameter case for label propagation;
     // every node must still reach the global min label

@@ -167,14 +167,19 @@ class JobsSpec extends AnyFunSuite {
     assert(r.count(_._2.isFailure) == 1)
   }
 
-  test("fetchMany keys stay distinct across query-param-only URL variants") {
+  test("fetchMany keys: distinct per query variant, credentials masked") {
     val t: Http.Transport = { u => Http.Response(200, u.takeRight(1)) }
     val p = Http.Policy(retries = 0, backoffMillis = 0, sleeper = _ => ())
-    val urls = Seq("https://x/api?page=1", "https://x/api?page=2")
+    val urls = Seq(
+      "https://x/api?page=1&app_id=ID&app_key=SECRET",
+      "https://x/api?page=2&app_id=ID&app_key=SECRET")
     val r = Http.fetchMany(urls, t, p)
-    assert(r.map(_._1) == urls, "original URLs preserved for correlation")
-    assert(r.map(_._2.get) == Seq("1", "2"))
-    // the redacted display form is still available for logging
+    // pagination variants stay distinguishable, but the key itself is
+    // structurally log-safe — no caller can leak credentials via it
+    assert(r.map(_._1) == Seq(
+      "https://x/api?page=1&app_id=***&app_key=***",
+      "https://x/api?page=2&app_id=***&app_key=***"))
+    assert(r.map(_._2.get) == Seq("T", "T")) // transport saw the REAL url
     assert(Http.redact(urls.head) == "https://x/api?<redacted>")
   }
 }
