@@ -44,7 +44,7 @@ object Http {
   private val credentialParams = Seq("app_id", "app_key")
   def redactCredentials(url: String): String =
     credentialParams.foldLeft(url)((u, p) =>
-      u.replaceAll(s"(?<=[?&]$p=)[^&]*", "***"))
+      u.replaceAll(s"(?<=[?&]$p=)[^&#]*", "***"))
 
   /** GET with retry/backoff; returns the body or the final failure. */
   def fetch(url: String, transport: Transport,
@@ -73,7 +73,9 @@ object Http {
     * non-credential query param (pagination pages) stay distinguishable,
     * while the key is structurally safe for a caller to log — the "never
     * logged" credential contract must not depend on every caller
-    * remembering to redact.
+    * remembering to redact. Caveat: two urls differing ONLY in credential
+    * values collapse to the same key — acceptable, since such requests
+    * target the same resource.
     */
   def fetchMany(urls: Seq[String], transport: Transport,
       policy: Policy = Policy()): Seq[(String, Try[String])] =

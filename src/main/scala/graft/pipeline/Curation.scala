@@ -44,9 +44,10 @@ object Curation {
     * in id order and cut at `cap`-token boundaries. Every document gets
     * the chunk its first token falls in, its token offset, and whether it
     * straddles a chunk boundary (the consumer decides: split, mask, or
-    * drop). `cap` must be a power of two — the offset/cap division is
-    * then EXACT in double math on both engines, keeping chunk ids
-    * hash-verifiable.
+    * drop). `cap` must be a power of two — chunk ids are then a pure bit
+    * shift of the int64 offset, exact over the full int64 range and
+    * trivially hash-verifiable against `floor(start_off / cap)` in any
+    * engine.
     *
     * One window shuffle on the partition column; everything else is
     * map-side. The running sum is int64 (exact to 2^63 tokens — any
@@ -55,6 +56,7 @@ object Curation {
   def packSequences(docs: DataFrame, partCol: String, idCol: String,
       textCol: String, cap: Int = 256): DataFrame = {
     require(cap > 0 && (cap & (cap - 1)) == 0, s"cap must be a power of two, got $cap")
+    val shift = java.lang.Integer.numberOfTrailingZeros(cap)
     val w = Window.partitionBy(partCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
@@ -62,9 +64,9 @@ object Curation {
         TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("start_off",
         coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
-      .withColumn("chunk_id", floor(col("start_off") / lit(cap.toDouble)))
+      .withColumn("chunk_id", shiftright(col("start_off"), shift))
       .withColumn("spans_boundary",
-        floor((col("start_off") + col("n_tokens") - 1) / lit(cap.toDouble))
+        shiftright(col("start_off") + col("n_tokens") - 1, shift)
           > col("chunk_id"))
   }
 

@@ -128,6 +128,14 @@ object Ann {
     * then reads the corpus side pre-partitioned, so only the (small) query
     * side shuffles. This is the artifact that amortizes the index build
     * across query batches and JVM restarts.
+    *
+    * Concurrency contract: SINGLE WRITER per index name. The drop/delete/
+    * recreate sequence below is not atomic, so two sessions building the
+    * same `name` against a shared warehouse can race (one deletes the
+    * location the other just wrote). Index builds are rare, deliberate
+    * events — serialize them per name (e.g. one owner job per corpus
+    * snapshot); concurrent READERS of a previously-committed index are
+    * fine.
     */
   def writeIvfIndex(idx: IvfIndex, name: String, buckets: Int = 8): Unit = {
     val spark = idx.assigned.sparkSession

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Exactly-once parquet sink for `foreachBatch` pipelines.
   *
@@ -11,22 +11,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * attempt already landed. The standard fix is to make the write
   * idempotent on `batchId`, which is what this sink does:
   *
-  *  1. a replayed batch whose output directory already exists is SKIPPED
-  *     (the previous attempt completed its rename — step 3);
-  *  2. data is written to a scratch directory under the sink root
+  *  1. a replayed batch whose COMMIT MARKER (`_committed-<id>`) exists is
+  *     SKIPPED — the previous attempt finished the whole sequence below;
+  *  2. any `batch=<id>` directory present WITHOUT its marker is a partial
+  *     leftover (a crash mid-rename on an object store, where "rename" is
+  *     a non-atomic O(data) copy) and is deleted before the retry;
+  *  3. data is written to a scratch directory under the sink root
   *     (same filesystem → same-volume rename);
-  *  3. the scratch dir is renamed to `batch=<id>` — one metadata
-  *     operation, so readers never observe a half-written directory, and
-  *     a crash before the rename leaves only scratch files that the next
-  *     attempt overwrites.
+  *  4. the scratch dir is renamed to `batch=<id>`;
+  *  5. the marker is created LAST — visibility is gated on the marker,
+  *     never on directory existence, so the protocol is correct on both
+  *     POSIX/HDFS (where the rename alone is atomic) and object stores
+  *     (where it is not).
   *
   * The layout doubles as a partition scheme: downstream batch reads of
   * `outDir` discover `batch` as a partition column and prune on it.
-  * Failure-atomicity of the swap follows the same rename-check discipline
-  * as [[graft.core.Layout.compact]] (a false return aborts loudly rather
-  * than losing rows).
+  * Markers are `_`-prefixed, which Spark's file listing hides, so they
+  * never pollute reads. Readers needing strict batch isolation on object
+  * stores should read via [[readCommitted]], which filters to marked
+  * batches. Failure-atomicity of the swap follows the same rename-check
+  * discipline as [[graft.core.Layout.compact]] (a false return aborts
+  * loudly rather than losing rows).
   */
 object IdempotentSink {
+
+  private def markerPath(root: Path, batchId: Long) =
+    new Path(root, s"_committed-$batchId")
 
   /** The `foreachBatch` function: `stream.writeStream.foreachBatch(writer(dir))`. */
   def writer(outDir: String): (DataFrame, Long) => Unit = (df, batchId) => {
@@ -34,15 +44,41 @@ object IdempotentSink {
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(root, s"batch=$batchId")
-    if (!fs.exists(dest)) {
+    val marker = markerPath(root, batchId)
+    if (!fs.exists(marker)) {
+      // no marker → the previous attempt died somewhere before step 5;
+      // whatever partial dest it left is untrustworthy — rebuild it
+      if (fs.exists(dest)) fs.delete(dest, true)
       val scratch = new Path(root, s".inflight-$batchId")
       df.write.mode(SaveMode.Overwrite).parquet(scratch.toString)
-      if (!fs.exists(root)) fs.mkdirs(root)
       if (!fs.rename(scratch, dest))
         throw new java.io.IOException(
           s"idempotent sink: rename $scratch -> $dest failed; " +
             "scratch left intact for inspection")
+      fs.create(marker, true).close()
     }
     ()
+  }
+
+  /** Batch ids whose commit marker exists — the set a strict reader trusts. */
+  def committedBatches(spark: SparkSession, outDir: String): Seq[Long] = {
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_committed-") =>
+        n.stripPrefix("_committed-").toLong }
+      .sorted
+  }
+
+  /** Read only marker-committed batches. On POSIX/HDFS this equals a plain
+    * read of `outDir`; on object stores it additionally excludes any batch
+    * directory a crashed writer half-copied into place.
+    */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ids = committedBatches(spark, outDir)
+    spark.read.parquet(outDir).filter(col("batch").isin(ids: _*))
   }
 }

@@ -43,6 +43,22 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/.inflight-3").exists() == false)
   }
 
+  test("dest dir without commit marker is rebuilt — object-store partial-rename case") {
+    val out = freshDir("graft-sink")
+    // simulate a crash mid-"rename" on an object store: batch=5 exists,
+    // half-populated, but the marker (written last) never landed
+    Seq(9).toDF("x").write.parquet(s"$out/batch=5")
+    assert(IdempotentSink.committedBatches(spark, out).isEmpty)
+    IdempotentSink.writer(out)(Seq(1, 2, 3).toDF("x"), 5L)
+    assert(IdempotentSink.committedBatches(spark, out) == Seq(5L))
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3, "unmarked partial dest must be replaced, not trusted")
+    // and now that the marker exists, a replay is a no-op
+    IdempotentSink.writer(out)(Seq(7, 8).toDF("x"), 5L)
+    assert(spark.read.parquet(out).count() == 3)
+    assert(IdempotentSink.readCommitted(spark, out).count() == 3)
+  }
+
   test("stream restart over the same checkpoint appends nothing") {
     val root = freshDir("graft-sink-e2e")
     Seq(1, 2, 3).toDF("x").write.parquet(s"$root/in/a")
