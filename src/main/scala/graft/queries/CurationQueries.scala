@@ -121,18 +121,20 @@ object CurationQueries extends QueryModule {
 
     // Curriculum binning: decile bin per document by quality score.
     // Scale shape: a global ntile window would funnel the corpus through
-    // ONE task; instead the 9 decile cuts are computed by the exact
-    // quantile aggregate (tiny result), broadcast, and binning is a
-    // map-side array count — same semantics, no global sort, no
-    // single-partition window.
+    // ONE task; instead the 9 decile cuts come from the DISTRIBUTED exact
+    // selection (per-value histogram → bucketed cumulative ranks → rank
+    // lookup; no aggregation buffer ever holds the corpus), broadcast, and
+    // binning is a map-side array count — same semantics, no global sort,
+    // no single-partition window, no global collect_list.
     "q83_quality_bins" -> QueryDef(
       (s, dir) => {
         import graft.functions.GraftFunctions
         import graft.text.TextFunctions
         val q = Tables.documents(s, dir)
           .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
-        val cuts = q.agg(array((1 to 9).map(i =>
-          GraftFunctions.quantileDisc(col("quality"), i / 10.0)): _*).as("cuts"))
+        // quality is a mean of three [0,1] terms → known range, no min/max pass
+        val cuts = GraftFunctions.quantileDiscCuts(
+          q, "quality", (1 to 9).map(_ / 10.0), knownRange = Some((0.0, 1.0)))
         q.crossJoin(broadcast(cuts))
           .select(col("doc_id"), col("quality"),
             size(filter(col("cuts"), c => c < col("quality"))).as("bin"))

@@ -72,6 +72,44 @@ class CurationSpec extends AnyFunSuite {
     assert(test > 0.03 && test < 0.2, s"test frac $test")
   }
 
+  test("quantileDiscCuts: bit-identical to the single-buffer quantileDisc") {
+    import graft.functions.GraftFunctions
+    val qs = (1 to 9).map(_ / 10.0)
+    val fixtures = Seq(
+      Seq(0.5),                                 // n = 1
+      Seq(1.0, 1.0, 1.0, 1.0),                  // all equal → degenerate lo == hi
+      Seq(3.0, 1.0, 2.0, 2.0, 2.0, 9.0, 5.0),   // duplicate-heavy
+      (1 to 1000).map(i => (i % 37).toDouble))  // tie runs spanning buckets
+    for (data <- fixtures; nBuckets <- Seq(3, 4096)) {
+      val df = data.toDF("v").repartition(7)
+      val expected = df.agg(array(
+        qs.map(GraftFunctions.quantileDisc(col("v"), _)): _*))
+        .head().getSeq[Double](0)
+      val got = GraftFunctions.quantileDiscCuts(df, "v", qs, nBuckets)
+        .head().getSeq[Double](0)
+      assert(got == expected, s"n=${data.size}, nBuckets=$nBuckets")
+    }
+  }
+
+  test("quantileDiscCuts plan: no collect_list over the raw corpus") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = (1 to 500).map(i => (i % 91).toDouble).toDF("v")
+    val cuts = GraftFunctions.quantileDiscCuts(df, "v", (1 to 9).map(_ / 10.0))
+    val collectAggs = cuts.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+        case _: CollectList => true; case _ => false }) => a
+    }
+    assert(collectAggs.nonEmpty, "the ordered-cuts assembly uses collect_list")
+    collectAggs.foreach { a =>
+      assert(a.child.collectFirst { case j: Join => j }.isDefined,
+        "every collect_list must sit above the bounded rank-lookup join — " +
+          "a collect_list directly over the scan is the single-buffer " +
+          "anti-pattern this operator exists to avoid")
+    }
+  }
+
   test("domainMix: over-represented domain downsampled, small domain kept") {
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val docs = Seq(
