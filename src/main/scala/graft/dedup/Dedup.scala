@@ -233,12 +233,36 @@ object Dedup {
     * cluster setting — survives executor loss), else `localCheckpoint`
     * (executor-block-backed; right for local mode and short jobs). Ids
     * must be numeric (min ordering); doc ids here are int64.
+    *
+    * Checkpoint hygiene: superseded rounds are RELEASED as the loop
+    * advances (reliable checkpoint files deleted, local-checkpoint blocks
+    * unpersisted — GraphFrames-style), and the edge checkpoint is released
+    * on exit, so a long-running session accumulates nothing. The RETURNED
+    * frame stays backed by the final round's checkpoint — one round's
+    * labels, the irreducible storage of the result; a caller that persists
+    * the assignment elsewhere may drop it via the session checkpoint dir.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     def truncate(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // free a superseded truncated frame: the checkpointed RDD sits in the
+    // plan as a LogicalRDD leaf — delete its files (reliable) or unpersist
+    // its blocks (local). Safe immediately: checkpoint() is eager, so the
+    // successor round was fully materialized before its parent is released.
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach { r =>
+        r.getCheckpointFile match {
+          case Some(f) =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          case None => r.unpersist(false)
+        }
+      }
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // no dedup on the edge list: min-aggregation is idempotent, duplicate
@@ -282,13 +306,13 @@ object Dedup {
       val next = truncate(
         labels.union(prop).union(jump).groupBy("id").agg(min("comp").as("comp")))
       val s = labelSum(next)
-      labels.unpersist()
+      release(labels)
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
-    edges.unpersist()
+    release(edges)
     // partially propagated labels would silently split one component into
     // several "clusters" (several dedup survivors) — refuse instead
     if (!converged) throw new IllegalStateException(

@@ -123,6 +123,30 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size == 30 && cc.values.forall(_ == 0L))
   }
 
+  test("connected components: superseded checkpoints released, only the final round remains") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    try {
+      // 30-node path → multiple rounds → multiple intermediate checkpoints
+      val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+      assert(cc.count() == 30) // result usable off its surviving checkpoint
+      def rddDirs = {
+        val d = new java.io.File(ckpt).listFiles() // <ckpt>/<uuid>/rdd-*
+        if (d == null) Array.empty[java.io.File]
+        else d.flatMap(u => Option(u.listFiles()).getOrElse(Array.empty))
+          .filter(_.getName.startsWith("rdd-"))
+      }
+      assert(rddDirs.length == 1,
+        s"expected only the final labels checkpoint, found: ${rddDirs.mkString(", ")}")
+    } finally {
+      // leave the shared session on local checkpoints for the other suites
+      sc.conf.remove("spark.checkpoint.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("embedding near-dup LSH path: finds same-direction pair (same bucket)") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => (i + 1).toFloat)),
