@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on
@@ -10,8 +13,29 @@ import org.apache.spark.sql.SparkSession
   * paths, so the timed numbers measure the queries, not JVM startup. The
   * codegen cache is keyed on generated source, which is identical across
   * scale factors, so warmup at the small sf warms exactly the timed plans.
+  *
+  * Each query runs THREE timed passes; the reported wall time is the MIN
+  * (the standard steady-state estimator — any one-off machine stall
+  * inflates only discarded samples; two samples once let a 4× outlier
+  * through as a phantom regression). Alongside wall time the line carries
+  * per-query EXECUTED-plan metrics (shuffle bytes written, task count) from
+  * a stage listener on the final pass: wall time says "it got slower",
+  * shuffle/tasks say whether the PLAN changed or the machine hiccuped —
+  * identical plan metrics with a higher wall time is noise, not regression.
   */
 object Bench {
+
+  final class StageTotals extends SparkListener {
+    val shuffleWriteBytes = new LongAdder
+    val tasks = new LongAdder
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) shuffleWriteBytes.add(m.shuffleWriteMetrics.bytesWritten)
+      tasks.add(sc.stageInfo.numTasks.toLong)
+    }
+    def reset(): Unit = { shuffleWriteBytes.reset(); tasks.reset() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,37 +46,45 @@ object Bench {
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    val totals = new StageTotals
+    spark.sparkContext.addSparkListener(totals)
 
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    // a failed query reports -1, never a plausible-looking wall time.
-    // Each query is timed twice and the MIN reported: single-sample wall
-    // times on a shared machine carry 20-30% GC/scheduler noise, and the
-    // minimum is the standard steady-state estimator (any one-off stall
-    // inflates only the discarded sample).
+    // a failed query reports -1, never a plausible-looking wall time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val elapsed =
-        try math.min(once(), once())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
-      name -> elapsed
+      try {
+        val w1 = once(); val w2 = once()
+        totals.reset()
+        val w3 = once()
+        // listener events are delivered async; give the bus a beat to drain
+        // before reading the final pass's totals
+        Thread.sleep(150)
+        (name, math.min(w1, math.min(w2, w3)),
+          totals.shuffleWriteBytes.sum(), totals.tasks.sum())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        (name, -1.0, -1L, -1L)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val metrics = results.map { case (k, w, sb, tk) =>
+      "\"" + k + "\":{\"wall\":" + w + ",\"shuffleBytes\":" + sb +
+        ",\"tasks\":" + tk + "}"
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture can truncate the (long) per-query map — keep a
     // full parseable copy next to the build for anyone reading the numbers

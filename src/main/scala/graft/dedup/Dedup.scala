@@ -314,7 +314,10 @@ object Dedup {
     }
     release(edges)
     // partially propagated labels would silently split one component into
-    // several "clusters" (several dedup survivors) — refuse instead
+    // several "clusters" (several dedup survivors) — refuse instead; the
+    // refused frame is useless to any caller, so release it too (otherwise
+    // the failure path would be the one place checkpoints accumulate)
+    if (!converged) release(labels)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds: the pair " +
         "graph has a longer chain than pointer-jumping can close in " +

@@ -82,11 +82,26 @@ object GraftFunctions {
     * the histogram subtree the static explain shows repeated — and total
     * shuffle volume is the per-value histogram (~50 KB at sf0.1), never
     * the corpus. Memory per task is one bucket's distinct values.
+    *
+    * NaN: sorts LAST, exactly as `array_sort` places it in [[quantileDisc]]
+    * (and as DuckDB orders it) — NaN rows are routed to the top coarse
+    * bucket, where the within-bucket `ORDER BY v` window already puts NaN
+    * after every finite value, and the (min, max) pre-pass ignores NaN so
+    * one bad row cannot poison the affine bucket map. Without the explicit
+    * route, `floor(NaN).cast("int")` is 0 and NaN would silently land at
+    * the BOTTOM of the order, diverging from [[quantileDisc]].
     */
   def quantileDiscCuts(df: org.apache.spark.sql.DataFrame, valueCol: String,
       qs: Seq[Double], nBuckets: Int = 4096,
       knownRange: Option[(Double, Double)] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got: ${qs.mkString(", ")}")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    knownRange.foreach { case (lo, hi) =>
+      require(lo <= hi, s"knownRange is inverted: ($lo, $hi) — an inverted " +
+        "range would reverse bucket order and silently corrupt the quantiles")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val vc = df.select(col(valueCol).cast("double").as("v"))
@@ -96,11 +111,16 @@ object GraftFunctions {
       case Some((lo, hi)) =>
         vc.withColumn("lo", lit(lo)).withColumn("hi", lit(hi))
       case None =>
-        vc.crossJoin(broadcast(vc.agg(min("v").as("lo"), max("v").as("hi"))))
+        // min/max over finite values only: Spark's max treats NaN as the
+        // largest double, so a single NaN row would otherwise make hi=NaN
+        // and collapse the whole histogram into one bucket
+        vc.crossJoin(broadcast(vc.filter(!isnan(col("v")))
+          .agg(min("v").as("lo"), max("v").as("hi"))))
     }
     val bucketed = withRange
       .withColumn("b",
-        when(col("hi") === col("lo"), lit(0))
+        when(isnan(col("v")), lit(nBuckets - 1))
+          .when(col("hi") === col("lo") || col("hi").isNull, lit(0))
           .otherwise(greatest(lit(0), least(lit(nBuckets - 1),
             floor((col("v") - col("lo")) / (col("hi") - col("lo"))
               * nBuckets).cast("int")))))

@@ -75,10 +75,22 @@ object IdempotentSink {
   /** Read only marker-committed batches. On POSIX/HDFS this equals a plain
     * read of `outDir`; on object stores it additionally excludes any batch
     * directory a crashed writer half-copied into place.
+    *
+    * The read is built from the committed paths DIRECTLY (`basePath` keeps
+    * `batch` as a partition column), never by listing `outDir` and
+    * filtering: a whole-dir read would schema-infer over unmarked partial
+    * batches — a truncated parquet footer fails the read before any
+    * partition filter applies — and an `isin` over years of batch ids
+    * would grow an unbounded predicate. Path-based reads have neither
+    * problem: uncommitted dirs are never listed, and cost scales with the
+    * committed count only. Zero committed batches → an empty 0-column
+    * frame (the sink owns the schema; there is nothing trustworthy to
+    * infer it from).
     */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val ids = committedBatches(spark, outDir)
-    spark.read.parquet(outDir).filter(col("batch").isin(ids: _*))
+    if (ids.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", outDir)
+      .parquet(ids.map(id => s"$outDir/batch=$id"): _*)
   }
 }

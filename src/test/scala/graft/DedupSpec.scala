@@ -124,27 +124,28 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connected components: superseded checkpoints released, only the final round remains") {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
-    val sc = spark.sparkContext
-    sc.setCheckpointDir(ckpt)
-    try {
-      // 30-node path → multiple rounds → multiple intermediate checkpoints
-      val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
-      assert(cc.count() == 30) // result usable off its surviving checkpoint
-      def rddDirs = {
-        val d = new java.io.File(ckpt).listFiles() // <ckpt>/<uuid>/rdd-*
-        if (d == null) Array.empty[java.io.File]
-        else d.flatMap(u => Option(u.listFiles()).getOrElse(Array.empty))
-          .filter(_.getName.startsWith("rdd-"))
-      }
-      assert(rddDirs.length == 1,
-        s"expected only the final labels checkpoint, found: ${rddDirs.mkString(", ")}")
-    } finally {
-      // leave the shared session on local checkpoints for the other suites
-      sc.conf.remove("spark.checkpoint.dir")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    // the session runs on TestSpark's JVM-lifetime reliable-checkpoint dir
+    // (it cannot be unset once set — see TestSpark); assert on the DELTA the
+    // call leaves behind, so checkpoints from other tests don't interfere
+    val before = TestSpark.checkpointRddDirs
+    // 30-node path → multiple rounds → multiple intermediate checkpoints
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+    assert(cc.count() == 30) // result usable off its surviving checkpoint
+    val added = TestSpark.checkpointRddDirs -- before
+    assert(added.size == 1,
+      s"expected only the final labels checkpoint, found: ${added.mkString(", ")}")
+  }
+
+  test("connected components: non-convergence releases every checkpoint") {
+    val before = TestSpark.checkpointRddDirs
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2)
     }
+    val added = TestSpark.checkpointRddDirs -- before
+    assert(added.isEmpty,
+      s"failure path must not leak checkpoints, found: ${added.mkString(", ")}")
   }
 
   test("embedding near-dup LSH path: finds same-direction pair (same bucket)") {
