@@ -119,11 +119,35 @@ object Dedup {
     * 2× slower here: smaller keys → denser buckets → more candidate pairs.)
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      simhash(TextFunctions.tokens(col(textCol))).as("sh"))
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol).as("id"),
+      simhash(TextFunctions.tokens(col(textCol))).as("sh")), "id", "sh", maxHamming)
+
+  /** Near-dup pairs over ANY precomputed 64-bit sketch column (simhash,
+    * image dHash, audio fingerprint …) by Hamming distance — the shared
+    * blocking engine behind [[simhashPairs]] and
+    * [[graft.multimodal.Multimodal]] image dedup.
+    *
+    * The sketch splits into `nChunks` equal bit chunks; by pigeonhole any
+    * pair within Hamming ≤ nChunks−1 agrees on ≥ 1 chunk, so the chunk
+    * equi-join is LOSSLESS for `maxHamming < nChunks` (enforced). More
+    * chunks admit larger distances but shrink keys → denser buckets → more
+    * candidate pairs (4×16-bit measured 2× faster than 8×8-bit on text
+    * sketches); callers needing Hamming > 3 pay that knowingly via
+    * `nChunks = 8`.
+    */
+  def hammingPairs(sketches: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, nChunks: Int = 4): DataFrame = {
+    require(64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
+    require(maxHamming < nChunks,
+      s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
+        s"$nChunks chunks — need maxHamming < nChunks")
+    val bits = 64 / nChunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sh = sketches.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val chunked = sh.select(col("id"), col("sh"), posexplode(array(
-      (0 until 4).map(c => shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+      (0 until nChunks).map(c =>
+        shiftright(col("sh"), c * bits).bitwiseAND(lit(mask))): _*))
       .as(Seq("chunk", "ckey")))
     val l = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))

@@ -35,6 +35,25 @@ object IncrementalHeadways {
     * arrival before `date`" (pass all history for exactness, a pruned
     * lookback for economy).
     */
+  /** The maintained boundary source: one row per (line_id, stop_id) with
+    * the key's latest arrival — O(active keys) rows, independent of
+    * history depth. Passing this as `prior` to [[forDate]] replaces the
+    * per-key max scan over all prior partitions with a read of a
+    * key-count-sized table: the 100 TB shape (the fleet has ~thousands of
+    * (line, stop) keys regardless of how many years of events exist).
+    */
+  def lastArrivalState(events: DataFrame): DataFrame =
+    events.filter(col("event_ts").isNotNull)
+      .groupBy("line_id", "stop_id").agg(max("event_ts").as("event_ts"))
+
+  /** Advance the state table past one new batch of events: max-merge —
+    * associative and idempotent, so replays and out-of-order maintenance
+    * within a date cannot corrupt it.
+    */
+  def advanceState(state: DataFrame, newEvents: DataFrame): DataFrame =
+    lastArrivalState(state.select("line_id", "stop_id", "event_ts")
+      .unionByName(newEvents.select("line_id", "stop_id", "event_ts")))
+
   def forDate(newEvents: DataFrame, prior: DataFrame, date: String): DataFrame = {
     val d = to_date(lit(date))
     val ev = newEvents.filter(col("event_ts").isNotNull &&

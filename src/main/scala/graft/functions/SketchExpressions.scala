@@ -89,7 +89,9 @@ object Sketches {
     ("shingle_set", "_FUNC_(tokens) - sorted distinct hashed 3-gram shingles",
       1, es => ShingleSet(es.head)),
     ("int8_vec_dot", "_FUNC_(a, b) - exact int64 dot of two int8 vectors",
-      2, es => Int8VecDot(es.head, es(1))))
+      2, es => Int8VecDot(es.head, es(1))),
+    ("bpe_encode", "_FUNC_(text, merges) - byte-level BPE token ids",
+      2, es => BpeEncode(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -163,9 +163,13 @@ object Jobs {
     * `<silver>/fct_headways_by_date/date=<d>/`.
     *
     * `lookbackDays`: bound the boundary scan to the last N date
-    * partitions (partition-pruned). None = exact over all history; set it
-    * when key silences are known-bounded or a last-arrival state table
-    * takes over at extreme scale.
+    * partitions (partition-pruned). None = exact over all history; only
+    * consulted on the fallback path — once a LAST-ARRIVAL STATE TABLE
+    * exists (`<silver>/state_last_arrival/date=<d>`, maintained here), the
+    * boundary reads that instead: O(active keys) rows regardless of
+    * history depth, the extreme-scale shape. The state advances by
+    * max-merge each run ([[graft.etl.IncrementalHeadways.advanceState]]),
+    * so re-running a date is idempotent.
     */
   def transformIncremental(spark: SparkSession, rawDir: String,
       silverDir: String, date: String, lookbackDays: Option[Int] = None,
@@ -176,29 +180,54 @@ object Jobs {
         s"$silverDir/fct_headways_by_date/date=$date")) {
       GraftSession.tune(spark)
       val stgRoot = s"$silverDir/stg_arrivals_by_date"
+      val stateRoot = s"$silverDir/state_last_arrival"
       val rawGlob = s"$rawDir/date=$date/arrivals_*.parquet"
       val stgNew =
         if (!StgArrivals.globNonEmpty(spark, rawGlob))
           Schemas.emptyRelation(spark, Schemas.stgArrivals)
         else StgArrivals.fromRaw(spark.read.parquet(rawGlob))
       stgNew.write.mode(SaveMode.Overwrite).parquet(s"$stgRoot/date=$date")
-      // boundary source: previously staged partitions, pruned on the
-      // partition column (and further by lookback when given)
-      val priorGlob = s"$stgRoot/date=*"
-      val prior =
-        if (!StgArrivals.globNonEmpty(spark, s"$priorGlob/*.parquet"))
-          Schemas.emptyRelation(spark, Schemas.stgArrivals)
-        else {
-          val all = spark.read.option("basePath", stgRoot).parquet(priorGlob)
-            .filter(col("date") < to_date(lit(date)))
-          lookbackDays.fold(all)(n =>
-            all.filter(col("date") >= date_sub(to_date(lit(date)), n)))
-        }
-      graft.etl.IncrementalHeadways.forDate(
-          spark.read.parquet(s"$stgRoot/date=$date"), prior, date)
+      // boundary source, in preference order: (1) the latest maintained
+      // state partition before `date` — one row per key; (2) previously
+      // staged partitions, pruned on the partition column (and further by
+      // lookback when given); (3) empty (first-ever date)
+      val stateDates = listPartitionDates(spark, stateRoot).filter(_ < date)
+      val prior = stateDates.maxOption match {
+        case Some(d) => spark.read.parquet(s"$stateRoot/date=$d")
+        case None =>
+          val priorGlob = s"$stgRoot/date=*"
+          if (!StgArrivals.globNonEmpty(spark, s"$priorGlob/*.parquet"))
+            Schemas.emptyRelation(spark, Schemas.stgArrivals)
+          else {
+            val all = spark.read.option("basePath", stgRoot).parquet(priorGlob)
+              .filter(col("date") < to_date(lit(date)))
+            lookbackDays.fold(all)(n =>
+              all.filter(col("date") >= date_sub(to_date(lit(date)), n)))
+          }
+      }
+      val stgToday = spark.read.parquet(s"$stgRoot/date=$date")
+      graft.etl.IncrementalHeadways.forDate(stgToday, prior, date)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$silverDir/fct_headways_by_date/date=$date")
+      // advance the state past this date. `prior` may be multi-row-per-key
+      // (fallback path) — advanceState max-merges either shape exactly
+      graft.etl.IncrementalHeadways.advanceState(
+          prior.filter(col("event_ts").isNotNull &&
+            to_date(col("event_ts")) < to_date(lit(date))),
+          stgToday)
+        .write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/date=$date")
     }
+
+  /** Partition dates (`date=<d>` dir names) under a root; empty if the
+    * root does not exist. Driver-side listing of O(dates) names.
+    */
+  private def listPartitionDates(spark: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("date=") => n.stripPrefix("date=") }
+  }
 
   /** E3 — line alignment: fan-out per-stop fetches, filter to the line,
     * enrich with stop metadata via a BROADCAST lookup join + coalesce

@@ -147,6 +147,75 @@ object Multimodal {
       }.toDF()
   }
 
+  /** 64-bit difference hash (dHash) of one decoded image — the standard
+    * perceptual fingerprint for image near-dup: grayscale (Rec.601 integer
+    * luma), area-average downscale to 9×8, then bit (y·8+x) set iff the
+    * pixel right of (x, y) is brighter. Properties that make it a DEDUP
+    * key rather than a checksum: invariant under uniform brightness shift
+    * (bits compare neighbors, not absolutes) and stable under small local
+    * edits (one changed region flips only its neighborhood's bits) —
+    * re-encoded/slightly-retouched copies land within a few bits.
+    *
+    * All-integer math (sums and truncating divisions), so the hash is
+    * bit-deterministic across JVMs/platforms — no float resampling.
+    */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = new Array[Long](9 * 8) // luma ×1000 sums averaged per box
+    var ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 9) {
+        // source box [x0,x1)×[y0,y1): integer edges, never empty
+        val x0 = tx * w / 9; val x1 = math.max(x0 + 1, (tx + 1) * w / 9)
+        val y0 = ty * h / 8; val y1 = math.max(y0 + 1, (ty + 1) * h / 8)
+        var sum = 0L
+        var y = y0
+        while (y < h && y < y1) {
+          var x = x0
+          while (x < w && x < x1) {
+            val p = img.getRGB(math.min(x, w - 1), math.min(y, h - 1))
+            sum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1, (math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+        gray(ty * 9 + tx) = sum / n
+        tx += 1
+      }
+      ty += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val (y, x) = (i / 8, i % 8)
+      if (gray(y * 9 + x + 1) > gray(y * 9 + x)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual-hash table for an image media frame: `(doc_id, dhash)` via
+    * real ImageIO decode, partition-local (bytes never on the driver).
+    * Feed into [[graft.dedup.Dedup.hammingPairs]] for blocked near-dup
+    * candidates and [[graft.dedup.Dedup.connectedComponents]] for
+    * clusters — the image pipeline reuses the text pipeline's pair/cluster
+    * machinery unchanged.
+    */
+  def dHashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          (id, dHash64(img))
+        }
+      }.toDF("doc_id", "dhash")
+  }
+
   /** Deterministic STUB resize: a real codec decodes → scales → re-encodes;
     * without media libraries the payload truncates proportionally to the
     * pixel-count ratio (so sizes behave like a real downscale) and the

@@ -52,16 +52,23 @@ object Curation {
     * One window shuffle on the partition column; everything else is
     * map-side. The running sum is int64 (exact to 2^63 tokens — any
     * corpus).
+    *
+    * `tokenCount` is pluggable: the default bills by whitespace tokens
+    * (SQL-checkable against the oracle); pass
+    * `graft.text.Bpe.countCol(_, model)` to bill by EXACT trained-tokenizer
+    * tokens — the unit a training run actually consumes.
     */
   def packSequences(docs: DataFrame, partCol: String, idCol: String,
-      textCol: String, cap: Int = 256): DataFrame = {
+      textCol: String, cap: Int = 256,
+      tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextFunctions.tokenCount): DataFrame = {
     require(cap > 0 && (cap & (cap - 1)) == 0, s"cap must be a power of two, got $cap")
     val shift = java.lang.Integer.numberOfTrailingZeros(cap)
     val w = Window.partitionBy(partCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(idCol), col(partCol),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+        tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("start_off",
         coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
       .withColumn("chunk_id", shiftright(col("start_off"), shift))

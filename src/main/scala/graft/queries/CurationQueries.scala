@@ -160,6 +160,28 @@ object CurationQueries extends QueryModule {
               |SELECT doc_id, quality, len(list_filter(cuts, x -> x < quality)) AS bin
               |FROM q, c ORDER BY doc_id""".stripMargin)),
 
+    // TOKEN-EXACT sequence packing: a byte-level BPE tokenizer trained on
+    // the corpus itself (deterministic: histogram cut and pair ties are
+    // both totally ordered) replaces the whitespace token accounting in
+    // q80 — chunk ids now bill in the unit a training run consumes.
+    // BPE is not SQL-expressible → rows-only at the driver gate; the
+    // tokenizer itself is golden-vector-gated in BpeSpec (merge order,
+    // token ids, byte-level round-trip).
+    "q86_bpe_pack" -> QueryDef(
+      (s, dir) => {
+        import graft.text.Bpe
+        val d = Tables.documents(s, dir)
+        val model = Bpe.train(d, "text", nMerges = 200, maxWords = 20000)
+        Curation.packSequences(d, partCol = "lang", idCol = "doc_id",
+            textCol = "text", cap = 256, tokenCount = Bpe.countCol(_, model))
+          .join(d.select(col("doc_id"),
+            octet_length(col("text")).as("n_bytes")), "doc_id")
+          .withColumn("bytes_per_token",
+            col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("lang", "doc_id")
+      },
+      None),
+
     // Domain mixture: per (source, lang) token shares and the uniform-mix
     // downsampling rate.
     "q81_domain_mix" -> QueryDef(

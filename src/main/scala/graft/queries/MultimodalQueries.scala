@@ -58,5 +58,24 @@ object MultimodalQueries extends QueryModule {
             element_at(col("feat"), 2).as("mean_g"),
             element_at(col("feat"), 3).as("mean_b"),
             element_at(col("feat"), 4).cast("long").as("n_pixels"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    // Perceptual-hash image near-dup: real PNG decode → 64-bit dHash →
+    // the SAME Hamming chunk-blocking and connected-components machinery
+    // as text dedup — one pair/cluster engine for every modality. The
+    // fixture's duplicate text clusters yield pixel-identical PNGs, so
+    // real clusters exist. Rows-only (hash is codec-specific); dHash
+    // invariances and planted-near-dup recall are pinned in MultimodalSpec.
+    "q85_image_near_dup" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.Dedup
+        val hashes = Multimodal.dHashTable(s,
+          Multimodal.syntheticPngTable(s, Tables.documents(s, dir)))
+        val pairs = Dedup.hammingPairs(hashes, "doc_id", "dhash", maxHamming = 3)
+        val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .toDF("doc_id", "cluster")
+        clusters.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), min("doc_id").as("exemplar"))
+          .orderBy("cluster")
+      }))
 }

@@ -69,5 +69,29 @@ class IncrementalSpec extends AnyFunSuite {
       .drop("date")
     val full = spark.read.parquet(s"$root/silver_full/fct_headways")
     sameFrames(full, inc)
+
+    // the maintained last-arrival state: one partition per processed date,
+    // one row per key, holding exactly max(event_ts) ≤ that date
+    val state = spark.read.parquet(s"$root/silver/state_last_arrival/date=${days.last}")
+    val expect = graft.etl.IncrementalHeadways.lastArrivalState(
+      spark.read.option("basePath", s"$root/silver/stg_arrivals_by_date")
+        .parquet(s"$root/silver/stg_arrivals_by_date/date=*")
+        .select("line_id", "stop_id", "event_ts"))
+    sameFrames(state, expect)
+    assert(state.groupBy("line_id", "stop_id").count()
+      .filter(col("count") > 1).count() == 0, "state is one row per key")
+
+    // day-2 re-run consumes the day-1 STATE (not the staged history) and
+    // stays byte-equal: delete the staged day-1 partition, rerun day 2 —
+    // only the state can supply the boundary now
+    val mart2 = spark.read.parquet(s"$root/silver/fct_headways_by_date/date=${days.last}")
+      .collect().toSet
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/silver/stg_arrivals_by_date/date=${days.head}"))
+    Jobs.transformIncremental(spark, raw, s"$root/silver", days.last)
+    val mart2b = spark.read.parquet(s"$root/silver/fct_headways_by_date/date=${days.last}")
+      .collect().toSet
+    assert(mart2 == mart2b,
+      "state-backed rerun must reproduce the staged-history result exactly")
   }
 }

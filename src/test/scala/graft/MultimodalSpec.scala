@@ -109,4 +109,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(read.contains("doc_id") && !read.contains("text"),
       s"binary source column should be pruned from the scan: $read")
   }
+
+  // --- perceptual-hash image dedup ------------------------------------------
+
+  /** Deterministic 32×32 test image: smooth two-axis gradient (structure
+    * dHash can see), tweakable per test.
+    */
+  private def gradientPng(edit: (Int, Int) => Int = (_, _) => 0,
+      brighten: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val base = math.min(255, 4 * x + 2 * y + brighten + edit(x, y))
+      val v = math.max(0, base)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: identical images hash identically; brightness shift is invariant") {
+    def hash(b: Array[Byte]) = Multimodal.dHash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    val a = hash(gradientPng())
+    assert(a == hash(gradientPng()), "determinism")
+    // dHash compares neighbors, so +20 on every pixel flips no bit
+    // (as long as nothing clips at 255 — max luma here is 206)
+    assert(a == hash(gradientPng(brighten = 20)), "brightness invariance")
+  }
+
+  test("planted image near-dup: retouched copy found, unrelated image not") {
+    import org.apache.spark.sql.functions.col
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val a = gradientPng()
+    // local retouch: a 4×4 patch dimmed — most of the image unchanged
+    val b = gradientPng(edit = (x, y) => if (x >= 8 && x < 12 && y >= 8 && y < 12) -30 else 0)
+    // unrelated: high-frequency checkerboard, structurally different
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = if ((x / 2 + y / 2) % 2 == 0) 230 else 10
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val c = bos.toByteArray
+    val media = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "bytes")
+    val pairs = Dedup.hammingPairs(
+        Multimodal.dHashTable(spark, media), "doc_id", "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "retouched near-dup must surface")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "unrelated image must not pair")
+  }
+
+  test("q85: fixture PNG clusters exist and exemplar is the min member") {
+    val r = SparkEntry.queries("q85_image_near_dup")(spark, TestSpark.sfDir)
+      .collect()
+    assert(r.nonEmpty, "fixture duplicate texts must yield image clusters")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_members") >= 2)
+      assert(row.getAs[Long]("exemplar") == row.getAs[Long]("cluster"),
+        "cluster label is the min member id")
+    }
+  }
 }
