@@ -49,13 +49,20 @@ object Bench {
     val totals = new StageTotals
     spark.sparkContext.addSparkListener(totals)
 
+    // optional comma-separated subset (e.g. the scale-sensitive family
+    // for an sf1 tier whose dir carries only the LLM-pipeline tables)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter { case (n, _) => s(n) })
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
     // a failed query reports -1, never a plausible-looking wall time
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -154,4 +154,40 @@ object HeadwaysStream {
       .option("path", outDir)
       .start()
   }
+
+  /** The COMPOSED end-to-end streaming mart: raw file stream →
+    * O(keys)-state incremental gaps ([[incrementalGaps]]) → exactly-once
+    * [[IdempotentSink]]. This is the full 100 TB streaming shape in one
+    * entry point: bounded state (16 bytes per key), no per-trigger
+    * recompute, and a sink whose `batch=<id>` partitions survive
+    * at-least-once `foreachBatch` replay and object-store non-atomic
+    * renames (marker-gated visibility — read the result via
+    * [[IdempotentSink.readCommitted]]).
+    *
+    * Restart contract: kill the query at any point, restart with the same
+    * `checkpointDir` — replayed batch ids are skipped by the sink's
+    * marker, fresh ids process new files only. The composition is gated
+    * end-to-end in StreamingSinkSpec: 3 ingest waves across 3
+    * kill-and-restart cycles plus a forced checkpoint-commit replay must
+    * equal the batch recompute's gaps byte-for-byte.
+    */
+  def startIncrementalMart(spark: SparkSession, rawDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    GraftSession.tune(spark)
+    import spark.implicits._
+    val arrivals = StgArrivals.fromRaw(rawStream(spark, rawDir))
+      .filter(col("event_ts").isNotNull)
+      .select(col("line_id"), col("stop_id"), col("event_ts"))
+      .as[ArrivalEvent]
+    val sink = IdempotentSink.writer(outDir)
+    incrementalGaps(spark, arrivals)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[HeadwayGap], id: Long) =>
+        sink(batch.toDF(), id)
+      }
+      .start()
+  }
 }

@@ -56,6 +56,15 @@ object IdempotentSink {
           s"idempotent sink: rename $scratch -> $dest failed; " +
             "scratch left intact for inspection")
       fs.create(marker, true).close()
+    } else {
+      // marker hit (replayed batch): the DATA is already committed, but
+      // the batch must still be fully evaluated — an upstream STATEFUL
+      // operator (flatMapGroupsWithState, windowed agg) re-computes this
+      // batch's state updates during replay, and Spark refuses to commit
+      // the batch unless every partition's state store committed
+      // (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise). A zero-effect
+      // action runs all partitions without writing a byte.
+      df.foreach(_ => ())
     }
     ()
   }

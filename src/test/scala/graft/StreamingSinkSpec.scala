@@ -81,4 +81,76 @@ class StreamingSinkSpec extends AnyFunSuite {
     // batch is a discoverable partition column for downstream pruning
     assert(spark.read.parquet(s"$root/out").columns.contains("batch"))
   }
+
+  test("composed streaming mart: 3 waves, kill-and-restart, forced replay — equals batch gaps") {
+    import java.time.Instant
+    import graft.streaming.HeadwaysStream
+    val root = freshDir("graft-mart-e2e")
+    val raw = s"$root/raw"; val out = s"$root/mart"; val ckpt = s"$root/ckpt"
+    val t0 = Instant.parse("2025-11-20T10:00:00Z")
+    // raw snapshots with strictly time-ordered events per key across
+    // waves: the incremental path's cross-batch late-drop policy then
+    // never fires, which is what makes exact batch-equality the right
+    // assertion (the policy itself is covered in JobsSpec)
+    def ingestWave(wave: Int): Unit = (0 until 2).foreach { i =>
+      val n = wave * 2 + i
+      val ts = t0.plusSeconds(n * 120L).toString
+      val tmp = s"$root/tmp_w${wave}_$i"
+      Seq(("940GZZLUOXC", "central", "p1", "Epping", 30L, ts),
+          ("940GZZLUVIC", "victoria", "p2", "Walthamstow", 45L, ts))
+        .toDF("stopId", "lineId", "platformName", "destinationName",
+          "timeToStation", "timestamp")
+        .coalesce(1).write.parquet(tmp)
+      // raw-zone contract: each snapshot is a single arrivals_*.parquet
+      // FILE (the streaming pathGlobFilter keys on the leaf file name)
+      val dateDir = new java.io.File(s"$raw/date=2025-11-20"); dateDir.mkdirs()
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(dateDir, s"arrivals_w${wave}_$i.parquet")))
+    }
+    def runCycle(tag: String): Unit = {
+      val q = HeadwaysStream.startIncrementalMart(spark, raw, out, ckpt)
+      try {
+        assert(q.awaitTermination(120000), s"$tag: query did not terminate")
+        assert(q.exception.isEmpty, s"$tag failed: ${q.exception}")
+      } finally if (q.isActive) q.stop()
+    }
+    // 3 ingest waves; a FRESH AvailableNow query per wave is a
+    // kill-and-restart cycle over the same checkpoint
+    (0 until 3).foreach { wave => ingestWave(wave); runCycle(s"wave $wave") }
+    val ids = IdempotentSink.committedBatches(spark, out)
+    assert(ids.size >= 3, s"expected ≥3 committed batches, got $ids")
+
+    // force an at-least-once replay: drop the newest STREAMING commit so
+    // the restart reprocesses the final batch under the same batchId —
+    // the sink's marker must swallow it
+    val replayed = ids.max
+    assert(new java.io.File(s"$ckpt/commits/$replayed").delete(),
+      "streaming checkpoint commit must exist to be dropped")
+    // also drop the Hadoop checksum sidecar, or the replay's commit
+    // rename fails on the stale .crc
+    new java.io.File(s"$ckpt/commits/.$replayed.crc").delete()
+    runCycle("forced replay")
+    assert(IdempotentSink.committedBatches(spark, out) == ids,
+      "replay must commit no new batch")
+
+    // byte-equality with the batch recompute: same gap rows, same values
+    // (files arrived in event order, so the cross-batch late-drop policy
+    // never fires and the two paths agree exactly)
+    val streamed = IdempotentSink.readCommitted(spark, out)
+      .select("line_id", "stop_id", "event_ts", "headway_s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("line_id", "stop_id").orderBy("event_ts")
+    val batch = graft.etl.StgArrivals(spark, raw)
+      .filter(col("event_ts").isNotNull)
+      .select(col("line_id"), col("stop_id"), col("event_ts"))
+      .withColumn("prev_ts", lag("event_ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("line_id"), col("stop_id"), col("event_ts"),
+        ((unix_micros(col("event_ts")) - unix_micros(col("prev_ts")))
+          .cast("double") / 1e6).as("headway_s"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed mart must equal the batch recompute byte-for-byte")
+  }
 }
