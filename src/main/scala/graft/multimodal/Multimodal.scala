@@ -69,12 +69,115 @@ object Multimodal {
   }
 
   /** STUB codec — deterministic fake decode for payload kinds without an
-    * in-container decoder. The signature (bytes in, fixed-width features
-    * out) is the real contract; swapping in a real audio/video codec
-    * changes only this object.
+    * in-container decoder (VIDEO only, now that images decode via
+    * [[ImageIoCodec]] and audio via [[WavCodec]]). The signature (bytes
+    * in, fixed-width features out) is the real contract; swapping in a
+    * real video codec changes only this object.
     */
   object StubCodec extends Codec {
     def decode(bytes: Array[Byte]): (Double, Array[Double]) = decodeStub(bytes)
+  }
+
+  /** REAL audio decode: RIFF/WAVE PCM16 mono, parsed by a hand-rolled
+    * chunk walker (RIFF is a public container format simple enough to
+    * read without media libraries, so audio does not need a stub). The
+    * walker validates magic + fmt (PCM, 16-bit) and iterates chunks to
+    * find `data` — a writer that inserts extra chunks (LIST/INFO) still
+    * decodes.
+    *
+    * Features are exact sample statistics: signal level = mean |amplitude|
+    * scaled to the 0-255 codec contract; the vector carries RMS (of the
+    * [-1,1) normalized signal), zero-crossing rate, duration in seconds,
+    * and sample count. All integer/double math in deterministic order.
+    * Non-WAV bytes fail loudly, like the image codec.
+    */
+  object WavCodec extends Codec {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(bytes: Array[Byte]): (Double, Array[Double]) = {
+      require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        s"payload (${bytes.length} bytes) is not a RIFF/WAVE stream")
+      var off = 12
+      var sampleRate = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= bytes.length && (sampleRate == 0 || dataOff < 0)) {
+        val id = tag(bytes, off)
+        val sz = le32(bytes, off + 4)
+        if (id == "fmt ") {
+          require(le16(bytes, off + 8) == 1 && le16(bytes, off + 10) == 1 &&
+            le16(bytes, off + 22) == 16,
+            "WavCodec supports PCM 16-bit mono only")
+          sampleRate = le32(bytes, off + 12)
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(sampleRate > 0 && dataOff >= 0, "WAVE stream missing fmt/data chunk")
+      val n = math.min(dataLen, bytes.length - dataOff) / 2
+      require(n > 0, "WAVE data chunk is empty")
+      var sumAbs = 0L
+      var sumSq = 0.0
+      var crossings = 0
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = (le16(bytes, dataOff + 2 * i) << 16) >> 16 // sign-extend
+        sumAbs += math.abs(s)
+        val x = s / 32768.0
+        sumSq += x * x
+        if (i > 0 && ((s ^ prev) < 0)) crossings += 1
+        prev = s
+        i += 1
+      }
+      val level = sumAbs.toDouble / n / 32768.0 * 255.0
+      (level, Array(math.sqrt(sumSq / n), crossings.toDouble / n,
+        n.toDouble / sampleRate, n.toDouble))
+    }
+  }
+
+  /** Minimal RIFF/WAVE PCM16 mono writer — the synthesis counterpart of
+    * [[WavCodec]], used by [[syntheticWavTable]] and specs.
+    */
+  private[graft] def writeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Synthesize a REAL-audio media table: each document becomes a short
+    * PCM16 WAV tone whose frequency/amplitude derive deterministically
+    * from the text — actual RIFF bytes through the actual binary-column
+    * plumbing, mirroring [[syntheticPngTable]] for images. Partition-local
+    * map; bytes never hit the driver.
+    */
+  def syntheticWavTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val src = text.getBytes("UTF-8")
+          val freq = 100.0 + (if (src.isEmpty) 0 else src(0) & 0xff) * 4.0
+          val amp = 8000 + (if (src.length < 2) 0 else src(1) & 0xff) * 60
+          val rate = 8000
+          val samples = Array.tabulate(400)(i =>
+            (amp * math.sin(2 * math.Pi * freq * i / rate)).toShort)
+          MediaRow(id, "audio", writeWav(samples, rate), 0, 0)
+        }
+      }.toDF()
   }
 
   /** Synthesize a media table from `documents`: payload = UTF-8 bytes of

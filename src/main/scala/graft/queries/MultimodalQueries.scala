@@ -60,6 +60,23 @@ object MultimodalQueries extends QueryModule {
             element_at(col("feat"), 4).cast("long").as("n_pixels"))
           .orderBy("doc_id")),
 
+    // REAL audio decode end-to-end: synthesize an actual PCM16 WAV tone
+    // per document, parse the RIFF container executor-side, emit exact
+    // sample statistics (RMS / zero-crossing rate / duration). Rows-only
+    // (no SQL engine parses WAV); exact values pinned in MultimodalSpec.
+    "q87_audio_features" -> QueryDef(
+      (s, dir) =>
+        Multimodal.featurize(s,
+            Multimodal.syntheticWavTable(s, Tables.documents(s, dir)),
+            Multimodal.WavCodec)
+          .toDF()
+          .select(col("doc_id"), col("avg_byte").as("mean_level"),
+            element_at(col("feat"), 1).as("rms"),
+            element_at(col("feat"), 2).as("zcr"),
+            element_at(col("feat"), 3).as("duration_s"),
+            element_at(col("feat"), 4).cast("long").as("n_samples"))
+          .orderBy("doc_id")),
+
     // Perceptual-hash image near-dup: real PNG decode → 64-bit dHash →
     // the SAME Hamming chunk-blocking and connected-components machinery
     // as text dedup — one pair/cluster engine for every modality. The
@@ -71,7 +88,11 @@ object MultimodalQueries extends QueryModule {
         import graft.dedup.Dedup
         val hashes = Multimodal.dHashTable(s,
           Multimodal.syntheticPngTable(s, Tables.documents(s, dir)))
-        val pairs = Dedup.hammingPairs(hashes, "doc_id", "dhash", maxHamming = 3)
+        // cluster edges, not the full pair list: identical dHashes (exact
+        // duplicate media) collapse to representatives before blocking —
+        // same components, distinct²-not-corpus² pair volume
+        val pairs = Dedup.hammingClusterEdges(hashes, "doc_id", "dhash",
+          maxHamming = 3)
         val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
           .toDF("doc_id", "cluster")
         clusters.groupBy("cluster")

@@ -66,7 +66,8 @@ object SimilarityQueries extends QueryModule {
         val emb = Tables.embeddings(s, dir)
         val name = s"graft_ivf_${Tables.fingerprint(s, s"$dir/embeddings.parquet")}"
         if (!s.catalog.tableExists(s"${name}_assigned"))
-          Ann.writeIvfIndex(Ann.buildIvfIndex(emb, refineIters = 0), name)
+          Ann.writeIvfIndex(
+            Ann.buildIvfIndex(emb, nCells0 = 0, refineIters = 0), name)
         Ann.searchIvf(Ann.loadIvfIndex(s, name),
             emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")

@@ -148,6 +148,23 @@ class DedupSpec extends AnyFunSuite {
       s"failure path must not leak checkpoints, found: ${added.mkString(", ")}")
   }
 
+  test("hammingClusterEdges: identical components as full hammingPairs") {
+    // exact-dup groups (identical sketches), a near-dup bridge, an island
+    val sk = Seq(
+      (1L, 0x00000000000000ffL), (2L, 0x00000000000000ffL), // exact dups
+      (3L, 0x00000000000000feL),                            // hamming 1 off the group
+      (4L, 0x7700000000000000L), (5L, 0x7700000000000000L), // second group
+      (6L, 0x0f0f0f0f0f0f0f0fL))                            // island
+      .toDF("id", "sh")
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = comps(Dedup.hammingPairs(sk, "id", "sh").select("id_a", "id_b"))
+    val star = comps(Dedup.hammingClusterEdges(sk, "id", "sh"))
+    assert(star == full)
+    assert(full == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("embedding near-dup LSH path: finds same-direction pair (same bucket)") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => (i + 1).toFloat)),

@@ -165,6 +165,51 @@ class MultimodalSpec extends AnyFunSuite {
       "unrelated image must not pair")
   }
 
+  // --- real WAV audio codec -------------------------------------------------
+
+  test("WavCodec: exact statistics on hand-built samples") {
+    // alternating ±0.5 full-scale square wave: every stat hand-computable
+    val s = Array[Short](16384, -16384, 16384, -16384)
+    val (level, feat) = Multimodal.WavCodec.decode(Multimodal.writeWav(s, 8000))
+    assert(level == 16384.0 / 32768.0 * 255.0)
+    assert(feat(0) == 0.5, "rms of constant |0.5| signal")
+    assert(feat(1) == 3.0 / 4.0, "3 sign changes over 4 samples")
+    assert(feat(2) == 4.0 / 8000.0, "duration")
+    assert(feat(3) == 4.0)
+  }
+
+  test("WavCodec: chunk walker skips extra chunks; rejects non-WAV loudly") {
+    val s = Array[Short](1000, -1000)
+    val plain = Multimodal.writeWav(s, 8000)
+    // splice a LIST chunk between fmt and data — still decodable
+    val extra = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+      .array()
+    val spliced = plain.take(36) ++ extra ++ plain.drop(36)
+    // patch the RIFF size field for the inserted 12 bytes
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val (dl, df0) = Multimodal.WavCodec.decode(spliced)
+    val (pl, pf) = Multimodal.WavCodec.decode(plain)
+    assert(dl == pl && df0.toSeq == pf.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode("definitely not audio data padded to 44+ bytes!!!"
+        .getBytes("UTF-8"))
+    }
+  }
+
+  test("synthetic WAV table round-trips through the real decoder") {
+    val wav = Multimodal.syntheticWavTable(spark,
+      Tables.documents(spark, TestSpark.sfDir).limit(20))
+    val first = wav.orderBy("doc_id").head().getAs[Array[Byte]]("bytes")
+    assert(new String(first.take(4), "US-ASCII") == "RIFF")
+    val a = Multimodal.featurize(spark, wav, Multimodal.WavCodec)
+      .collect().sortBy(_.doc_id)
+    assert(a.length == 20 && a.forall(_.feat(3) == 400.0))
+    assert(a.forall(f => f.feat(0) > 0 && f.feat(1) > 0), "tones have energy + crossings")
+  }
+
   test("q85: fixture PNG clusters exist and exemplar is the min member") {
     val r = SparkEntry.queries("q85_image_near_dup")(spark, TestSpark.sfDir)
       .collect()
