@@ -77,6 +77,20 @@ object MultimodalQueries extends QueryModule {
             element_at(col("feat"), 4).cast("long").as("n_samples"))
           .orderBy("doc_id")),
 
+    // REAL multi-frame video decode: synthesize an actual animated GIF per
+    // document (the one video container the JDK decodes), explode to
+    // per-frame rows with mean luma + perceptual dHash, roll up per video.
+    // Rows-only; exact frame counts/pixels pinned in MultimodalSpec.
+    "q88_video_frames" -> QueryDef(
+      (s, dir) =>
+        Multimodal.videoFrames(s,
+            Multimodal.syntheticGifTable(s, Tables.documents(s, dir)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            countDistinct(col("frame_dhash")).as("n_distinct_frames"),
+            min("mean_luma").as("min_luma"), max("mean_luma").as("max_luma"))
+          .orderBy("doc_id")),
+
     // Perceptual-hash image near-dup: real PNG decode → 64-bit dHash →
     // the SAME Hamming chunk-blocking and connected-components machinery
     // as text dedup — one pair/cluster engine for every modality. The

@@ -210,6 +210,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.forall(f => f.feat(0) > 0 && f.feat(1) > 0), "tones have energy + crossings")
   }
 
+  // --- real animated-GIF video codec ----------------------------------------
+
+  private def grayFrame(v: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (i <- 0 until 16) img.setRGB(i % 4, i / 4, (v << 16) | (v << 8) | v)
+    img
+  }
+
+  test("GifVideoCodec: exact frame count and lumas on a hand-built animation") {
+    val gif = Multimodal.writeGif(Seq(grayFrame(10), grayFrame(100), grayFrame(250)))
+    val (level, feat) = Multimodal.GifVideoCodec.decode(gif)
+    assert(feat(0) == 3.0, "frame count")
+    assert(math.abs(feat(1) - 10.0) < 1e-9, "first-frame luma")
+    assert(math.abs(feat(2) - 250.0) < 1e-9, "last-frame luma")
+    assert(feat(3) == 48.0, "3 frames x 16 px")
+    assert(math.abs(level - 120.0) < 1e-9, "mean over frames")
+    intercept[IllegalArgumentException] {
+      Multimodal.GifVideoCodec.decode("not a gif at all, just filler bytes".getBytes)
+    }
+  }
+
+  test("videoFrames: one row per frame; identical videos share frame hashes") {
+    import spark.implicits._
+    val a = Multimodal.writeGif(Seq(grayFrame(10), grayFrame(200)))
+    val media = Seq((0L, "video", a, 4, 4), (1L, "video", a, 4, 4))
+      .toDF("doc_id", "kind", "bytes", "width", "height")
+    val rows = Multimodal.videoFrames(spark, media).collect()
+    assert(rows.length == 4)
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc(0L).map(_.getInt(1)).sorted.toSeq == Seq(0, 1))
+    val h0 = byDoc(0L).sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+    val h1 = byDoc(1L).sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+    assert(h0 == h1, "identical payloads → identical per-frame dHashes")
+  }
+
+  test("q88: every fixture video decodes to exactly 4 frames") {
+    val r = SparkEntry.queries("q88_video_frames")(spark, TestSpark.sfDir)
+    assert(r.filter(col("n_frames") =!= 4).count() == 0)
+    assert(r.count() > 0)
+  }
+
   test("q85: fixture PNG clusters exist and exemplar is the min member") {
     val r = SparkEntry.queries("q85_image_near_dup")(spark, TestSpark.sfDir)
       .collect()
