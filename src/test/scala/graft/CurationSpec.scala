@@ -91,6 +91,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileDiscCuts: NaN sorts last, exactly like quantileDisc") {
+    import graft.functions.GraftFunctions
+    val qs = (1 to 9).map(_ / 10.0)
+    // NaN-bearing fixtures: mixed, NaN-heavy, and a NaN that would have
+    // poisoned the min/max pre-pass (hi = NaN → one-bucket collapse)
+    val fixtures = Seq(
+      Seq(3.0, Double.NaN, 1.0, 2.0, Double.NaN, 9.0),
+      Seq(Double.NaN, Double.NaN, Double.NaN, 0.5),
+      (1 to 200).map(i => if (i % 7 == 0) Double.NaN else (i % 13).toDouble))
+    for (data <- fixtures) {
+      val df = data.toDF("v").repartition(5)
+      val expected = df.agg(array(
+        qs.map(GraftFunctions.quantileDisc(col("v"), _)): _*))
+        .head().getSeq[Double](0)
+      val got = GraftFunctions.quantileDiscCuts(df, "v", qs)
+        .head().getSeq[Double](0)
+      // == on Seq[Double] treats NaN != NaN — compare bit patterns
+      assert(got.map(java.lang.Double.doubleToLongBits) ==
+        expected.map(java.lang.Double.doubleToLongBits),
+        s"data=$data got=$got expected=$expected")
+    }
+  }
+
+  test("quantileDiscCuts: inverted knownRange and bad quantiles rejected") {
+    import graft.functions.GraftFunctions
+    val df = Seq(1.0, 2.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      GraftFunctions.quantileDiscCuts(df, "v", Seq(0.5), knownRange = Some((1.0, 0.0)))
+    }
+    intercept[IllegalArgumentException] {
+      GraftFunctions.quantileDiscCuts(df, "v", Seq(0.0, 0.5))
+    }
+  }
+
   test("quantileDiscCuts plan: no collect_list over the raw corpus") {
     import graft.functions.GraftFunctions
     import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
