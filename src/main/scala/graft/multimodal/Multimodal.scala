@@ -436,6 +436,41 @@ object Multimodal {
       }.toDF("doc_id", "dhash")
   }
 
+  /** Video near-dup by shared-frame analysis: per-video SORTED DISTINCT
+    * frame-dHash sets, candidate pairs = videos sharing at least one
+    * exact frame hash (explode + equi-join on the hash — bounded by
+    * per-hash posting lists, never all-pairs), verified by exact set
+    * Jaccard over the sorted arrays (merge-scan
+    * [[graft.functions.Sketches.sortedIntersectCount]], |∪| derived as
+    * |A|+|B|−|∩|). A re-encoded / trimmed / re-titled copy keeps most
+    * frame hashes, so it shares many exact hashes with its source; the
+    * size-ratio prefilter in the join condition prunes below-threshold
+    * pairs before the merge scan, mirroring the text Jaccard path.
+    *
+    * Per-video state is the frame-hash set (frames-per-video longs) —
+    * `collect_set` here is bounded by clip length, not corpus size.
+    */
+  def videoNearDup(spark: SparkSession, media: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = videoFrames(spark, media)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("frame_dhash"))).as("fset"))
+      .select(col("doc_id"), col("fset"), size(col("fset")).cast("double").as("n"))
+    val l = sets.select(col("doc_id").as("id_a"), col("fset").as("set_a"),
+      col("n").as("n_a"), explode(col("fset")).as("h_a"))
+    val r = sets.select(col("doc_id").as("id_b"), col("fset").as("set_b"),
+      col("n").as("n_b"), explode(col("fset")).as("h_b"))
+    val inter = graft.functions.Sketches
+      .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+    l.join(r,
+        col("h_a") === col("h_b") && col("id_a") < col("id_b") &&
+          least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"),
+        (inter / (col("n_a") + col("n_b") - inter)).as("shared_frac"))
+      .filter(col("shared_frac") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Deterministic STUB resize: a real codec decodes → scales → re-encodes;
     * without media libraries the payload truncates proportionally to the
     * pixel-count ratio (so sizes behave like a real downscale) and the

@@ -91,6 +91,23 @@ object MultimodalQueries extends QueryModule {
             min("mean_luma").as("min_luma"), max("mean_luma").as("max_luma"))
           .orderBy("doc_id")),
 
+    // Video near-dup: shared-frame candidate join (exact frame-dHash
+    // postings) → exact frame-set Jaccard → the same CC clustering as
+    // text/image dedup — the full modality set now shares one pair/
+    // cluster engine. Rows-only; planted-copy recall in MultimodalSpec.
+    "q89_video_near_dup" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.Dedup
+        val pairs = Multimodal.videoNearDup(s,
+          Multimodal.syntheticGifTable(s, Tables.documents(s, dir)),
+          threshold = 0.5)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .toDF("doc_id", "cluster")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), min("doc_id").as("exemplar"))
+          .orderBy("cluster")
+      }),
+
     // Perceptual-hash image near-dup: real PNG decode → 64-bit dHash →
     // the SAME Hamming chunk-blocking and connected-components machinery
     // as text dedup — one pair/cluster engine for every modality. The

@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool — `runMain graft.tools.PlanDump q33_dedup_jaccard …`: prints
+  * the join/exchange/window/scan skeleton of each named query's executed
+  * plan on sf0.001. The fast way to check "is this the plan I designed"
+  * without reading 300-line explains. Not part of the engine API.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    graft.core.GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    args.foreach { q =>
+      println(s"===== $q =====")
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => Seq("Join", "Exchange", "Window", "Scan parquet",
+          "HashAggregate", "Expand", "Generate").exists(l.contains))
+        .foreach(l => println("  " + l.trim.take(160)))
+    }
+    spark.stop()
+  }
+}

@@ -246,6 +246,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h0 == h1, "identical payloads → identical per-frame dHashes")
   }
 
+  test("videoNearDup: trimmed copy found above threshold, unrelated not") {
+    import spark.implicits._
+    // dHash keys on horizontal structure (its bits are RISING luma edges,
+    // and on 4-wide frames only the 3 column boundaries can rise), so the
+    // planted frames are column profiles with distinct rising-edge sets
+    def colProfile(vs: Int*): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val v = vs(x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val f = Seq(
+      colProfile(200, 10, 10, 10),  // rises: none
+      colProfile(10, 200, 10, 10),  // rises: {0→1}
+      colProfile(10, 10, 200, 10),  // rises: {1→2}
+      colProfile(10, 10, 10, 200))  // rises: {2→3}
+    val a = Multimodal.writeGif(f)
+    val b = Multimodal.writeGif(f.take(3) :+ colProfile(10, 100, 200, 10)) // 3 of 5 shared
+    val c = Multimodal.writeGif(Seq(
+      colProfile(10, 100, 10, 200), colProfile(10, 100, 200, 255)))
+    val media = Seq((0L, "video", a, 4, 4), (1L, "video", b, 4, 4),
+        (2L, "video", c, 4, 4))
+      .toDF("doc_id", "kind", "bytes", "width", "height")
+    val pairs = Multimodal.videoNearDup(spark, media, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)), "mostly-shared-frames copy must surface")
+    assert(math.abs(pairs((0L, 1L)) - 3.0 / 5.0) < 1e-12, "|∩|=3, |∪|=5")
+    assert(pairs.keySet == Set((0L, 1L)), "unrelated video must not pair")
+  }
+
   test("q88: every fixture video decodes to exactly 4 frames") {
     val r = SparkEntry.queries("q88_video_frames")(spark, TestSpark.sfDir)
     assert(r.filter(col("n_frames") =!= 4).count() == 0)
