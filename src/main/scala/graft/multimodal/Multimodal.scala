@@ -227,6 +227,8 @@ object Multimodal {
       while (off + 8 <= bytes.length && (sampleRate == 0 || dataOff < 0)) {
         val id = tag(bytes, off)
         val sz = le32(bytes, off + 4)
+        // a corrupt negative size would walk the offset backwards forever
+        require(sz >= 0, s"corrupt WAVE chunk '$id': negative size $sz")
         if (id == "fmt ") {
           require(le16(bytes, off + 8) == 1 && le16(bytes, off + 10) == 1 &&
             le16(bytes, off + 22) == 16,

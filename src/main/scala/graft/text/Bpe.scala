@@ -239,6 +239,38 @@ object Bpe {
     Model(merges.toArray)
   }
 
+  /** Persist a trained model as a tiny ordered merges table — the
+    * artifact that amortizes training across query batches and JVM
+    * restarts, like the persisted ANN index. Rank is explicit (merge
+    * order IS the model; row order in parquet is not contractual).
+    */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    import spark.implicits._
+    // without a durable metastore the catalog forgets tables across JVMs
+    // while their warehouse directories persist — clear a stale location
+    // or the CTAS refuses (LOCATION_ALREADY_EXISTS); same discipline as
+    // Ann.writeIvfIndex, same single-writer-per-name contract
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    model.merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toSeq
+      .toDF("rank", "a", "b")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** Load a model persisted by [[save]] — collects merges-table rows
+    * (vocab-sized, thousands) to the driver, never corpus data.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, table: String): Model =
+    Model(spark.table(table).orderBy("rank")
+      .select("a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1))))
+
   /** `array<int>` of BPE token ids for a text column (native expression,
     * whole-stage-codegen-resident; merges ride the plan as a literal).
     */

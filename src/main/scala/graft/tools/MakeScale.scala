@@ -73,9 +73,38 @@ object MakeScale {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
 
-    println(s"[makescale] wrote $dst at factor $factor: " +
-      s"documents=${spark.read.parquet(s"$dst/documents.parquet").count()} " +
-      s"embeddings=${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
+    // Relational star schema, FK-CONSISTENTLY: every key column in a
+    // replica gets the same k·10⁷ offset, so joins land exactly as in the
+    // source (each replica is a disjoint consistent sub-universe — the
+    // "more tenants" scale model). Dimension leaves (region, nation) stay
+    // as-is: real fact growth does not mint new countries. events keeps
+    // its timestamps (denser traffic per hour, the realistic stream
+    // scale-up) and offsets its ids.
+    val keyCols = Map(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"))
+
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+    }
+    keyCols.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      df.select(col("*"), ks)
+        .select(df.columns.map(c =>
+          if (keys.contains(c)) (col(c) + col("k") * 10000000L).as(c)
+          else col(c)): _*)
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+    }
+
+    val counts = (Seq("documents", "embeddings") ++ keyCols.keys)
+      .map(t => s"$t=${spark.read.parquet(s"$dst/$t.parquet").count()}")
+    println(s"[makescale] wrote $dst at factor $factor: ${counts.mkString(" ")}")
     spark.stop()
   }
 }

@@ -66,6 +66,16 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("save/load round-trips the model exactly") {
+    val m = Bpe.train(corpus, "text", nMerges = 4)
+    Bpe.save(m, spark, "graft_bpe_spec_roundtrip")
+    try {
+      val loaded = Bpe.load(spark, "graft_bpe_spec_roundtrip")
+      assert(loaded.merges.toSeq == m.merges.toSeq)
+      assert(loaded.encode("lowest newest").toSeq == m.encode("lowest newest").toSeq)
+    } finally { spark.sql("DROP TABLE IF EXISTS graft_bpe_spec_roundtrip"); () }
+  }
+
   test("q86: token-exact packing runs, counts positive, chunk math holds") {
     val r = SparkEntry.queries("q86_bpe_pack")(spark, TestSpark.sfDir)
       .cache()
