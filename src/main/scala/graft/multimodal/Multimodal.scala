@@ -451,12 +451,41 @@ object Multimodal {
     *
     * Per-video state is the frame-hash set (frames-per-video longs) —
     * `collect_set` here is bounded by clip length, not corpus size.
+    *
+    * `frameHamming > 0` matches frames APPROXIMATELY: distinct frame
+    * hashes are first clustered by Hamming distance (the image near-dup
+    * machinery over the DISTINCT hash set — cost bounded by distinct
+    * frames, not videos²) and every hash is replaced by its cluster's
+    * canonical representative before the set logic. A re-encoded or
+    * mildly retouched copy, whose frame hashes drift a few bits, then
+    * still shares canonical frames with its source; at `frameHamming = 0`
+    * matching is exact and no clustering pass runs.
     */
   def videoNearDup(spark: SparkSession, media: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    val sets = videoFrames(spark, media)
+      threshold: Double = 0.5, frameHamming: Int = 0): DataFrame = {
+    val frames = videoFrames(spark, media)
+    val canonical =
+      if (frameHamming == 0) frames.select(col("doc_id"), col("frame_dhash").as("fh"))
+      else {
+        import graft.dedup.Dedup
+        val distinctHashes = frames.select(col("frame_dhash").as("h")).distinct()
+        // CC labels only hashes that have a near neighbor; lone hashes
+        // keep themselves as canon via the left join + coalesce. Chunk
+        // count follows the radius (pigeonhole needs maxHamming < chunks):
+        // retouch drift routinely exceeds 3 bits, so radii up to 7 are
+        // first-class via 8×8-bit chunks
+        val edges = Dedup.hammingPairs(distinctHashes, "h", "h", frameHamming,
+            nChunks = if (frameHamming < 4) 4 else 8)
+          .select("id_a", "id_b")
+        val canon = Dedup.connectedComponents(edges, "id_a", "id_b")
+          .toDF("h", "canon")
+        frames.join(canon, frames("frame_dhash") === canon("h"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canon"), col("frame_dhash")).as("fh"))
+      }
+    val sets = canonical
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("frame_dhash"))).as("fset"))
+      .agg(sort_array(collect_set(col("fh"))).as("fset"))
       .select(col("doc_id"), col("fset"), size(col("fset")).cast("double").as("n"))
     val l = sets.select(col("doc_id").as("id_a"), col("fset").as("set_a"),
       col("n").as("n_a"), explode(col("fset")).as("h_a"))

@@ -279,6 +279,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.keySet == Set((0L, 1L)), "unrelated video must not pair")
   }
 
+  test("videoNearDup frameHamming: re-encoded-style drifted frames still match") {
+    import spark.implicits._
+    // 32×32 sinusoid frames: distinct frequencies → well-separated dHashes;
+    // a small patch retouch drifts one frame's hash by only a few bits
+    def sine(f: Int, patch: Boolean = false): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val base = 128 + (100 * math.sin(2 * math.Pi * f * x / 32.0)).toInt
+        // retouch sits at the f=1 sine PEAK (x≈8), where neighbor columns
+        // are nearly equal and a dip actually flips comparisons
+        val v = math.max(0, math.min(255,
+          if (patch && x >= 6 && x < 11 && y >= 13 && y < 19) base - 60 else base))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def h(img: java.awt.image.BufferedImage) = Multimodal.dHash64(img)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val frames = (1 to 4).map(sine(_))
+    val drifted = sine(1, patch = true)
+    // fixture self-check: the retouch drifts ≤ 7 bits but is not identical;
+    // distinct frequencies stay far apart in Hamming space
+    assert(ham(h(frames.head), h(drifted)) > 0 && ham(h(frames.head), h(drifted)) <= 7,
+      s"retouch drift = ${ham(h(frames.head), h(drifted))} bits")
+    for (i <- 0 until 4; j <- i + 1 until 4)
+      assert(ham(h(frames(i)), h(frames(j))) > 7, s"frames $i/$j too close")
+    val a = Multimodal.writeGif(frames)
+    val b = Multimodal.writeGif(drifted +: frames.tail)
+    val media = Seq((0L, "video", a, 4, 4), (1L, "video", b, 4, 4))
+      .toDF("doc_id", "kind", "bytes", "width", "height")
+    // exact matching: 3 of 5 shared; near matching: all frames canonical-equal
+    val exact = Multimodal.videoNearDup(spark, media, threshold = 0.5)
+      .head()
+    assert(math.abs(exact.getDouble(2) - 0.6) < 1e-12)
+    val near = Multimodal.videoNearDup(spark, media, threshold = 0.5, frameHamming = 7)
+      .head()
+    assert(near.getDouble(2) == 1.0, s"canonicalized copy must fully match: $near")
+  }
+
   test("q88: every fixture video decodes to exactly 4 frames") {
     val r = SparkEntry.queries("q88_video_frames")(spark, TestSpark.sfDir)
     assert(r.filter(col("n_frames") =!= 4).count() == 0)
