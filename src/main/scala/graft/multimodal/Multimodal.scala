@@ -217,7 +217,8 @@ object Multimodal {
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    def decode(bytes: Array[Byte]): (Double, Array[Double]) = {
+    /** Parse the container; return (sampleRate, PCM samples). */
+    private[graft] def samples(bytes: Array[Byte]): (Int, Array[Short]) = {
       require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
         s"payload (${bytes.length} bytes) is not a RIFF/WAVE stream")
       var off = 12
@@ -240,13 +241,25 @@ object Multimodal {
       require(sampleRate > 0 && dataOff >= 0, "WAVE stream missing fmt/data chunk")
       val n = math.min(dataLen, bytes.length - dataOff) / 2
       require(n > 0, "WAVE data chunk is empty")
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((le16(bytes, dataOff + 2 * i) << 16) >> 16).toShort // sign-extend
+        i += 1
+      }
+      (sampleRate, out)
+    }
+
+    def decode(bytes: Array[Byte]): (Double, Array[Double]) = {
+      val (sampleRate, pcm) = samples(bytes)
+      val n = pcm.length
       var sumAbs = 0L
       var sumSq = 0.0
       var crossings = 0
       var prev = 0
       var i = 0
       while (i < n) {
-        val s = (le16(bytes, dataOff + 2 * i) << 16) >> 16 // sign-extend
+        val s = pcm(i).toInt
         sumAbs += math.abs(s)
         val x = s / 32768.0
         sumSq += x * x
@@ -258,6 +271,56 @@ object Multimodal {
       (level, Array(math.sqrt(sumSq / n), crossings.toDouble / n,
         n.toDouble / sampleRate, n.toDouble))
     }
+  }
+
+  /** 64-bit audio fingerprint — the 1-D analog of [[dHash64]]: the clip
+    * splits into 65 equal windows, each window's ENERGY (sum of squared
+    * normalized samples) is computed, and bit i is set iff window i+1 is
+    * more energetic than window i. Comparing adjacent windows (not
+    * absolute levels) makes the fingerprint invariant under uniform GAIN
+    * — the audio analog of dHash's brightness invariance — and a local
+    * edit perturbs only its neighborhood's bits, so re-mastered or
+    * lightly edited copies land within a small Hamming distance. Feed
+    * into the same [[graft.dedup.Dedup.hammingClusterEdges]] machinery
+    * as images.
+    */
+  private[graft] def audioFingerprint64(pcm: Array[Short]): Long = {
+    val n = pcm.length
+    val e = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      val x0 = w * n / 65
+      val x1 = math.max(x0 + 1, (w + 1) * n / 65)
+      var s = 0.0
+      var i = x0
+      while (i < n && i < x1) {
+        val x = pcm(i) / 32768.0
+        s += x * x
+        i += 1
+      }
+      e(w) = s
+      w += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 1) > e(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Fingerprint table for an audio media frame: `(doc_id, afp)` via the
+    * real WAV decode, partition-local — mirrors [[dHashTable]].
+    */
+  def audioFingerprintTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, audioFingerprint64(WavCodec.samples(bytes)._2))
+        }
+      }.toDF("doc_id", "afp")
   }
 
   /** Minimal RIFF/WAVE PCM16 mono writer — the synthesis counterpart of

@@ -91,6 +91,22 @@ object MultimodalQueries extends QueryModule {
             min("mean_luma").as("min_luma"), max("mean_luma").as("max_luma"))
           .orderBy("doc_id")),
 
+    // Audio near-dup: gain-invariant energy-delta fingerprints (the 1-D
+    // dHash) over real WAV decode → the same Hamming cluster machinery.
+    // Fixture duplicate texts yield byte-identical tones → real clusters.
+    "q90_audio_near_dup" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.Dedup
+        val fps = Multimodal.audioFingerprintTable(s,
+          Multimodal.syntheticWavTable(s, Tables.documents(s, dir)))
+        val pairs = Dedup.hammingClusterEdges(fps, "doc_id", "afp", maxHamming = 3)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .toDF("doc_id", "cluster")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), min("doc_id").as("exemplar"))
+          .orderBy("cluster")
+      }),
+
     // Video near-dup: shared-frame candidate join (exact frame-dHash
     // postings) → exact frame-set Jaccard → the same CC clustering as
     // text/image dedup — the full modality set now shares one pair/

@@ -319,6 +319,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(near.getDouble(2) == 1.0, s"canonicalized copy must fully match: $near")
   }
 
+  // --- audio fingerprint ----------------------------------------------------
+
+  test("audioFingerprint64: gain-invariant, edit-local, discriminative") {
+    // envelope-modulated tone: per-window energy actually varies, so the
+    // delta bits are structural, not numeric noise
+    def clip(envPeriod: Double, gain: Double = 1.0,
+        mute: Option[Range] = None): Array[Short] =
+      Array.tabulate(6500) { i =>
+        val env = 0.2 + 0.8 * (0.5 + 0.5 * math.sin(2 * math.Pi * i / envPeriod))
+        val muted = mute.exists(_.contains(i / 100)) // window index at 100/window
+        val v = if (muted) 0.0
+          else gain * env * 12000 * math.sin(2 * math.Pi * 440 * i / 8000.0)
+        v.toShort
+      }
+    def fp(s: Array[Short]) = Multimodal.audioFingerprint64(s)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a = fp(clip(900.0))
+    assert(a == fp(clip(900.0)), "determinism")
+    assert(a == fp(clip(900.0, gain = 1.3)), "uniform gain flips no bit")
+    val edited = fp(clip(900.0, mute = Some(30 to 32)))
+    assert(ham(a, edited) > 0 && ham(a, edited) <= 8,
+      s"local mute drifts a few bits: ${ham(a, edited)}")
+    assert(ham(a, fp(clip(370.0))) > 10,
+      s"different envelope is far: ${ham(a, fp(clip(370.0)))}")
+  }
+
+  test("q90: fixture audio clusters exist and exemplar is the min member") {
+    val r = SparkEntry.queries("q90_audio_near_dup")(spark, TestSpark.sfDir)
+      .collect()
+    assert(r.nonEmpty, "fixture duplicate texts must yield audio clusters")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_members") >= 2)
+      assert(row.getAs[Long]("exemplar") == row.getAs[Long]("cluster"))
+    }
+  }
+
   test("q88: every fixture video decodes to exactly 4 frames") {
     val r = SparkEntry.queries("q88_video_frames")(spark, TestSpark.sfDir)
     assert(r.filter(col("n_frames") =!= 4).count() == 0)
