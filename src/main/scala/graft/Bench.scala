@@ -70,10 +70,12 @@ object Bench {
       }
       try {
         val w1 = once(); val w2 = once()
+        // listener events are delivered async: drain pass-2's stragglers
+        // BEFORE the reset (else they pollute pass-3's plan metrics) and
+        // pass-3's before reading the totals
+        Thread.sleep(150)
         totals.reset()
         val w3 = once()
-        // listener events are delivered async; give the bus a beat to drain
-        // before reading the final pass's totals
         Thread.sleep(150)
         (name, math.min(w1, math.min(w2, w3)),
           totals.shuffleWriteBytes.sum(), totals.tasks.sum())

@@ -197,15 +197,21 @@ object Dedup {
     *
     * Size-band blocking (lossless): jaccard(A,B) ≤ min/max of the set
     * sizes, so j ≥ t forces max_size ≤ min_size/t — in log-space the two
-    * sizes lie within `ln(1/t)` of each other, i.e. in the SAME or
-    * ADJACENT geometric bands of width ln(1/t). Banding therefore joins
-    * each row against only its own and neighboring bands (the right side
-    * registers under {band−1, band, band+1}; the left under its home band,
-    * so every candidate pair meets exactly once) — the equi-join key
-    * becomes (block, band) and per-key pair volume is O(band²), not
-    * O(block²). Measured at the 10× tier this turned a 34× superlinear
-    * wall into ~linear; the tighter exact ratio check stays in the join
-    * condition, the band only shrinks what the shuffle join must compare.
+    * sizes lie within `ln(1/t)` of each other, i.e. mathematically in the
+    * SAME or ADJACENT geometric bands of width ln(1/t). The bands are
+    * computed with FLOATING-POINT logs, though, and a pair sitting
+    * exactly on a band edge (e.g. sizes 243 vs 729 at t = 1/3 — both
+    * powers of the band ratio) can see one floor() land an ulp on the
+    * wrong side, pushing the computed band gap to 2. The right side
+    * therefore registers under {band−2 … band+2}: FP log error is ~1e-12
+    * absolute where a whole band is ~ln(1/t), so a true gap ≤ 1 can never
+    * reach a computed gap of 3 — ±2 is provably sufficient slack. The
+    * left side stays on its home band, so every candidate pair still
+    * meets exactly once. The equi-join key becomes (block, band) and
+    * per-key pair volume is O(band²), not O(block²). Measured at the 10×
+    * tier this turned a 34× superlinear wall into ~linear; the tighter
+    * exact ratio check stays in the join condition, the band only shrinks
+    * what the shuffle join must compare.
     *
     * Per-pair cost engineering (the O(m²) inner loop):
     *  - |∪| is derived as |A|+|B|−|A∩B| (exact for sets) — no union array
@@ -237,7 +243,7 @@ object Dedup {
     def bandOf(n: Column): Column =
       if (bandW == 0.0) n.cast("long")
       else floor(log(greatest(n, lit(1.0))) / lit(bandW)).cast("long")
-    val neighbors = if (bandW == 0.0) Seq(0) else Seq(-1, 0, 1)
+    val neighbors = if (bandW == 0.0) Seq(0) else Seq(-2, -1, 0, 1, 2)
     val l = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("block").as("block_a"), col("id").as("id_a"),
         col("tset").as("set_a"), col("ts_n").as("n_a"),

@@ -37,8 +37,13 @@ case class BpeEncode(text: Expression, mergesFlat: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (text.dataType, mergesFlat.dataType) match {
-      case (StringType, ArrayType(IntegerType, _)) if mergesFlat.foldable =>
+      case (StringType, ArrayType(IntegerType, false)) if mergesFlat.foldable =>
         TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(IntegerType, true)) =>
+        // a null merge id would NPE at model build, deep inside codegen —
+        // refuse at analysis time instead
+        TypeCheckResult.TypeCheckFailure(
+          "bpe_encode merges must not contain null elements")
       case (StringType, ArrayType(IntegerType, _)) =>
         TypeCheckResult.TypeCheckFailure(
           "bpe_encode merges must be a literal (foldable) array<int>")

@@ -188,31 +188,51 @@ object Jobs {
         else StgArrivals.fromRaw(spark.read.parquet(rawGlob))
       stgNew.write.mode(SaveMode.Overwrite).parquet(s"$stgRoot/date=$date")
       // boundary source, in preference order: (1) the latest maintained
-      // state partition before `date` — one row per key; (2) previously
-      // staged partitions, pruned on the partition column (and further by
-      // lookback when given); (3) empty (first-ever date)
+      // state partition before `date`, UNIONED with any staged partitions
+      // NEWER than that state (a crash between the mart write and the
+      // state write — or a date staged but never transformed — leaves
+      // such partitions; consulting only the state would silently skip
+      // their arrivals for every future boundary AND bake the gap into
+      // the advancing state forever); (2) previously staged partitions,
+      // pruned on the partition column (and further by lookback when
+      // given); (3) empty (first-ever date)
+      def stagedBetween(exclusiveLo: Option[String]) = {
+        val priorGlob = s"$stgRoot/date=*"
+        if (!StgArrivals.globNonEmpty(spark, s"$priorGlob/*.parquet"))
+          Schemas.emptyRelation(spark, Schemas.stgArrivals)
+        else {
+          val upTo = spark.read.option("basePath", stgRoot).parquet(priorGlob)
+            .filter(col("date") < to_date(lit(date)))
+          exclusiveLo.fold(upTo)(lo => upTo.filter(col("date") > to_date(lit(lo))))
+        }
+      }
       val stateDates = listPartitionDates(spark, stateRoot).filter(_ < date)
-      val prior = stateDates.maxOption match {
+      val stateDate = stateDates.maxOption
+      // exact boundary superset (no lookback truncation): feeds the STATE,
+      // which is persistent — a truncated first build would corrupt every
+      // later date. The mart's own boundary may apply the caller's
+      // explicitly-accepted lookback approximation on the fallback path.
+      val priorExact = stateDate match {
         case Some(d) => spark.read.parquet(s"$stateRoot/date=$d")
-        case None =>
-          val priorGlob = s"$stgRoot/date=*"
-          if (!StgArrivals.globNonEmpty(spark, s"$priorGlob/*.parquet"))
-            Schemas.emptyRelation(spark, Schemas.stgArrivals)
-          else {
-            val all = spark.read.option("basePath", stgRoot).parquet(priorGlob)
-              .filter(col("date") < to_date(lit(date)))
-            lookbackDays.fold(all)(n =>
-              all.filter(col("date") >= date_sub(to_date(lit(date)), n)))
-          }
+          .select("line_id", "stop_id", "event_ts")
+          .unionByName(stagedBetween(Some(d)).select("line_id", "stop_id", "event_ts"))
+        case None => stagedBetween(None).select("line_id", "stop_id", "event_ts")
+      }
+      val prior = (stateDate, lookbackDays) match {
+        case (None, Some(n)) =>
+          stagedBetween(None)
+            .filter(col("date") >= date_sub(to_date(lit(date)), n))
+        case _ => priorExact
       }
       val stgToday = spark.read.parquet(s"$stgRoot/date=$date")
       graft.etl.IncrementalHeadways.forDate(stgToday, prior, date)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$silverDir/fct_headways_by_date/date=$date")
-      // advance the state past this date. `prior` may be multi-row-per-key
-      // (fallback path) — advanceState max-merges either shape exactly
+      // advance the state past this date. `priorExact` may be
+      // multi-row-per-key (fallback/gap partitions) — advanceState
+      // max-merges either shape exactly
       graft.etl.IncrementalHeadways.advanceState(
-          prior.filter(col("event_ts").isNotNull &&
+          priorExact.filter(col("event_ts").isNotNull &&
             to_date(col("event_ts")) < to_date(lit(date))),
           stgToday)
         .write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/date=$date")

@@ -221,30 +221,33 @@ object Multimodal {
     private[graft] def samples(bytes: Array[Byte]): (Int, Array[Short]) = {
       require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
         s"payload (${bytes.length} bytes) is not a RIFF/WAVE stream")
-      var off = 12
+      // LONG offset: a hostile 2 GiB-scale declared chunk size would
+      // overflow an int offset negative and walk backwards into a raw
+      // StringIndexOutOfBounds instead of this codec's loud contract
+      var off = 12L
       var sampleRate = 0
-      var dataOff = -1
+      var dataOff = -1L
       var dataLen = 0
       while (off + 8 <= bytes.length && (sampleRate == 0 || dataOff < 0)) {
-        val id = tag(bytes, off)
-        val sz = le32(bytes, off + 4)
+        val id = tag(bytes, off.toInt)
+        val sz = le32(bytes, off.toInt + 4)
         // a corrupt negative size would walk the offset backwards forever
         require(sz >= 0, s"corrupt WAVE chunk '$id': negative size $sz")
         if (id == "fmt ") {
-          require(le16(bytes, off + 8) == 1 && le16(bytes, off + 10) == 1 &&
-            le16(bytes, off + 22) == 16,
+          require(le16(bytes, off.toInt + 8) == 1 && le16(bytes, off.toInt + 10) == 1 &&
+            le16(bytes, off.toInt + 22) == 16,
             "WavCodec supports PCM 16-bit mono only")
-          sampleRate = le32(bytes, off + 12)
+          sampleRate = le32(bytes, off.toInt + 12)
         } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
+        off += 8L + sz + (sz & 1) // chunks are word-aligned
       }
       require(sampleRate > 0 && dataOff >= 0, "WAVE stream missing fmt/data chunk")
-      val n = math.min(dataLen, bytes.length - dataOff) / 2
+      val n = (math.min(dataLen.toLong, bytes.length - dataOff) / 2).toInt
       require(n > 0, "WAVE data chunk is empty")
       val out = new Array[Short](n)
       var i = 0
       while (i < n) {
-        out(i) = ((le16(bytes, dataOff + 2 * i) << 16) >> 16).toShort // sign-extend
+        out(i) = ((le16(bytes, dataOff.toInt + 2 * i) << 16) >> 16).toShort // sign-extend
         i += 1
       }
       (sampleRate, out)
@@ -556,13 +559,19 @@ object Multimodal {
       col("n").as("n_b"), explode(col("fset")).as("h_b"))
     val inter = graft.functions.Sketches
       .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+    // dedup candidate pairs BEFORE the merge scan: the posting-list join
+    // yields one row per SHARED hash, and near-dup pairs share many — the
+    // O(|A|+|B|) intersection must run once per pair, not once per
+    // shared frame
     l.join(r,
         col("h_a") === col("h_b") && col("id_a") < col("id_b") &&
           least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("set_a"), col("set_b"),
+        col("n_a"), col("n_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (inter / (col("n_a") + col("n_b") - inter)).as("shared_frac"))
       .filter(col("shared_frac") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Deterministic STUB resize: a real codec decodes → scales → re-encodes;

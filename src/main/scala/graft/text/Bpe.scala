@@ -155,7 +155,15 @@ object Bpe {
   object Model {
     def fromFlat(flat: Array[Int]): Model = {
       require(flat.length % 2 == 0, "flat merges must have even length")
-      Model(Array.tabulate(flat.length / 2)(i => (flat(2 * i), flat(2 * i + 1))))
+      val merges = Array.tabulate(flat.length / 2)(i => (flat(2 * i), flat(2 * i + 1)))
+      // each merge may only reference bytes or EARLIER merges — a
+      // forward/out-of-range id would crash the decode table build with a
+      // bare index error instead of naming the malformed input
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        require(a >= 0 && a < 256 + i && b >= 0 && b < 256 + i,
+          s"merge $i ($a, $b) references an id outside [0, ${256 + i})")
+      }
+      Model(merges)
     }
   }
 

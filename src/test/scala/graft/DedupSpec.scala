@@ -62,6 +62,19 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 20.0 / 22.0) < 1e-12)
   }
 
+  test("jaccard band blocking: exact band-edge pair is not dropped") {
+    // regression: sizes 243 and 729 at t = 1/3 are both powers of the
+    // band ratio — FP floor() can split them two bands apart, and the
+    // ±1-neighbor registration silently dropped this true pair
+    val big = (0 until 729).map(i => s"w$i").mkString(" ")
+    val small = (0 until 243).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small, "en"), (2L, big, "en")).toDF("doc_id", "text", "lang")
+    val r = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 1.0 / 3)
+      .collect()
+    assert(r.length == 1, "the exact-threshold pair must surface")
+    assert(math.abs(r.head.getAs[Double]("jaccard") - 1.0 / 3) < 1e-15)
+  }
+
   test("jaccard block join never FORCES a corpus broadcast") {
     // with auto-broadcast off, a forced broadcast() hint would still plan a
     // BroadcastExchange; the un-hinted equi-join must fall back to a shuffle

@@ -94,4 +94,34 @@ class IncrementalSpec extends AnyFunSuite {
     assert(mart2 == mart2b,
       "state-backed rerun must reproduce the staged-history result exactly")
   }
+
+  test("state path consults staged partitions NEWER than the state (crash gap)") {
+    val root = Files.createTempDirectory("graft-inc-gap").toString
+    val raw = s"$root/raw"
+    val days = Seq("2025-11-20", "2025-11-21", "2025-11-22")
+    days.foreach { d =>
+      (0 until 3).foreach { i =>
+        val at = Instant.parse(s"${d}T10:00:00Z").plusSeconds(i * 120L)
+        Jobs.ingest(spark, raw, at, SyntheticArrivals.transport(at))
+      }
+    }
+    // day 1 transformed normally; day 2 STAGED but its transform "crashed"
+    // before the state write (simulated: stage only); day 3 must still
+    // gap back to day 2's arrivals, not day 1's, and the advanced state
+    // must absorb day 2
+    Jobs.transformIncremental(spark, raw, s"$root/silver", days.head)
+    graft.etl.StgArrivals.fromRaw(
+        spark.read.parquet(s"$raw/date=${days(1)}/arrivals_*.parquet"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/silver/stg_arrivals_by_date/date=${days(1)}")
+    Jobs.transformIncremental(spark, raw, s"$root/silver", days.last)
+    // reference: full pipeline in a clean dir with day 2 transformed too
+    days.foreach(d => Jobs.transformIncremental(spark, raw, s"$root/clean", d))
+    val got = spark.read.parquet(s"$root/silver/fct_headways_by_date/date=${days.last}")
+    val expect = spark.read.parquet(s"$root/clean/fct_headways_by_date/date=${days.last}")
+    sameFrames(got, expect)
+    val state = spark.read.parquet(s"$root/silver/state_last_arrival/date=${days.last}")
+    val cleanState = spark.read.parquet(s"$root/clean/state_last_arrival/date=${days.last}")
+    sameFrames(state, cleanState)
+  }
 }

@@ -197,6 +197,14 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.WavCodec.decode("definitely not audio data padded to 44+ bytes!!!"
         .getBytes("UTF-8"))
     }
+    // hostile declared chunk size near Int.MaxValue must fail LOUDLY
+    // (missing fmt/data), not overflow the walker into a raw index error
+    val hostile = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      .put(new Array[Byte](24)).array()
+    intercept[IllegalArgumentException] { Multimodal.WavCodec.decode(hostile) }
   }
 
   test("synthetic WAV table round-trips through the real decoder") {
