@@ -203,15 +203,17 @@ object Dedup {
     * exactly on a band edge (e.g. sizes 243 vs 729 at t = 1/3 — both
     * powers of the band ratio) can see one floor() land an ulp on the
     * wrong side, pushing the computed band gap to 2. The right side
-    * therefore registers under {band−2 … band+2}: FP log error is ~1e-12
-    * absolute where a whole band is ~ln(1/t), so a true gap ≤ 1 can never
-    * reach a computed gap of 3 — ±2 is provably sufficient slack. The
-    * left side stays on its home band, so every candidate pair still
-    * meets exactly once. The equi-join key becomes (block, band) and
-    * per-key pair volume is O(band²), not O(block²). Measured at the 10×
-    * tier this turned a 34× superlinear wall into ~linear; the tighter
-    * exact ratio check stays in the join condition, the band only shrinks
-    * what the shuffle join must compare.
+    * therefore registers under {band−1, band, band+1} always, PLUS
+    * band±2 for the rows whose log-position sits within ε = 1e-9 of a
+    * band edge — the only rows whose floor can have moved (FP log error
+    * is ~1e-12 absolute, far inside ε; a blanket ±2 registration was
+    * measured ~1.6× slower at the 10× tier for protection only
+    * edge-rows need). The left side stays on its home band, so every
+    * candidate pair still meets exactly once. The equi-join key becomes
+    * (block, band) and per-key pair volume is O(band²), not O(block²).
+    * Measured at the 10× tier this turned a 34× superlinear wall into
+    * ~linear; the tighter exact ratio check stays in the join condition,
+    * the band only shrinks what the shuffle join must compare.
     *
     * Per-pair cost engineering (the O(m²) inner loop):
     *  - |∪| is derived as |A|+|B|−|A∩B| (exact for sets) — no union array
@@ -240,17 +242,28 @@ object Dedup {
     // geometric size band; at threshold 1 only equal sizes can pair, so
     // the band IS the size and no neighbor registration is needed
     val bandW = math.log(1.0 / threshold)
+    def bandPos(n: Column): Column = log(greatest(n, lit(1.0))) / lit(bandW)
     def bandOf(n: Column): Column =
-      if (bandW == 0.0) n.cast("long")
-      else floor(log(greatest(n, lit(1.0))) / lit(bandW)).cast("long")
-    val neighbors = if (bandW == 0.0) Seq(0) else Seq(-2, -1, 0, 1, 2)
+      if (bandW == 0.0) n.cast("long") else floor(bandPos(n)).cast("long")
     val l = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("block").as("block_a"), col("id").as("id_a"),
         col("tset").as("set_a"), col("ts_n").as("n_a"),
         bandOf(col("ts_n")).as("band_a"))
+    val eps = 1e-9
+    val rBands =
+      if (bandW == 0.0) array(bandOf(col("ts_n")))
+      else {
+        val b = bandOf(col("ts_n"))
+        val frac = bandPos(col("ts_n")) - floor(bandPos(col("ts_n")))
+        // edge rows (frac within ε of 0 or 1) also register one band
+        // further on that side — see the losslessness note above
+        array_compact(array(
+          when(frac <= eps, b - 2), b - 1, b, b + 1,
+          when(frac >= 1 - eps, b + 2)))
+      }
     val r = base.select(col("block").as("block_b"), col("id").as("id_b"),
       col("tset").as("set_b"), col("ts_n").as("n_b"),
-      explode(array(neighbors.map(d => bandOf(col("ts_n")) + d): _*)).as("band_b"))
+      explode(rBands).as("band_b"))
     val inter = graft.functions.Sketches
       .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
     l.join(r,
