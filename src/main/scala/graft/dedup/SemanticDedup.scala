@@ -1,0 +1,83 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.FloatVecDot
+import graft.similarity.{Ann, VectorFunctions}
+
+/** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedding space with k-means, call two
+  * documents semantic duplicates when their cosine similarity exceeds a
+  * high threshold WITHIN a cluster, and keep one exemplar per duplicate
+  * group — the member FARTHEST from its cluster centroid (the paper's
+  * rule: prefer the least prototypical member, it carries the most extra
+  * information into training).
+  *
+  * This is the third rung of the dedup ladder the engine exposes:
+  * exact (fingerprint equality), near (MinHash/SimHash token overlap),
+  * SEMANTIC (paraphrases and re-renderings that share almost no tokens
+  * but encode the same content — what the reference-corpus curation
+  * pipelines prune before training).
+  *
+  * Scale shape, per the paper's own trick: pairwise cosine runs only
+  * WITHIN a cell of the IVF k-means index ([[Ann.buildIvfIndex]], auto
+  * √n cells), so pair volume is Σ|cell|² ≈ n·√n, not n² — and the
+  * within-cell self-join is a plain equi-join on the cell id that
+  * shuffles fixed-width rows. Cross-cell duplicate pairs are missed BY
+  * DESIGN (the paper's documented approximation; raise `refineIters`
+  * to tighten cells on clustered corpora). Components come from the
+  * shared [[Dedup.connectedComponents]] engine — O(log d) rounds — so
+  * a chain of paraphrases collapses into one group even when its ends
+  * are below the pair threshold.
+  *
+  * Returns `(vec_id, cluster, centroid_sim, keep)` — every input row,
+  * `cluster` = the duplicate-group label (singletons label themselves),
+  * `keep` = the exemplar flag (exactly one true per group: the member
+  * with the LOWEST centroid cosine, ties to the smaller id).
+  */
+object SemanticDedup {
+
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.97,
+      nCells: Int = 0, refineIters: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"semantic-dup cosine threshold must lie in (0, 1], got $threshold")
+    val idx = Ann.buildIvfIndex(embeddings, nCells, refineIters)
+
+    // centroid similarity per member — broadcast the tiny centroid table
+    val members = idx.assigned
+      .join(broadcast(idx.centroids), Seq("cell"))
+      .select(col("nid"), col("cell"), col("ce"), col("cn2"),
+        VectorFunctions.cosinePrenormed(
+          FloatVecDot.dot(col("ce"), col("cvec")), col("cn2"), col("cvn2"))
+          .as("centroid_sim"))
+
+    // within-cell pairwise cosine — the cell id bounds the pair space
+    val l = members.select(col("cell"), col("nid").as("id_a"),
+      col("ce").as("e_a"), col("cn2").as("n_a"))
+    val r = members.select(col("cell"), col("nid").as("id_b"),
+      col("ce").as("e_b"), col("cn2").as("n_b"))
+    val edges = l.join(r, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosinePrenormed(
+        FloatVecDot.dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
+        >= lit(threshold))
+      .select(col("id_a"), col("id_b"))
+
+    val clusters = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .toDF("nid", "cluster")
+
+    // exemplar per group: min centroid_sim, ties to the smaller id;
+    // singletons (no edge) label themselves and are always kept
+    val labeled = members
+      .join(clusters, Seq("nid"), "left")
+      .select(col("nid").as("vec_id"),
+        coalesce(col("cluster"), col("nid")).as("cluster"),
+        col("centroid_sim"))
+    val keeper = labeled.groupBy("cluster")
+      .agg(min_by(col("vec_id"), struct(col("centroid_sim"), col("vec_id")))
+        .as("keep_id"))
+    labeled.join(keeper, Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("centroid_sim"),
+        (col("vec_id") === col("keep_id")).as("keep"))
+  }
+}

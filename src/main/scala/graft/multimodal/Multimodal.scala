@@ -515,8 +515,13 @@ object Multimodal {
     * size-ratio prefilter in the join condition prunes below-threshold
     * pairs before the merge scan, mirroring the text Jaccard path.
     *
-    * Per-video state is the frame-hash set (frames-per-video longs) —
-    * `collect_set` here is bounded by clip length, not corpus size.
+    * Per-video state is one distinct (doc_id, frame-hash) row per frame —
+    * bounded by clip length, not corpus size; no per-video array is ever
+    * materialized or shuffled. Because both posting lists are DISTINCT,
+    * each shared hash matches a candidate pair exactly once, so the
+    * per-pair match COUNT is |A∩B| itself — the intersection falls out of
+    * the equi-join for free and the shuffle carries only fixed-width
+    * (id, id, hash, n) rows, never frame-set payloads.
     *
     * `frameHamming > 0` matches frames APPROXIMATELY: distinct frame
     * hashes are first clustered by Hamming distance (the image near-dup
@@ -549,28 +554,25 @@ object Multimodal {
           .select(col("doc_id"),
             coalesce(col("canon"), col("frame_dhash")).as("fh"))
       }
-    val sets = canonical
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("fh"))).as("fset"))
-      .select(col("doc_id"), col("fset"), size(col("fset")).cast("double").as("n"))
-    val l = sets.select(col("doc_id").as("id_a"), col("fset").as("set_a"),
-      col("n").as("n_a"), explode(col("fset")).as("h_a"))
-    val r = sets.select(col("doc_id").as("id_b"), col("fset").as("set_b"),
-      col("n").as("n_b"), explode(col("fset")).as("h_b"))
-    val inter = graft.functions.Sketches
-      .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
-    // dedup candidate pairs BEFORE the merge scan: the posting-list join
-    // yields one row per SHARED hash, and near-dup pairs share many — the
-    // O(|A|+|B|) intersection must run once per pair, not once per
-    // shared frame
+    val postings = canonical.select(col("doc_id"), col("fh")).distinct()
+    val sized = postings
+      .withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))).cast("double"))
+    val l = sized.select(col("doc_id").as("id_a"), col("fh").as("h_a"),
+      col("n").as("n_a"))
+    val r = sized.select(col("doc_id").as("id_b"), col("fh").as("h_b"),
+      col("n").as("n_b"))
+    // one row per SHARED distinct hash per candidate pair → the group
+    // count IS the exact intersection size; the size-ratio prefilter
+    // prunes below-threshold pairs inside the join condition
     l.join(r,
         col("h_a") === col("h_b") && col("id_a") < col("id_b") &&
           least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
-      .select(col("id_a"), col("id_b"), col("set_a"), col("set_b"),
-        col("n_a"), col("n_b"))
-      .dropDuplicates("id_a", "id_b")
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
       .select(col("id_a"), col("id_b"),
-        (inter / (col("n_a") + col("n_b") - inter)).as("shared_frac"))
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("shared_frac"))
       .filter(col("shared_frac") >= threshold)
   }
 

@@ -109,6 +109,18 @@ object DedupQueries extends QueryModule {
             "vec_id", threshold = 0.3)
           .orderBy("id_a", "id_b")),
 
+    // SemDeDup semantic dedup: k-means-cell-bounded pairwise cosine →
+    // duplicate groups → one exemplar kept per group (the member farthest
+    // from its centroid, per the paper). Rows-only: centroid init is
+    // engine-hash-seeded; SemanticDedupSpec pins planted-group clustering,
+    // the exactly-one-keeper invariant, the farthest-from-centroid
+    // exemplar rule, and replay determinism on the fixture.
+    "q91_semantic_dedup" -> QueryDef(
+      (s, dir) =>
+        graft.dedup.SemanticDedup
+          .semanticDedup(Tables.embeddings(s, dir), threshold = 0.4)
+          .orderBy("vec_id")),
+
     // Duplicate clusters: connected components over the oracle-verified
     // exact-Jaccard pair graph (q33's pairs), assigning every paired doc
     // its cluster (min reachable id) and cluster size. The oracle closes

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.SemanticDedup
+import graft.core.Tables
+
+class SemanticDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("planted semantic groups cluster; exactly one keeper per group") {
+    // two tight direction-groups plus an isolated vector; one cell forces
+    // full pairwise so the grouping logic itself is what's under test
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)),
+      (2L, Array(0.998f, 0.02f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.01f, 0.999f, 0.0f)),
+      (20L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = SemanticDedup.semanticDedup(vecs, threshold = 0.97, nCells = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+    assert(r.length == 6, "every input row comes back exactly once")
+    val byCluster = r.groupBy(_._2)
+    assert(byCluster.keySet == Set(0L, 10L, 20L),
+      "clusters labeled by min member id")
+    assert(byCluster(0L).map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(byCluster(10L).map(_._1).toSet == Set(10L, 11L))
+    assert(byCluster(20L).map(_._1).toSet == Set(20L))
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._3) == 1, s"cluster $c keeps exactly one member")
+    }
+    assert(r.find(_._1 == 20L).get._3, "singletons are always kept")
+  }
+
+  test("exemplar rule: keeper is the member farthest from its centroid") {
+    // one group only, one cell, one Lloyd step → centroid = the group mean
+    // ≈ (1, 0.1033, 0); (1, 0.3) sits ~11° off the mean while the others
+    // sit within ~6° — the paper's rule keeps the least prototypical member
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(1.0f, 0.3f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = SemanticDedup
+      .semanticDedup(vecs, threshold = 0.95, nCells = 1, refineIters = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+    assert(r.map(_._2).toSet == Set(0L), "all three are one semantic group")
+    assert(r.filter(_._3).map(_._1).toSeq == Seq(2L),
+      "the off-axis member is the kept exemplar")
+  }
+
+  test("fixture run: total function, one keeper per cluster, rule holds") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val n = emb.count()
+    val r = SemanticDedup.semanticDedup(emb, threshold = 0.4)
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3)))
+    assert(r.length == n, "output is total: every vector labeled once")
+    assert(r.map(_._1).distinct.length == n)
+    r.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._4) == 1, s"cluster $c keeps exactly one")
+      val keeper = members.filter(_._4).head
+      val best = members.minBy(m => (m._3, m._1))
+      assert(keeper._1 == best._1,
+        s"cluster $c keeper ${keeper._1} must be argmin((centroid_sim, id))")
+    }
+    // determinism: the hash-seeded centroid init and exact-decimal Lloyd
+    // means make replays bit-stable
+    val r2 = SemanticDedup.semanticDedup(emb, threshold = 0.4)
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3)))
+    assert(r.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
+  }
+}
