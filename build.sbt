@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full query suite JIT-compiles thousands of generated
+  // (whole-stage-codegen + Janino) methods; the JVM's default 240 MB code
+  // cache fills mid-run, JIT compilation stops, and every later query
+  // runs interpreted — measured 10-50× per-query slowdowns on the back
+  // half of the bench. 1 GB keeps the whole suite compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )

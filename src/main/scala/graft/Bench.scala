@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line for the driver.
@@ -17,11 +17,18 @@ import org.apache.spark.sql.SparkSession
   * Each query runs THREE timed passes; the reported wall time is the MIN
   * (the standard steady-state estimator — any one-off machine stall
   * inflates only discarded samples; two samples once let a 4× outlier
-  * through as a phantom regression). Alongside wall time the line carries
-  * per-query EXECUTED-plan metrics (shuffle bytes written, task count) from
-  * a stage listener on the final pass: wall time says "it got slower",
+  * through as a phantom regression). The passes are INTERLEAVED as three
+  * full sweeps over the suite rather than back-to-back per query: a
+  * multi-second machine-wide stall (another tenant, a major GC) lands in
+  * one sweep's sample for a few queries and the min discards it, where
+  * back-to-back passes all sat inside the stall window and reported a
+  * 10× phantom (measured: q41 0.97 s → 11.5 s across two suite runs with
+  * an identical plan). Alongside wall time the line carries per-query
+  * EXECUTED-plan metrics (shuffle bytes written, task count) from a stage
+  * listener on the final sweep: wall time says "it got slower",
   * shuffle/tasks say whether the PLAN changed or the machine hiccuped —
-  * identical plan metrics with a higher wall time is noise, not regression.
+  * identical plan metrics with a higher wall time is noise, not
+  * regression.
   */
 object Bench {
 
@@ -43,6 +50,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // default is 30 min — a full 94-query × 3-sweep run accumulates
+      // every sweep's shuffle files and broadcasts before the first
+      // cleaner GC fires; keep reclamation continuous instead
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,27 +72,42 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    val ordered = selected.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     // a failed query reports -1, never a plausible-looking wall time
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
+    val walls = scala.collection.mutable.Map.empty[String, Double]
+    val plan = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val failed0 = scala.collection.mutable.Set.empty[String]
+    for (sweep <- 1 to 3; (name, fn) <- ordered if !failed0(name)) {
       try {
-        val w1 = once(); val w2 = once()
-        // listener events are delivered async: drain pass-2's stragglers
-        // BEFORE the reset (else they pollute pass-3's plan metrics) and
-        // pass-3's before reading the totals
-        Thread.sleep(150)
-        totals.reset()
-        val w3 = once()
-        Thread.sleep(150)
-        (name, math.min(w1, math.min(w2, w3)),
-          totals.shuffleWriteBytes.sum(), totals.tasks.sum())
+        if (sweep == 3) {
+          // listener events are delivered async: drain the previous
+          // query's stragglers BEFORE the reset and this query's before
+          // reading the totals, so plan metrics stay per-query
+          Thread.sleep(150)
+          totals.reset()
+          val w = once(fn)
+          Thread.sleep(150)
+          walls(name) = math.min(walls.getOrElse(name, w), w)
+          plan(name) = (totals.shuffleWriteBytes.sum(), totals.tasks.sum())
+        } else {
+          val w = once(fn)
+          walls(name) = math.min(walls.getOrElse(name, w), w)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        (name, -1.0, -1L, -1L)
+        failed0 += name
+      }
+    }
+    val results = ordered.map { case (name, _) =>
+      if (failed0(name)) (name, -1.0, -1L, -1L)
+      else {
+        val (sb, tk) = plan.getOrElse(name, (-1L, -1L))
+        (name, walls(name), sb, tk)
       }
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }

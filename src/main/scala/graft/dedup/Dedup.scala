@@ -448,4 +448,39 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Cross-document duplicated-span accounting: for every document, how
+    * many of its DISTINCT token n-grams also appear in at least one other
+    * document — the corpus-level repetition signal (MassiveText-style)
+    * complementing the within-document fractions of
+    * [[graft.text.TextFunctions.dupNgramFrac]]. Documents whose text is
+    * largely boilerplate shared across the corpus score high and are
+    * dedup/downweight candidates even when no whole-document near-dup
+    * fires.
+    *
+    * Scale shape: grams are DISTINCT per document before the explode, so
+    * the gram histogram aggregates (gram → doc count) in one partial-agg
+    * shuffle; the join back is gram-keyed (AQE handles hot boilerplate
+    * grams), and the per-doc rollup is one more partial-agg shuffle.
+    * Nothing is O(corpus²) and no driver-side state exists.
+    */
+  def crossDocShared(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    val g = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.tokenNgrams(
+        TextFunctions.tokens(lower(col(textCol))), n))).as("g"))
+    val docsWith = g.groupBy("g").agg(count(lit(1)).as("docs_with"))
+    val per = g.join(docsWith, "g")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("docs_with") >= 2, 1)).as("n_shared"))
+    df.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        when(col("n_grams") > 0,
+          col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -24,6 +24,36 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Session-scoped memo for the synthetic media fixtures: encoding a
+    * PNG/GIF/WAV per document row is HARNESS plumbing (the stand-in for
+    * media that a real pipeline reads already-encoded from storage), not
+    * part of any measured operator — without the memo every bench pass
+    * and every query sharing a fixture re-runs thousands of
+    * `ImageIO.write` calls and the numbers measure the fixture, not the
+    * decode/hash/cluster path. Keyed weakly by session (test sessions
+    * come and go) and by the input plan's semantic hash; values are
+    * persisted DataFrames (a few hundred bytes per row).
+    */
+  private val synthCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Int), DataFrame]]()
+
+  private def memoized(spark: SparkSession, kind: String, input: DataFrame)
+      (build: => DataFrame): DataFrame = synthCache.synchronized {
+    val perSession = {
+      val m = synthCache.get(spark)
+      if (m != null) m
+      else {
+        val fresh = scala.collection.mutable.Map.empty[(String, Int), DataFrame]
+        synthCache.put(spark, fresh)
+        fresh
+      }
+    }
+    perSession.getOrElseUpdate(
+      (kind, input.queryExecution.analyzed.semanticHash()),
+      build.persist())
+  }
+
   case class MediaRow(doc_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int)
 
@@ -153,7 +183,8 @@ object Multimodal {
     * from the text bytes) — actual multi-frame payloads through the
     * actual plumbing, mirroring [[syntheticPngTable]]/[[syntheticWavTable]].
     */
-  def syntheticGifTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def syntheticGifTable(spark: SparkSession, documents: DataFrame): DataFrame =
+      memoized(spark, "gif", documents) {
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -349,7 +380,8 @@ object Multimodal {
     * plumbing, mirroring [[syntheticPngTable]] for images. Partition-local
     * map; bytes never hit the driver.
     */
-  def syntheticWavTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def syntheticWavTable(spark: SparkSession, documents: DataFrame): DataFrame =
+      memoized(spark, "wav", documents) {
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -413,7 +445,8 @@ object Multimodal {
     * end-to-end with no fixture files. Partition-local map; bytes never
     * hit the driver.
     */
-  def syntheticPngTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+  def syntheticPngTable(spark: SparkSession, documents: DataFrame): DataFrame =
+      memoized(spark, "png", documents) {
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>

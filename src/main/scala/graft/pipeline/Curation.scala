@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,5 +115,60 @@ object Curation {
         lit(1.0) / count(lit(1)).over(all).cast("double"))
       .withColumn("sample_rate",
         least(col("target_share") / col("token_share"), lit(1.0)))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between every pair of
+    * the [[splitAssign]] splits over one numeric column — the standard
+    * "did my train/val/test distributions diverge" gate a curation
+    * pipeline runs after splitting (reference pipeline's quality checks
+    * are per-column bounds, `tfl_transform_dag.py:50-61`; this is the
+    * distribution-level generalization).
+    *
+    * D = max over v of |ecdf_a(v) − ecdf_b(v)|, computed EXACTLY: one
+    * shuffle aggregates the corpus to a per-distinct-value histogram with
+    * one count column per split; the cumulative window then runs over the
+    * HISTOGRAM, whose size is bounded by the value domain (|distinct v|),
+    * not the corpus — the same bounded-state argument as q83's quantile
+    * histogram. For genuinely unbounded domains, bin the value first (the
+    * statistic degrades gracefully to the binned KS). The max itself is
+    * order-independent, and every double division is a single
+    * (cum::double / n::double) mirrored on both engines, so the result is
+    * hash-exact.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val assigned = splitAssign(df.select(col(idCol), col(valueCol)), idCol)
+    val hist = assigned.groupBy(col(valueCol).as("v")).agg(
+      count(when(col("split") === "train", 1)).as("c_train"),
+      count(when(col("split") === "val", 1)).as("c_val"),
+      count(when(col("split") === "test", 1)).as("c_test"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("v"),
+      sum("c_train").over(w).as("a"),
+      sum("c_val").over(w).as("b"),
+      sum("c_test").over(w).as("c"))
+    val totals = assigned.groupBy().agg(
+      count(when(col("split") === "train", 1)).as("n_train"),
+      count(when(col("split") === "val", 1)).as("n_val"),
+      count(when(col("split") === "test", 1)).as("n_test"))
+    def ecdfGap(cumA: Column, nA: Column, cumB: Column, nB: Column) =
+      max(abs(cumA.cast("double") / nA.cast("double")
+        - cumB.cast("double") / nB.cast("double")))
+    val stats = cum.crossJoin(broadcast(totals)).groupBy(
+        col("n_train"), col("n_val"), col("n_test"))
+      .agg(
+        ecdfGap(col("a"), col("n_train"), col("b"), col("n_val")).as("d_tv"),
+        ecdfGap(col("a"), col("n_train"), col("c"), col("n_test")).as("d_tt"),
+        ecdfGap(col("b"), col("n_val"), col("c"), col("n_test")).as("d_vt"))
+    stats.select(
+      explode(array(
+        struct(lit("train_val").as("pair"), col("n_train").as("n_a"),
+          col("n_val").as("n_b"), col("d_tv").as("d_stat")),
+        struct(lit("train_test").as("pair"), col("n_train").as("n_a"),
+          col("n_test").as("n_b"), col("d_tt").as("d_stat")),
+        struct(lit("val_test").as("pair"), col("n_val").as("n_a"),
+          col("n_test").as("n_b"), col("d_vt").as("d_stat")))).as("r"))
+      .select(col("r.pair").as("pair"), col("r.n_a").as("n_a"),
+        col("r.n_b").as("n_b"), col("r.d_stat").as("d_stat"))
   }
 }

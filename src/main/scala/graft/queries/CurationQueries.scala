@@ -207,5 +207,56 @@ object CurationQueries extends QueryModule {
              |)
              |SELECT source, lang, n_docs, n_tokens, token_share, target_share,
              |  least(target_share / token_share, 1.0) AS sample_rate
-             |FROM s ORDER BY source, lang""".stripMargin)))
+             |FROM s ORDER BY source, lang""".stripMargin)),
+
+    // Post-split drift gate: exact two-sample KS statistic between every
+    // pair of the q84 splits over n_chars. The cumulative window runs
+    // over the per-value HISTOGRAM (bounded by the value domain), not the
+    // corpus; the max is order-independent and each double division is
+    // mirrored — hash-exact.
+    "q94_ks_drift" -> QueryDef(
+      (s, dir) =>
+        Curation.ksDrift(Tables.documents(s, dir), "n_chars", "doc_id")
+          .orderBy("pair"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN substring(md5(cast(doc_id AS varchar)), 1, 2) < 'cd' THEN 'train'
+             |         WHEN substring(md5(cast(doc_id AS varchar)), 1, 2) < 'e7' THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents
+             |), hist AS (
+             |  SELECT n_chars AS v,
+             |    count(*) FILTER (WHERE split = 'train') AS c_train,
+             |    count(*) FILTER (WHERE split = 'val') AS c_val,
+             |    count(*) FILTER (WHERE split = 'test') AS c_test
+             |  FROM s GROUP BY 1
+             |), cum AS (
+             |  SELECT v, sum(c_train) OVER w AS a, sum(c_val) OVER w AS b,
+             |    sum(c_test) OVER w AS c
+             |  FROM hist
+             |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |), n AS (
+             |  SELECT count(*) FILTER (WHERE split = 'train') AS n_train,
+             |    count(*) FILTER (WHERE split = 'val') AS n_val,
+             |    count(*) FILTER (WHERE split = 'test') AS n_test
+             |  FROM s
+             |), d AS (
+             |  SELECT
+             |    max(abs(cast(a AS double) / cast(n_train AS double)
+             |      - cast(b AS double) / cast(n_val AS double))) AS d_tv,
+             |    max(abs(cast(a AS double) / cast(n_train AS double)
+             |      - cast(c AS double) / cast(n_test AS double))) AS d_tt,
+             |    max(abs(cast(b AS double) / cast(n_val AS double)
+             |      - cast(c AS double) / cast(n_test AS double))) AS d_vt,
+             |    any_value(n_train) AS n_train, any_value(n_val) AS n_val,
+             |    any_value(n_test) AS n_test
+             |  FROM cum CROSS JOIN n
+             |)
+             |SELECT pair, n_a, n_b, d_stat FROM (
+             |  SELECT 'train_val' AS pair, n_train AS n_a, n_val AS n_b, d_tv AS d_stat FROM d
+             |  UNION ALL
+             |  SELECT 'train_test', n_train, n_test, d_tt FROM d
+             |  UNION ALL
+             |  SELECT 'val_test', n_val, n_test, d_vt FROM d
+             |) ORDER BY pair""".stripMargin)))
 }

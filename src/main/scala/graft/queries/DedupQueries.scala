@@ -157,5 +157,36 @@ object DedupQueries extends QueryModule {
              |  FROM reach GROUP BY src
              |)
              |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
-             |FROM comps ORDER BY doc_id""".stripMargin)))
+             |FROM comps ORDER BY doc_id""".stripMargin)),
+
+    // Cross-document duplicated-span accounting: per doc, how many of its
+    // DISTINCT 8-grams appear in >= 2 docs corpus-wide (boilerplate
+    // signal). Distinct-per-doc grams -> one gram-histogram shuffle ->
+    // gram-keyed join back -> per-doc rollup; nothing O(corpus^2).
+    "q93_crossdoc_ngram" -> QueryDef(
+      (s, dir) =>
+        Dedup.crossDocShared(Tables.documents(s, dir), "text", "doc_id")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             |  FROM documents
+             |), gr AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+             |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+             |                   toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS g
+             |  FROM d WHERE len(toks) >= 8
+             |), c AS (
+             |  SELECT g, count(*) AS docs_with FROM gr GROUP BY 1
+             |), per AS (
+             |  SELECT doc_id, count(*) AS n_grams,
+             |    count(*) FILTER (WHERE docs_with >= 2) AS n_shared
+             |  FROM gr JOIN c USING (g) GROUP BY 1
+             |)
+             |SELECT d0.doc_id, coalesce(n_grams, 0) AS n_grams,
+             |  coalesce(n_shared, 0) AS n_shared,
+             |  CASE WHEN coalesce(n_grams, 0) > 0
+             |    THEN cast(n_shared AS double) / cast(n_grams AS double)
+             |    ELSE 0.0 END AS shared_frac
+             |FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id
+             |ORDER BY d0.doc_id""".stripMargin)))
 }

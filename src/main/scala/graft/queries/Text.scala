@@ -261,5 +261,68 @@ object Text extends QueryModule {
               |  doc_id = canonical_id AS is_canonical,
               |  (coalesce(lang <> 'xx', false) AND coalesce(n_chars BETWEEN 80 AND 10000, false)
               |    AND coalesce(quality >= 0.5, false) AND doc_id = canonical_id) AS keep
-              |FROM q ORDER BY doc_id""".stripMargin)))
+              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Exact BM25 lexical retrieval for a fixed query-term bag. The term
+    // filter runs BEFORE the tf aggregation (inverted-index access,
+    // declaratively), df is a 3-row broadcast, and the score sums pivoted
+    // per-term columns in fixed order — deterministic double math WITHIN
+    // an engine. ACROSS engines the one transcendental (Robertson idf's
+    // ln) differs in the last ulp between the JVM's Math.log and DuckDB's
+    // libm, so the gated columns quantize scores to exact integer
+    // micro-units (floor(s·1e6): one multiply + floor, both exact IEEE
+    // ops) and the ordering key is the quantized score — the gate proves
+    // BM25 to 1e-6 absolute, measured, rather than claiming bit-equality
+    // no engine pair can honestly promise on ln(). Library callers
+    // ([[graft.text.Retrieval.bm25]]) get the full-precision doubles.
+    "q92_bm25" -> QueryDef(
+      (s, dir) => {
+        val full = graft.text.Retrieval.bm25(Tables.documents(s, dir),
+          "text", "doc_id", Seq("spark", "merge", "stream"))
+        def u(c: String) = floor(col(c) * lit(1e6)).cast("long").as(c + "_u")
+        full.select(col("doc_id"), col("dl"),
+            u("s_spark"), u("s_merge"), u("s_stream"), u("score"))
+          .orderBy(col("score_u").desc, col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             |  FROM documents
+             |), dl AS (
+             |  SELECT doc_id, len(toks) AS dl FROM d
+             |), n AS (
+             |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+             |), tf AS (
+             |  SELECT doc_id, token, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+             |  WHERE token IN ('spark', 'merge', 'stream') GROUP BY 1, 2
+             |), dfq AS (
+             |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+             |), sc AS (
+             |  SELECT tf.doc_id, dl.dl, tf.token,
+             |    ln(1.0 + (cast(n_docs AS double) - cast(df AS double) + 0.5)
+             |             / (cast(df AS double) + 0.5))
+             |      * ((cast(tf AS double) * (1.2 + 1.0))
+             |         / (cast(tf AS double)
+             |            + (1.2 * (0.25 + (0.75 * (cast(dl AS double)
+             |                / (cast(sum_dl AS double) / cast(n_docs AS double)))))))) AS s
+             |  FROM tf
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  JOIN dfq ON tf.token = dfq.token
+             |  CROSS JOIN n
+             |), wide AS (
+             |  SELECT doc_id, dl,
+             |    coalesce(sum(CASE WHEN token = 'spark' THEN s END), 0.0) AS s_spark,
+             |    coalesce(sum(CASE WHEN token = 'merge' THEN s END), 0.0) AS s_merge,
+             |    coalesce(sum(CASE WHEN token = 'stream' THEN s END), 0.0) AS s_stream,
+             |    ((coalesce(sum(CASE WHEN token = 'spark' THEN s END), 0.0)
+             |      + coalesce(sum(CASE WHEN token = 'merge' THEN s END), 0.0))
+             |      + coalesce(sum(CASE WHEN token = 'stream' THEN s END), 0.0)) AS score
+             |  FROM sc GROUP BY 1, 2
+             |)
+             |SELECT doc_id, dl,
+             |  cast(floor(s_spark * 1e6) AS bigint) AS s_spark_u,
+             |  cast(floor(s_merge * 1e6) AS bigint) AS s_merge_u,
+             |  cast(floor(s_stream * 1e6) AS bigint) AS s_stream_u,
+             |  cast(floor(score * 1e6) AS bigint) AS score_u
+             |FROM wide ORDER BY score_u DESC, doc_id""".stripMargin)))
 }

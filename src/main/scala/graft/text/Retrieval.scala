@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus: exact BM25 scoring of
+  * every document against a fixed bag of query terms. This is the standard
+  * pre-filter a training-data pipeline runs to pull topic-relevant slices
+  * out of a web corpus (and the baseline any dense-retrieval ANN path —
+  * [[graft.similarity.Ann]] — is measured against).
+  *
+  * Scale shape: the term filter is applied BEFORE the tf aggregation, so
+  * only postings of the query terms ever shuffle (the inverted-index
+  * access pattern, expressed declaratively); document length comes from a
+  * map-side projection aggregated once; per-term document frequencies are
+  * a |terms|-row broadcast; the per-document score sums a FIXED number of
+  * pivoted term columns in a fixed order, so the double math is
+  * deterministic at any parallelism (no float-sum reordering).
+  *
+  * Exact-parity note (SURVEY H7 discipline): idf uses the Robertson
+  * formula ln(1 + (N − df + ½)/(df + ½)) and every product/quotient is
+  * written with explicit association mirrored in the DuckDB oracle, so
+  * results hash-match across engines.
+  */
+object Retrieval {
+
+  /** BM25 scores for documents containing ≥1 query term.
+    *
+    * Output: (doc_id, dl, s_&lt;term&gt;... one column per query term,
+    * score), ordered by score desc then doc_id.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct,
+      s"query terms must be non-empty and distinct: $terms")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+    val dl = base.select(col("doc_id"), size(col("toks")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // avgdl = sum_dl / n_docs; K = k1 * (1 - b + b * (dl / avgdl));
+    // s = idf * ((tf * (k1+1)) / (tf + K)) — parenthesization mirrored
+    // verbatim in the oracle SQL so each double op is identical.
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    val kTerm = lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("s", idf * ((col("tf").cast("double") * lit(k1 + 1.0))
+        / (col("tf").cast("double") + kTerm)))
+    val wide = scored.groupBy("doc_id", "dl")
+      .pivot("token", terms).agg(sum("s"))
+    val sCols = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)).as(s"s_$t"))
+    val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduceLeft(_ + _)
+    wide.select((col("doc_id") +: col("dl") +: sCols :+ total.as("score")): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+}

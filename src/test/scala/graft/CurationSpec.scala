@@ -161,4 +161,23 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(r("web")._3 - 0.5) < 1e-12)
     assert(r("books")._3 == 1.0 && r("code")._3 == 1.0)
   }
+
+  test("ksDrift: identical distributions give D = 0, disjoint give D = 1") {
+    val ids = (1L to 300L).toDF("doc_id")
+    // same constant value everywhere → every pair's ecdfs coincide
+    val same = ids.withColumn("v", lit(42L))
+    val r0 = Curation.ksDrift(same, "v", "doc_id")
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r0.keySet == Set("train_val", "train_test", "val_test"))
+    assert(r0.values.forall(_ == 0.0))
+    // value perfectly separates train from val/test → D(train,·) = 1
+    val split = Curation.splitAssign(ids, "doc_id")
+    val sep = split.withColumn("v",
+      when(col("split") === "train", lit(1L)).otherwise(lit(100L)))
+      .select("doc_id", "v")
+    val r1 = Curation.ksDrift(sep, "v", "doc_id")
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r1("train_val") == 1.0 && r1("train_test") == 1.0)
+    assert(r1("val_test") == 0.0)
+  }
 }

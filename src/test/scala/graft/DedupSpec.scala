@@ -188,4 +188,23 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r == Set((0L, 1L)))
   }
+
+  test("crossDocShared: planted shared 8-gram, case folding, short docs") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),      // grams: w1..w8, w2..w9
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 x9"),      // shares w1..w8 with 1 and 5
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"),          // 1 unique gram
+      (4L, "short doc"),                        // no 8-grams
+      (5L, "W1 W2 W3 W4 W5 W6 W7 W8"))          // case-folds onto w1..w8
+      .toDF("doc_id", "text")
+    val r = Dedup.crossDocShared(docs, "text", "doc_id")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(1L) == ((2L, 1L, 0.5)))
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(r(3L) == ((1L, 0L, 0.0)))
+    assert(r(4L) == ((0L, 0L, 0.0)))
+    assert(r(5L) == ((1L, 1L, 1.0)))
+  }
 }

@@ -74,4 +74,32 @@ class TextSpec extends AnyFunSuite {
     assert(r(0L) == 1.0)
     assert(r(1L) == 0.0) // no bigrams → null maxc → 0
   }
+
+  test("bm25: hand-computed scores, ranking, and non-matching doc exclusion") {
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "merge spark slow engine"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val r = graft.text.Retrieval
+      .bm25(docs, "text", "doc_id", Seq("spark", "merge"))
+      .collect()
+    // N=3, sum_dl=10, avgdl=10/3; df(spark)=2, df(merge)=1
+    val avgdl = 10.0 / 3.0
+    val idfS = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val idfM = math.log(1.0 + (3.0 - 1.0 + 0.5) / (1.0 + 0.5))
+    def k(dl: Double) = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+    val s1 = idfS * ((2.0 * 2.2) / (2.0 + k(3.0)))
+    val s2 = idfS * ((1.0 * 2.2) / (1.0 + k(4.0))) +
+      idfM * ((1.0 * 2.2) / (1.0 + k(4.0)))
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 1L)) // doc 3 matched nothing
+    val byId = r.map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    assert(math.abs(byId(1L) - s1) < 1e-12)
+    assert(math.abs(byId(2L) - s2) < 1e-12)
+    // per-term column of a doc lacking that term is exactly 0.0
+    val d1 = r.find(_.getLong(0) == 1L).get
+    assert(d1.getDouble(3) == 0.0) // s_merge for doc 1
+    assertThrows[IllegalArgumentException] {
+      graft.text.Retrieval.bm25(docs, "text", "doc_id", Seq("a", "a"))
+    }
+  }
 }
