@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout utilities — the storage-side half of the scale plan.
   *
@@ -37,6 +38,52 @@ object Layout {
     df.repartitionByRange(partitions, org.apache.spark.sql.functions.col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Z-curve (Morton) interleave of two normalized non-negative ints:
+    * bit i of `a` lands at position 2i+1, of `b` at 2i. Inputs must lie
+    * in [0, 2^bits); pure bit-column math, codegen-friendly.
+    */
+  def zOrderValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Multi-dimensional clustering: write `df` range-partitioned and
+    * sorted by the Z-order value of TWO columns, so parquet row-group
+    * min/max stats prune on EITHER dimension (a single-column sort prunes
+    * only its own column; the scattered second dimension matches stats in
+    * every row group). The Delta/Iceberg OPTIMIZE ZORDER primitive,
+    * expressed as plain columns + repartitionByRange.
+    *
+    * Normalization is affine over the observed [min, max] (one 4-scalar
+    * pre-pass — footer-cheap, bounded driver state). A skew-heavy 100 TB
+    * column would instead normalize by rank over quantile cuts
+    * ([[graft.functions.GraftFunctions.quantileDiscCuts]] broadcast) —
+    * affine keeps the write single-pass and is exact for the pruning
+    * argument as long as both columns are roughly uniformly spread.
+    * Columns must be non-null numeric.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, colA: String, colB: String,
+      partitions: Int, bits: Int = 16): Unit = {
+    val s = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val (loA, hiA, loB, hiB) =
+      (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
+    val scale = ((1L << bits) - 1).toDouble
+    def norm(c: String, lo: Double, hi: Double): Column =
+      if (hi > lo)
+        (((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * lit(scale))
+          .cast("long")
+      else lit(0L)
+    df.withColumn("__z",
+        zOrderValue(norm(colA, loA, hiA), norm(colB, loB, hiB), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
 
   /** Compact a small-file parquet directory into ~`targetBytes` files.
     *

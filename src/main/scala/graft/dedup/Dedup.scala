@@ -339,17 +339,33 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    // resetStats after every checkpoint: the pointer-jump round self-joins
+    // `labels`, so checkpoint-inherited sizeInBytes estimates SQUARE each
+    // round and stats computation alone becomes the driver bottleneck
+    // (million-bit BigInt products by round ~14 — see GraftShim.resetStats)
     def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      org.apache.spark.sql.GraftShim.resetStats(
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint())
     // free a superseded truncated frame: the checkpointed RDD sits in the
     // plan as a LogicalRDD leaf — delete its files (reliable) or unpersist
     // its blocks (local). Safe immediately: checkpoint() is eager, so the
     // successor round was fully materialized before its parent is released.
+    // the stats-reset wrapper (see truncate) puts a metrics RDD between
+    // the LogicalRDD leaf and the checkpoint-backed ancestor, so walk the
+    // (linear) dependency chain to the RDD that actually owns files/blocks
+    @scala.annotation.tailrec
+    def ckptAncestor(r: org.apache.spark.rdd.RDD[_]): Option[org.apache.spark.rdd.RDD[_]] =
+      if (r.getCheckpointFile.isDefined ||
+          r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Some(r)
+      else r.dependencies.headOption.map(_.rdd) match {
+        case Some(parent) => ckptAncestor(parent)
+        case None => None
+      }
     def release(df: DataFrame): Unit =
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach { r =>
+      }.flatMap(ckptAncestor).foreach { r =>
         r.getCheckpointFile match {
           case Some(f) =>
             val p = new org.apache.hadoop.fs.Path(f)

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caches: every decode creates
+  // and deletes a temp file (FileCacheImageInputStream → createTempFile),
+  // which at 50k-image scale turns the CPU-bound decode path into a
+  // filesystem-syscall bottleneck (thread dumps: all workers in open0).
+  // In-memory caches are strictly better for our byte-array sources.
+  // Object-init runs once per JVM — driver and each executor alike.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Session-scoped memo for the synthetic media fixtures: encoding a
     * PNG/GIF/WAV per document row is HARNESS plumbing (the stand-in for
     * media that a real pipeline reads already-encoded from storage), not
@@ -56,6 +64,33 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int)
+
+  /** Deterministic byte stream for the synthetic fixtures: xorshift64*
+    * seeded from the md5 of the text's first 8 normalized tokens. The
+    * prefix key gives the fixtures realistic duplicate-media structure —
+    * docs opening identically (the fixture has ~20 such groups per 500
+    * docs) carry IDENTICAL media, modeling the same image reused across
+    * pages — while any prefix difference yields statistically unrelated
+    * bytes, so near-dup-but-not-identical text does NOT produce
+    * near-identical media (that correlation made the scaled fixture's
+    * candidate pair space quadratic in replica count). The stream length
+    * lets the synthetic images be 16×16 — big enough that [[dHash64]]'s
+    * 9×8 grid boxes hit distinct pixels and the hash carries its full 64
+    * bits; at 4×4 the grid repeated source pixels, the hash space
+    * collapsed to a few thousand values, and frame-posting joins went
+    * quadratic at sf1 (measured: q89 at 237 s).
+    */
+  private[multimodal] def seededBytes(md: java.security.MessageDigest,
+      text: String, salt: Long, n: Int): Array[Byte] = {
+    val key = text.trim.toLowerCase.split("\\s+").take(8).mkString(" ")
+    val d = md.digest(key.getBytes("UTF-8"))
+    var s = java.nio.ByteBuffer.wrap(d).getLong ^ salt
+    if (s == 0L) s = 0x9E3779B97F4A7C15L
+    Array.fill(n) {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      ((s * 0x2545F4914F6CDD1DL) >>> 56).toByte
+    }
+  }
 
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
       avg_byte: Double, feat: Array[Double])
@@ -188,22 +223,27 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val src = text.getBytes("UTF-8")
+          // seededBytes (not raw text bytes): identical texts yield
+          // identical media (real dup clusters) while near-dup texts
+          // yield UNRELATED media, and 16×16 frames give dHash64 its
+          // full entropy — see seededBytes' scaladoc for the measured
+          // sf1 pathologies both properties prevent
           val frames = (0 until 4).map { f =>
+            val src = seededBytes(md, text, f.toLong, 256)
             val img = new java.awt.image.BufferedImage(
-              4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
             var i = 0
-            while (i < 16) {
-              val v0 = if (src.isEmpty) 0 else src((i + f) % src.length) & 0xff
-              // gray ramp per frame keeps GIF's 256-color palette exact
-              val v = (v0 + f * 16) & 0xff
-              img.setRGB(i % 4, i / 4, (v << 16) | (v << 8) | v)
+            while (i < 256) {
+              // grayscale keeps GIF's 256-color palette exact
+              val v = src(i) & 0xff
+              img.setRGB(i % 16, i / 16, (v << 16) | (v << 8) | v)
               i += 1
             }
             img
           }
-          MediaRow(id, "video", writeGif(frames), 4, 4)
+          MediaRow(id, "video", writeGif(frames), 16, 16)
         }
       }.toDF()
   }
@@ -385,13 +425,22 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val src = text.getBytes("UTF-8")
-          val freq = 100.0 + (if (src.isEmpty) 0 else src(0) & 0xff) * 4.0
-          val amp = 8000 + (if (src.length < 2) 0 else src(1) & 0xff) * 60
+          // seeded NOISE, not a pure tone: a constant-amplitude sine's
+          // 65-window energy profile depends only on frequency, so tones
+          // on a frequency grid produced fingerprints forming one long
+          // Hamming CHAIN across unrelated docs — a giant-diameter dedup
+          // graph no real audio corpus has. Noise gives every prefix
+          // group its own well-spread 64-bit fingerprint; identical
+          // prefixes still mean byte-identical audio (real clusters).
+          val src = seededBytes(md, text, 0x5741564cL, 800)
           val rate = 8000
-          val samples = Array.tabulate(400)(i =>
-            (amp * math.sin(2 * math.Pi * freq * i / rate)).toShort)
+          val samples = Array.tabulate(400) { i =>
+            // two bytes per PCM16 sample, scaled to ~75% full range
+            val v = (src(2 * i) & 0xff) << 8 | (src(2 * i + 1) & 0xff)
+            (((v - 32768) * 3) / 4).toShort
+          }
           MediaRow(id, "audio", writeWav(samples, rate), 0, 0)
         }
       }.toDF()
@@ -450,20 +499,25 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val src = text.getBytes("UTF-8")
+          // seededBytes + 16×16 — see seededBytes' scaladoc: keeps
+          // exact-dup image clusters, removes the artificial
+          // near-identical-replica pair blowup, and fills dHash64's
+          // entropy so Hamming blocking stays collision-bounded at scale
+          val src = seededBytes(md, text, 0L, 256)
           val img = new java.awt.image.BufferedImage(
-            4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var i = 0
-          while (i < 16) {
-            val v = if (src.isEmpty) 0 else src(i % src.length) & 0xff
-            img.setRGB(i % 4, i / 4,
+          while (i < 256) {
+            val v = src(i) & 0xff
+            img.setRGB(i % 16, i / 16,
               (v << 16) | (((v * 7) & 0xff) << 8) | ((v * 13) & 0xff))
             i += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
-          MediaRow(id, "image", bos.toByteArray, 4, 4)
+          MediaRow(id, "image", bos.toByteArray, 16, 16)
         }
       }.toDF()
   }

@@ -19,6 +19,33 @@ import graft.functions.GraftFunctions._
 object Extended extends QueryModule {
 
   /** One SQL text, two engines (q74): runs verbatim on Spark and DuckDB. */
+  /** One dialect-portable recursive-CTE text (q95): transitive closure
+    * over exact-duplicate CHAIN edges. Chain edges (rank k → rank k+1
+    * within a fingerprint group) bound recursion depth by the largest
+    * duplicate group — never the corpus — and every doc is reached
+    * exactly once, so the result is the full cluster assignment. Runs
+    * verbatim on Spark 4's UnionLoop execution and on DuckDB.
+    */
+  private val recursiveClosureSql: String =
+    """WITH RECURSIVE
+      |norm AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+      |), ranked AS (
+      |  SELECT doc_id, fp,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM norm
+      |), edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM ranked a JOIN ranked b ON a.fp = b.fp AND b.rn = a.rn + 1
+      |), reach AS (
+      |  SELECT doc_id AS cluster, doc_id AS node FROM ranked WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.cluster, e.dst AS node
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |)
+      |SELECT cluster, node AS doc_id FROM reach
+      |ORDER BY cluster, doc_id""".stripMargin
+
   private val filteredAggSql: String =
     """SELECT l_linestatus,
       |  count(*) AS n,
@@ -633,6 +660,19 @@ object Extended extends QueryModule {
         s.sql(filteredAggSql)
       },
       Some(filteredAggSql)),
+
+    // Recursive CTE (Spark 4 UnionLoop): duplicate-cluster transitive
+    // closure as one portable SQL text — see recursiveClosureSql. The
+    // level limit is raised from the 100 default: depth tracks the
+    // largest dup group, which a 100 TB corpus can push past 100 while
+    // remaining bounded and tiny relative to corpus size.
+    "q95_recursive_cte" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("documents")
+        s.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+        s.sql(recursiveClosureSql)
+      },
+      Some(recursiveClosureSql)),
 
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
     // mergeable bounded-memory distinct count for 100 TB group-bys, next to

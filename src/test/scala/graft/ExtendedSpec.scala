@@ -161,4 +161,18 @@ class ExtendedSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(merged == direct)
   }
+
+  test("recursive CTE closure: planted chain groups resolve to min-id clusters") {
+    import spark.implicits._
+    // group A = {1,5,9} (same normalized text), group B = {2}, C = {3,4}
+    Seq((1L, "Dup One "), (5L, "dup one"), (9L, "DUP ONE"),
+      (2L, "solo"), (3L, "pair x"), (4L, "PAIR X"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    // the oracle string IS the engine query (portable-SQL form) — run it
+    // verbatim over the planted view
+    val r = spark.sql(SparkEntry.oracleSql("q95_recursive_cte")).collect()
+      .map(x => x.getLong(1) -> x.getLong(0)).toMap
+    assert(r == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
 }

@@ -97,7 +97,7 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_.doc_id)
     val b = Multimodal.featurize(spark, png, Multimodal.ImageIoCodec)
       .collect().sortBy(_.doc_id)
-    assert(a.length == 20 && a.forall(_.feat(3) == 16.0))
+    assert(a.length == 20 && a.forall(_.feat(3) == 256.0))
     assert(a.map(_.avg_byte).toSeq == b.map(_.avg_byte).toSeq)
   }
 

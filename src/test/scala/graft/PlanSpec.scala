@@ -190,6 +190,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout prunes row groups on EITHER dimension") {
+    import org.apache.spark.sql.functions._
+    withTempDir("graft-zorder2d") { root =>
+      val ev = graft.core.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type")
+      val Array(loE, hiE, loU, hiU) = ev.agg(
+        min("event_id").cast("double"), max("event_id").cast("double"),
+        min("user_id").cast("double"), max("user_id").cast("double"))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      graft.core.Layout.writeZOrdered(ev, s"$root/z", "event_id", "user_id", 16)
+      // control: linear clustering on event_id only — user_id scatters
+      graft.core.Layout.writeRangeSorted(ev, s"$root/linear", "event_id", 16)
+      def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+        val q = spark.read.parquet(path).filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numOutputRows").value }.get
+      }
+      // predicate on the SECOND dimension (bottom ~12%): the z layout
+      // clusters user_id's top bits into file ranges, the linear layout
+      // spreads them into every file. INTEGER literals — a double cut
+      // would wrap the long column in a cast and block parquet pushdown
+      val uCut = (loU + (hiU - loU) * 0.12).toLong
+      val zU = scanRows(s"$root/z", col("user_id") <= uCut)
+      val linU = scanRows(s"$root/linear", col("user_id") <= uCut)
+      assert(zU < linU / 2, s"z-order scanned $zU vs linear $linU on dim B")
+      // and the FIRST dimension still prunes on the z layout
+      val eCut = (loE + (hiE - loE) * 0.12).toLong
+      val zE = scanRows(s"$root/z", col("event_id") <= eCut)
+      val total = ev.count()
+      assert(zE < total / 2, s"z-order scanned $zE of $total on dim A")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     import org.apache.spark.sql.functions._
     // the 100 TB shape: a selective dimension filter should cut fact-scan
