@@ -69,13 +69,21 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     selected.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
 
     val ordered = selected.toSeq.sortBy(_._1)
+    // materialize through the no-op v2 sink, NOT count(): count() lets
+    // Catalyst prune every column the row count doesn't need — for a
+    // query whose cost IS its projected columns (q97's span window +
+    // text rebuild, wide aggregates generally) count() benches a shadow
+    // of the plan (measured: q97 shuffle 1.9 KB under count() vs the
+    // real multi-MB span exchange). The noop sink computes every output
+    // column and discards rows executor-side.
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     // a failed query reports -1, never a plausible-looking wall time

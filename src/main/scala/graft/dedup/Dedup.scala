@@ -71,8 +71,12 @@ object Dedup {
       */
     def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
         threshold: Double = 0.5): DataFrame = {
+      // signature/shingle hashing is 10-100x the input bytes in CPU —
+      // guard against a degenerate single-split scan serializing it
+      val src = graft.core.Parallelism.ensure(
+        df.select(col(idCol), col(textCol)))
       val toks = TextFunctions.tokens(col(textCol))
-      val sigs = df.select(col(idCol).as("id"),
+      val sigs = src.select(col(idCol).as("id"),
         graft.functions.Sketches.minhashTokens(toks).as("sig"))
       val banded = sigs.select(col("id"), posexplode(
         array((0 until Bands).map { b =>
@@ -87,7 +91,7 @@ object Dedup {
         .select("id_a", "id_b").distinct()
       // exact verification over sorted hashed shingle sets: merge-scan
       // intersection, |∪| = |A|+|B|−|∩| — no per-pair hash sets or arrays
-      val sets = df.select(col(idCol).as("sid"),
+      val sets = src.select(col(idCol).as("sid"),
         graft.functions.Sketches.shingleSet(toks).as("sset"))
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
@@ -120,8 +124,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame =
-    hammingPairs(df.select(col(idCol).as("id"),
-      simhash(TextFunctions.tokens(col(textCol))).as("sh")), "id", "sh", maxHamming)
+    hammingPairs(
+      graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          simhash(TextFunctions.tokens(col(textCol))).as("sh")),
+      "id", "sh", maxHamming)
 
   /** Near-dup pairs over ANY precomputed 64-bit sketch column (simhash,
     * image dHash, audio fingerprint …) by Hamming distance — the shared
@@ -235,9 +242,11 @@ object Dedup {
       blockCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"jaccard threshold must lie in (0, 1], got $threshold")
-    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_sort(transform(array_distinct(TextFunctions.tokens(col(textCol))),
-        t => xxhash64(t))).as("tset"))
+    val base = graft.core.Parallelism.ensure(
+        df.select(col(blockCol), col(idCol), col(textCol)))
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        array_sort(transform(array_distinct(TextFunctions.tokens(col(textCol))),
+          t => xxhash64(t))).as("tset"))
       .withColumn("ts_n", size(col("tset")).cast("double"))
     // geometric size band; at threshold 1 only equal sizes can pair, so
     // the band IS the size and no neighbor registration is needed
@@ -245,7 +254,10 @@ object Dedup {
     def bandPos(n: Column): Column = log(greatest(n, lit(1.0))) / lit(bandW)
     def bandOf(n: Column): Column =
       if (bandW == 0.0) n.cast("long") else floor(bandPos(n)).cast("long")
-    val l = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // parallelism is guaranteed by the ensure() above — no second
+    // exchange (a blanket repartition here would DOWN-shuffle a large
+    // multi-split input at real scale)
+    val l = base
       .select(col("block").as("block_a"), col("id").as("id_a"),
         col("tset").as("set_a"), col("ts_n").as("n_a"),
         bandOf(col("ts_n")).as("band_a"))
@@ -480,11 +492,65 @@ object Dedup {
     * grams), and the per-doc rollup is one more partial-agg shuffle.
     * Nothing is O(corpus²) and no driver-side state exists.
     */
+  /** C4-style cross-document span dedup with document REWRITE: segment
+    * each document into consecutive `spanTokens`-token spans, keep exactly
+    * one occurrence of every distinct span corpus-wide (the occurrence at
+    * the smallest (doc_id, position)), and re-assemble each document from
+    * its surviving spans. This is the curation step that strips shared
+    * boilerplate (headers, nav bars, license blocks) even when whole-doc
+    * dedup never fires — C4 did it at the line level; the fixture corpus
+    * has no line structure, so spans are fixed-width token windows, which
+    * is also what a tokenizer-centric pipeline would use.
+    *
+    * Scale shape: span texts never leave their executor except for the
+    * one hash shuffle that ranks occurrences per distinct span (window
+    * over span — partition state is the occurrence list of ONE span, i.e.
+    * the corpus duplication factor, never the corpus); the rebuild is one
+    * partial-agg shuffle on doc_id collecting (position, span) pairs
+    * sorted per doc. Nothing is O(corpus²); a skewed mega-duplicated span
+    * costs one hot window partition of its own occurrences only.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    val spans = graft.core.Parallelism.ensure(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0),
+            greatest(lit(0),
+              ceil(size(col("toks")).cast("double") / spanTokens)
+                .cast("int") - 1)),
+          i => array_join(
+            slice(col("toks"), i * spanTokens + 1, lit(spanTokens)), " "))))
+      .toDF("doc_id", "pos", "span")
+    val ranked = spans.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("span").orderBy(col("doc_id"), col("pos"))))
+    val rebuilt = ranked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      count(when(col("rn") === 1, 1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("pos"), col("span"))))),
+          s => s.getField("span")), " ").as("text_kept"))
+    df.select(col(idCol).as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   def crossDocShared(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
-    val g = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextFunctions.tokenNgrams(
-        TextFunctions.tokens(lower(col(textCol))), n))).as("g"))
+    val g = graft.core.Parallelism.ensure(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokenNgrams(
+          TextFunctions.tokens(lower(col(textCol))), n))).as("g"))
     val docsWith = g.groupBy("g").agg(count(lit(1)).as("docs_with"))
     val per = g.join(docsWith, "g")
       .groupBy("doc_id").agg(

@@ -221,7 +221,8 @@ object Multimodal {
   def syntheticGifTable(spark: SparkSession, documents: DataFrame): DataFrame =
       memoized(spark, "gif", documents) {
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.core.Parallelism.ensure(
+        documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -423,7 +424,8 @@ object Multimodal {
   def syntheticWavTable(spark: SparkSession, documents: DataFrame): DataFrame =
       memoized(spark, "wav", documents) {
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.core.Parallelism.ensure(
+        documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -497,7 +499,8 @@ object Multimodal {
   def syntheticPngTable(spark: SparkSession, documents: DataFrame): DataFrame =
       memoized(spark, "png", documents) {
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.core.Parallelism.ensure(
+        documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>

@@ -27,9 +27,11 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame) = df.select(col(idCol),
-      explode(array_distinct(
-        TextFunctions.tokenNgrams(TextFunctions.tokens(col(textCol)), n))).as("g"))
+    def grams(df: DataFrame) = graft.core.Parallelism.ensure(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(array_distinct(
+          TextFunctions.tokenNgrams(TextFunctions.tokens(col(textCol)), n))).as("g"))
     val benchGrams = grams(benchmark).select("g").distinct()
     val hits = grams(corpus).join(benchGrams, "g")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))

@@ -188,5 +188,42 @@ object DedupQueries extends QueryModule {
              |    THEN cast(n_shared AS double) / cast(n_grams AS double)
              |    ELSE 0.0 END AS shared_frac
              |FROM documents d0 LEFT JOIN per ON d0.doc_id = per.doc_id
+             |ORDER BY d0.doc_id""".stripMargin)),
+
+    // C4-style span dedup WITH rewrite: one surviving occurrence of every
+    // distinct 10-token span corpus-wide (smallest (doc_id, pos) wins),
+    // documents re-assembled from their surviving spans. One span-hash
+    // window shuffle + one doc_id rollup; window state = one span's
+    // occurrence list, never the corpus.
+    "q97_span_dedup" -> QueryDef(
+      (s, dir) =>
+        Dedup.spanDedup(Tables.documents(s, dir), "text", "doc_id")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, pos,
+             |    array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS span
+             |  FROM (
+             |    SELECT doc_id, toks,
+             |      unnest(range(greatest(1,
+             |        cast(ceil(len(toks) / 10.0) AS bigint)))) AS pos
+             |    FROM d)
+             |), r AS (
+             |  SELECT doc_id, pos, span,
+             |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+             |  FROM c
+             |), g AS (
+             |  SELECT doc_id, count(*) AS n_spans,
+             |    count(*) FILTER (WHERE rn = 1) AS n_kept,
+             |    coalesce(string_agg(span, ' ' ORDER BY pos)
+             |      FILTER (WHERE rn = 1), '') AS text_kept
+             |  FROM r GROUP BY 1
+             |)
+             |SELECT d0.doc_id, coalesce(n_spans, 0) AS n_spans,
+             |  coalesce(n_kept, 0) AS n_kept,
+             |  coalesce(text_kept, '') AS text_kept
+             |FROM documents d0 LEFT JOIN g ON d0.doc_id = g.doc_id
              |ORDER BY d0.doc_id""".stripMargin)))
 }

@@ -136,8 +136,9 @@ object Text extends QueryModule {
     "q57_tfidf" -> QueryDef(
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val tok = d.select(col("doc_id"),
-          explode(tokens(lower(col("text")))).as("token"))
+        val tok = graft.core.Parallelism.ensure(d.select("doc_id", "text"))
+          .select(col("doc_id"),
+            explode(tokens(lower(col("text")))).as("token"))
         val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val total = d.agg(count(lit(1)).as("n_docs"))
         val wt = org.apache.spark.sql.expressions.Window.partitionBy("token")
@@ -179,7 +180,8 @@ object Text extends QueryModule {
     "q77_repetition" -> QueryDef(
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val base = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+        val base = graft.core.Parallelism.ensure(d.select("doc_id", "text"))
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
         val rl = base.select(col("doc_id"),
           size(col("toks")).as("n_tokens"),
           dupTokenFrac(col("toks")).as("dup_token_frac"),
@@ -324,5 +326,112 @@ object Text extends QueryModule {
              |  cast(floor(s_merge * 1e6) AS bigint) AS s_merge_u,
              |  cast(floor(s_stream * 1e6) AS bigint) AS s_stream_u,
              |  cast(floor(score * 1e6) AS bigint) AS score_u
-             |FROM wide ORDER BY score_u DESC, doc_id""".stripMargin)))
+             |FROM wide ORDER BY score_u DESC, doc_id""".stripMargin)),
+
+    // Corpus-adaptive unigram-LM quality score (CCNet-style perplexity
+    // filter trained in-pass): per-doc mean token NLL under the corpus'
+    // own add-one-smoothed unigram model. Token NLLs quantized to integer
+    // micro-units BEFORE the per-doc sum, so the result is exact on any
+    // engine at any parallelism (ln ulp + float-sum order both removed).
+    "q96_unigram_nll" -> QueryDef(
+      (s, dir) =>
+        graft.text.LanguageModel.unigramNll(
+          Tables.documents(s, dir), "text", "doc_id")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             |  FROM documents
+             |), occ AS (
+             |  SELECT doc_id, unnest(toks) AS token FROM d
+             |), c AS (
+             |  SELECT token, count(*) AS cnt FROM occ GROUP BY 1
+             |), n AS (
+             |  SELECT cast(sum(cnt) AS bigint) AS t_occ, count(*) AS v_vocab FROM c
+             |), pt AS (
+             |  SELECT occ.doc_id,
+             |    cast(floor(-ln((cast(cnt AS double) + 1.0)
+             |        / (cast(t_occ AS double) + cast(v_vocab AS double)))
+             |      * 1e6) AS bigint) AS nll_u
+             |  FROM occ JOIN c USING (token) CROSS JOIN n
+             |)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  cast(sum(nll_u) AS bigint) AS nll_u,
+             |  cast(floor(cast(sum(nll_u) AS double) / cast(count(*) AS double))
+             |    AS bigint) AS mean_nll_u
+             |FROM pt GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Hybrid retrieval: BM25 top-100 and dense-cosine top-100 fused by
+    // Reciprocal Rank Fusion. Ranks come from quantized/exact orderings
+    // with id tiebreaks; the RRF score is two correctly-rounded IEEE
+    // divisions + one sum, so the gate is hash-exact on the doubles.
+    "q98_rrf_fusion" -> QueryDef(
+      (s, dir) =>
+        graft.text.Retrieval.rrfFusion(
+            Tables.documents(s, dir), Tables.embeddings(s, dir),
+            Seq("spark", "merge", "stream"), queryVecId = 0L)
+          .orderBy(col("rrf").desc, col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             |  FROM documents
+             |), dl AS (
+             |  SELECT doc_id, len(toks) AS dl FROM d
+             |), n AS (
+             |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+             |), tf AS (
+             |  SELECT doc_id, token, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+             |  WHERE token IN ('spark', 'merge', 'stream') GROUP BY 1, 2
+             |), dfq AS (
+             |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+             |), sc AS (
+             |  SELECT tf.doc_id, dl.dl, tf.token,
+             |    ln(1.0 + (cast(n_docs AS double) - cast(df AS double) + 0.5)
+             |             / (cast(df AS double) + 0.5))
+             |      * ((cast(tf AS double) * (1.2 + 1.0))
+             |         / (cast(tf AS double)
+             |            + (1.2 * (0.25 + (0.75 * (cast(dl AS double)
+             |                / (cast(sum_dl AS double) / cast(n_docs AS double)))))))) AS s
+             |  FROM tf
+             |  JOIN dl ON tf.doc_id = dl.doc_id
+             |  JOIN dfq ON tf.token = dfq.token
+             |  CROSS JOIN n
+             |), wide AS (
+             |  SELECT doc_id,
+             |    ((coalesce(sum(CASE WHEN token = 'spark' THEN s END), 0.0)
+             |      + coalesce(sum(CASE WHEN token = 'merge' THEN s END), 0.0))
+             |      + coalesce(sum(CASE WHEN token = 'stream' THEN s END), 0.0)) AS score
+             |  FROM sc GROUP BY 1
+             |), lex AS (
+             |  SELECT doc_id,
+             |    cast(row_number() OVER (ORDER BY score_u DESC, doc_id) AS bigint)
+             |      AS rank_lex
+             |  FROM (SELECT doc_id, cast(floor(score * 1e6) AS bigint) AS score_u
+             |        FROM wide ORDER BY score_u DESC, doc_id LIMIT 100)
+             |), base AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double),
+             |      (x, y) -> x + y) AS n2
+             |  FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS qid, embedding AS qe, n2 AS qn2 FROM base
+             |  WHERE vec_id = 0
+             |), pairs AS (
+             |  SELECT vec_id AS nid,
+             |    list_reduce(list_transform(range(1, len(qe) + 1),
+             |        i -> qe[i]::double * embedding[i]::double), (x, y) -> x + y)
+             |      / (sqrt(qn2) * sqrt(n2)) AS sim
+             |  FROM base, q WHERE vec_id <> qid
+             |), dense AS (
+             |  SELECT nid AS doc_id, cast(rn AS bigint) AS rank_dense
+             |  FROM (SELECT nid,
+             |          row_number() OVER (ORDER BY sim DESC, nid) AS rn
+             |        FROM pairs)
+             |  WHERE rn <= 100
+             |)
+             |SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
+             |  rank_lex, rank_dense,
+             |  coalesce(1.0 / (60 + rank_lex), 0.0)
+             |    + coalesce(1.0 / (60 + rank_dense), 0.0) AS rrf
+             |FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id
+             |ORDER BY rrf DESC, coalesce(l.doc_id, dn.doc_id)""".stripMargin)))
 }

@@ -34,7 +34,9 @@ object Retrieval {
     require(terms.nonEmpty && terms == terms.distinct,
       s"query terms must be non-empty and distinct: $terms")
     val toks = TextFunctions.tokens(lower(col(textCol)))
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+    val base = graft.core.Parallelism.ensure(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
     val dl = base.select(col("doc_id"), size(col("toks")).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl").cast("long")).as("sum_dl"))
@@ -64,5 +66,45 @@ object Retrieval {
       .reduceLeft(_ + _)
     wide.select((col("doc_id") +: col("dl") +: sCols :+ total.as("score")): _*)
       .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Hybrid retrieval: fuse the lexical (BM25) and dense (embedding
+    * cosine) top-`topK` lists with Reciprocal Rank Fusion,
+    * rrf(d) = Σ_lists 1/(kRrf + rank_list(d)) — the standard
+    * score-scale-free way to combine retrievers (Cormack et al. 2009).
+    *
+    * Scale shape: each retriever produces a BOUNDED top-K list (BM25 by
+    * distributed TakeOrdered over its quantized score, dense by
+    * [[graft.similarity.Ann.bruteForceTopK]] with the single query
+    * broadcast), so the rank windows and the fusion join all run on
+    * ≤ topK rows — fusion cost is independent of corpus size.
+    *
+    * Cross-engine parity: ranks come from quantized-score orderings with
+    * id tiebreaks (deterministic on any engine — see the BM25 micro-unit
+    * note above; cosine has no transcendentals and is bit-exact per the
+    * q40 gate), and the RRF score is two correctly-rounded IEEE divisions
+    * plus one sum — bit-identical everywhere.
+    */
+  def rrfFusion(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], queryVecId: Long, topK: Int = 100,
+      kRrf: Int = 60): DataFrame = {
+    require(topK > 0 && kRrf > 0, s"topK/kRrf must be positive")
+    val lex = bm25(docs, "text", "doc_id", terms)
+      .select(col("doc_id"),
+        floor(col("score") * lit(1e6)).cast("long").as("score_u"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank_lex", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_lex")
+    val dense = graft.similarity.Ann.bruteForceTopK(
+        embeddings, embeddings.filter(col("vec_id") === queryVecId), topK)
+      .select(col("nid").as("doc_id"), col("rn").cast("long").as("rank_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("rank_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf) + col("rank_dense")), lit(0.0)))
+          .as("rrf"))
   }
 }

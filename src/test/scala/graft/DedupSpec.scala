@@ -207,4 +207,21 @@ class DedupSpec extends AnyFunSuite {
     assert(r(4L) == ((0L, 0L, 0.0)))
     assert(r(5L) == ((1L, 1L, 1.0)))
   }
+
+  test("span dedup: cross-doc and within-doc duplicate spans rewrite correctly") {
+    val t10 = (1 to 10).map(i => s"t$i").mkString(" ")   // one full span
+    val s10 = (1 to 10).map(i => s"s$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$t10 t11 t12"),      // spans: t-span, "t11 t12" — both first
+      (2L, s"$t10 x1 x2"),        // t-span is a cross-doc dup of doc 1 pos 0
+      (4L, s"$s10 $s10"))         // within-doc duplicate span
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDedup(planted, "text", "doc_id")
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 2L, s"$t10 t11 t12"))) // earliest occurrence keeps all
+    assert(r(2L) == ((2L, 1L, "x1 x2")))         // shared span stripped
+    assert(r(4L) == ((2L, 1L, s10)))             // second identical span dropped
+  }
 }

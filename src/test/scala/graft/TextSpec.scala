@@ -102,4 +102,43 @@ class TextSpec extends AnyFunSuite {
       graft.text.Retrieval.bm25(docs, "text", "doc_id", Seq("a", "a"))
     }
   }
+
+  test("rrf fusion: hand-derived ranks from both retrievers, full-outer union") {
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "merge spark slow engine"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    // query vec = id 0; cosine to (1,0) ranks: doc 1 (aligned) > doc 2 > doc 3
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = graft.text.Retrieval
+      .rrfFusion(docs, embs, Seq("spark", "merge"), queryVecId = 0L, topK = 2)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((Option(x.get(1)), Option(x.get(2)), x.getDouble(3)))).toMap
+    // lexical top-2 (bm25 spec above): doc 2 rank 1, doc 1 rank 2
+    // dense top-2 vs vec 0: doc 1 rank 1, doc 2 rank 2
+    def f(x: Int) = 1.0 / (60.0 + x)
+    assert(r(1L) == ((Some(2L), Some(1L), f(2) + f(1))))
+    assert(r(2L) == ((Some(1L), Some(2L), f(1) + f(2))))
+    assert(!r.contains(3L)) // outside both top-2 lists
+  }
+
+  test("unigram NLL: hand-computed add-one-smoothed scores, integer-exact") {
+    // corpus: a a b | b c  →  cnt(a)=2 cnt(b)=2 cnt(c)=1, T=5, V=3
+    val docs = Seq((1L, "a A b"), (2L, "b c")).toDF("doc_id", "text")
+    def u(p: Double): Long = math.floor(-math.log(p) * 1e6).toLong
+    val pa = 3.0 / 8.0; val pb = 3.0 / 8.0; val pc = 2.0 / 8.0
+    val r = graft.text.LanguageModel.unigramNll(docs, "text", "doc_id")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    val d1 = 2 * u(pa) + u(pb)
+    val d2 = u(pb) + u(pc)
+    assert(r(1L) == ((3L, d1, d1 / 3)))
+    assert(r(2L) == ((2L, d2, d2 / 2)))
+  }
 }
