@@ -412,6 +412,13 @@ object Dedup {
         .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
+    // per-round observability for scale runs (stderr, one line per round):
+    // the loop's cost model is "rounds × (join+agg+checkpoint)" — when a
+    // corpus misbehaves the first question is always which round blew up
+    val t0 = System.nanoTime()
+    def logRound(tag: String): Unit =
+      System.err.println(f"[cc] $tag iter=$iter%d t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    logRound("init")
     // sum() over zero rows is null → ZERO, so a nonzero sum proves the graph
     // is non-empty without a separate isEmpty job; the structural check only
     // runs when the sum is 0 (empty graph, or labels summing to zero — the
@@ -434,6 +441,7 @@ object Dedup {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
+      logRound("round")
     }
     release(edges)
     // partially propagated labels would silently split one component into

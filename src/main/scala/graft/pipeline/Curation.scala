@@ -119,6 +119,44 @@ object Curation {
         least(col("target_share") / col("token_share"), lit(1.0)))
   }
 
+  /** Token-budget-constrained, quality-prioritized corpus selection: per
+    * domain, admit documents in descending quality order until the
+    * domain's token budget is exhausted — the selection step a curation
+    * pipeline runs once quality scores and mixture targets exist ("give
+    * me the best `budget` tokens of each domain").
+    *
+    * Quality here is the unique-token ratio (exact integer division on
+    * both engines — the q20 gate proves the parity); ties break on
+    * doc_id, so the running sum's visit order is fully deterministic.
+    * A document is selected iff the cumulative token count THROUGH it
+    * stays ≤ budget (first-fit prefix rule, not knapsack — deliberately:
+    * prefix selection is deterministic, one-pass, and what production
+    * pipelines actually ship).
+    *
+    * Scale shape: one hash shuffle on the domain key, then a per-domain
+    * sort window whose state is a running long. A skew-heavy domain makes
+    * that window's sort the bottleneck; the remedy at 100 TB is the same
+    * two-phase value-histogram selection as the quality-binning op (cut
+    * the quality axis first, sort only the boundary bucket) — worth it
+    * only when a single domain outgrows a task's sort budget.
+    */
+  def budgetSelect(docs: DataFrame, textCol: String, idCol: String,
+      domainCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(domainCol).as("domain"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(array_distinct(toks)).cast("double")
+        / size(toks).cast("double")).as("quality"))
+    val w = Window.partitionBy("domain")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("selected", col("cum_tokens") <= budget)
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic between every pair of
     * the [[splitAssign]] splits over one numeric column — the standard
     * "did my train/val/test distributions diverge" gate a curation

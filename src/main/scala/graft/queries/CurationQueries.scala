@@ -258,5 +258,32 @@ object CurationQueries extends QueryModule {
              |  SELECT 'train_test', n_train, n_test, d_tt FROM d
              |  UNION ALL
              |  SELECT 'val_test', n_val, n_test, d_vt FROM d
-             |) ORDER BY pair""".stripMargin)))
+             |) ORDER BY pair""".stripMargin)),
+
+    // Token-budget corpus selection: per source domain, admit docs in
+    // (quality desc, doc_id) order while the running token count stays
+    // within budget. One domain-key shuffle + per-domain sort window.
+    "q99_budget_select" -> QueryDef(
+      (s, dir) =>
+        Curation.budgetSelect(Tables.documents(s, dir), "text", "doc_id",
+            "source", budget = 2000L)
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id, source AS domain,
+             |    cast(len(toks) AS bigint) AS n_tokens,
+             |    cast(len(list_distinct(toks)) AS double)
+             |      / cast(len(toks) AS double) AS quality
+             |  FROM (SELECT doc_id, source,
+             |          regexp_split_to_array(trim(text), '\s+') AS toks
+             |        FROM documents)
+             |)
+             |SELECT doc_id, domain, n_tokens, quality, cum_tokens,
+             |  cum_tokens <= 2000 AS selected
+             |FROM (
+             |  SELECT *, cast(sum(n_tokens) OVER (
+             |      PARTITION BY domain ORDER BY quality DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS bigint) AS cum_tokens
+             |  FROM base)
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -180,4 +180,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r1("train_val") == 1.0 && r1("train_test") == 1.0)
     assert(r1("val_test") == 0.0)
   }
+
+  test("budget select: quality-ordered prefix per domain, boundary doc excluded") {
+    val docs = Seq(
+      (1L, "a b c d", "A"),   // quality 1.0, 4 tokens
+      (2L, "x x x x", "A"),   // quality 0.25 — visits last in A
+      (3L, "p q r s", "A"),   // quality 1.0, ties with doc 1 → doc_id order
+      (4L, "m n", "B"))       // separate domain, budget independent
+      .toDF("doc_id", "text", "source")
+    val r = Curation.budgetSelect(docs, "text", "doc_id", "source", budget = 8L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(4), x.getBoolean(5)))).toMap
+    // domain A visit order: doc 1 (cum 4), doc 3 (cum 8), doc 2 (cum 12)
+    assert(r(1L) == ((4L, true)))
+    assert(r(3L) == ((8L, true)))   // exactly at budget — included
+    assert(r(2L) == ((12L, false))) // over budget — excluded
+    assert(r(4L) == ((2L, true)))
+    assertThrows[IllegalArgumentException] {
+      Curation.budgetSelect(docs, "text", "doc_id", "source", budget = 0L)
+    }
+  }
 }
