@@ -42,12 +42,19 @@ object Layout {
   /** Z-curve (Morton) interleave of two normalized non-negative ints:
     * bit i of `a` lands at position 2i+1, of `b` at 2i. Inputs must lie
     * in [0, 2^bits); pure bit-column math, codegen-friendly.
+    *
+    * Inputs are cast to long FIRST: `shiftleft` on an Int column wraps at
+    * bit 31 (32-bit shift), so a direct caller passing ints with
+    * bits ≥ 16 would get negative/unordered keys — the long cast makes
+    * the interleave well-defined for any input width up to bits = 32.
     */
-  def zOrderValue(a: Column, b: Column, bits: Int = 16): Column =
+  def zOrderValue(a: Column, b: Column, bits: Int = 16): Column = {
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Multi-dimensional clustering: write `df` range-partitioned and
     * sorted by the Z-order value of TWO columns, so parquet row-group

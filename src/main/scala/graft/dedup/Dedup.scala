@@ -197,46 +197,45 @@ object Dedup {
 
   // --- exact n-gram Jaccard (oracle-verifiable reference path) --------------
 
-  /** Exact token-set Jaccard for all pairs within a blocking column. The
-    * pair space is bounded by the block key AND a lossless SIZE BAND
-    * (below); at 100 TB the block would be an LSH band, here it is a
-    * semantic key (e.g. lang).
+  /** Exact token-set Jaccard for all pairs within a blocking column, made
+    * scale-safe by LOSSLESS CANDIDATE FILTERING: a filter proposes a
+    * candidate pair superset from an equi-join on content-derived keys
+    * (never a block-wide cross product), and an exact verify computes
+    * true Jaccard over the full sets.
     *
-    * Size-band blocking (lossless): jaccard(A,B) ≤ min/max of the set
-    * sizes, so j ≥ t forces max_size ≤ min_size/t — in log-space the two
-    * sizes lie within `ln(1/t)` of each other, i.e. mathematically in the
-    * SAME or ADJACENT geometric bands of width ln(1/t). The bands are
-    * computed with FLOATING-POINT logs, though, and a pair sitting
-    * exactly on a band edge (e.g. sizes 243 vs 729 at t = 1/3 — both
-    * powers of the band ratio) can see one floor() land an ulp on the
-    * wrong side, pushing the computed band gap to 2. The right side
-    * therefore registers under {band−1, band, band+1} always, PLUS
-    * band±2 for the rows whose log-position sits within ε = 1e-9 of a
-    * band edge — the only rows whose floor can have moved (FP log error
-    * is ~1e-12 absolute, far inside ε; a blanket ±2 registration was
-    * measured ~1.6× slower at the 10× tier for protection only
-    * edge-rows need). The left side stays on its home band, so every
-    * candidate pair still meets exactly once. The equi-join key becomes
-    * (block, band) and per-key pair volume is O(band²), not O(block²).
-    * Measured at the 10× tier this turned a 34× superlinear wall into
-    * ~linear; the tighter exact ratio check stays in the join condition,
-    * the band only shrinks what the shuffle join must compare.
+    * Why: the original (block, size-band) blocking left per-key pair
+    * volume at O(|block|²). A 5-language corpus puts ~40% of every tier
+    * in the `en` block — at the 100× tier that is ~10¹⁰ candidate pairs,
+    * and the operator measurably did not complete.
     *
-    * Per-pair cost engineering (the O(m²) inner loop):
-    *  - |∪| is derived as |A|+|B|−|A∩B| (exact for sets) — no union array
-    *    is ever built, halving allocations;
-    *  - the intersection runs over PRE-HASHED token sets (xxhash64 longs,
-    *    computed once per row) instead of strings — long equality beats
-    *    repeated UTF8 hashing; a 64-bit collision inside one document pair
-    *    is vanishingly improbable, and the result is oracle-checked;
-    *  - size-ratio prefilter in the join condition: j ≤ min/max size, so a
-    *    pair below the threshold ratio never reaches the intersection;
-    *  - the block join is left to Catalyst: under the auto-broadcast
-    *    threshold it broadcasts on its own (the fixture case); above it,
-    *    it plans a shuffle join on (block, band), and AQE's skew-join
-    *    split keeps an oversized block from pinning one task — forcing a
-    *    whole-corpus broadcast here would cap the operator at executor
-    *    memory, the exact cliff the MinHash path already avoids.
+    * TWO filters, switched on the threshold (see [[HighThreshold]]):
+    *  - t < 0.9 → [[prefixCandidates]] (AllPairs/PPJoin rare-token
+    *    prefixes);
+    *  - t ≥ 0.9 → [[deletionKeyCandidates]] (whole-set XOR keys with
+    *    single-token deletions) UNIONED with [[prefixCandidates]] over
+    *    only the documents of ≥ ⌈2t/(1−t)⌉ tokens — the proven-complete
+    *    split: any qualifying pair the deletion scheme can miss has ≥ 2
+    *    unmatched tokens on one side, which at threshold t forces both
+    *    sizes ≥ 2t/(1−t), putting both endpoints in the prefix pool.
+    *    Measured at the 100× tier: prefix-only candidates ≈ 4.4·10⁹
+    *    (duplicate-heavy corpora share even their rarest tokens across
+    *    tens of thousands of near-template docs), hybrid ≈ 3.7·10⁷.
+    *
+    * Verify (exact, so the filter can only admit extras that are then
+    * exactly rejected — never lose a pair):
+    *  - |∪| is derived as |A|+|B|−|A∩B| — no union array is built;
+    *  - the intersection merge-scans PRE-HASHED sorted token sets
+    *    (xxhash64 longs, computed once per row) — long equality beats
+    *    repeated UTF8 hashing; a 64-bit collision inside one document
+    *    pair is vanishingly improbable, and the result is oracle-checked;
+    *  - the size-ratio prefilter (j ≤ min/max size) rides in every
+    *    candidate join condition, and candidates are deduplicated before
+    *    the verify joins.
+    *
+    * All joins are left to Catalyst: under the auto-broadcast threshold
+    * it broadcasts on its own; above it, shuffle joins on their keys —
+    * forcing a corpus-side broadcast would cap the operator at executor
+    * memory, the exact cliff the MinHash path already avoids.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
@@ -248,43 +247,115 @@ object Dedup {
         array_sort(transform(array_distinct(TextFunctions.tokens(col(textCol))),
           t => xxhash64(t))).as("tset"))
       .withColumn("ts_n", size(col("tset")).cast("double"))
-    // geometric size band; at threshold 1 only equal sizes can pair, so
-    // the band IS the size and no neighbor registration is needed
-    val bandW = math.log(1.0 / threshold)
-    def bandPos(n: Column): Column = log(greatest(n, lit(1.0))) / lit(bandW)
-    def bandOf(n: Column): Column =
-      if (bandW == 0.0) n.cast("long") else floor(bandPos(n)).cast("long")
-    // parallelism is guaranteed by the ensure() above — no second
-    // exchange (a blanket repartition here would DOWN-shuffle a large
-    // multi-split input at real scale)
-    val l = base
-      .select(col("block").as("block_a"), col("id").as("id_a"),
-        col("tset").as("set_a"), col("ts_n").as("n_a"),
-        bandOf(col("ts_n")).as("band_a"))
-    val eps = 1e-9
-    val rBands =
-      if (bandW == 0.0) array(bandOf(col("ts_n")))
-      else {
-        val b = bandOf(col("ts_n"))
-        val frac = bandPos(col("ts_n")) - floor(bandPos(col("ts_n")))
-        // edge rows (frac within ε of 0 or 1) also register one band
-        // further on that side — see the losslessness note above
-        array_compact(array(
-          when(frac <= eps, b - 2), b - 1, b, b + 1,
-          when(frac >= 1 - eps, b + 2)))
-      }
-    val r = base.select(col("block").as("block_b"), col("id").as("id_b"),
-      col("tset").as("set_b"), col("ts_n").as("n_b"),
-      explode(rBands).as("band_b"))
+    val cands =
+      if (threshold >= HighThreshold) {
+        val p = math.ceil(2 * threshold / (1 - threshold))
+        deletionKeyCandidates(base, threshold)
+          .unionByName(prefixCandidates(
+            base.filter(col("ts_n") >= lit(p)), threshold))
+          .distinct()
+      } else prefixCandidates(base, threshold).distinct()
+    val sets = base.select(col("id"), col("tset"), col("ts_n"))
     val inter = graft.functions.Sketches
       .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
-    l.join(r,
-        col("block_a") === col("block_b") && col("band_a") === col("band_b") &&
-          col("id_a") < col("id_b") &&
-          least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
-      .select(col("block_a").as("block"), col("id_a"), col("id_b"),
+    cands
+      .join(sets.select(col("id").as("id_a"), col("tset").as("set_a"),
+        col("ts_n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("tset").as("set_b"),
+        col("ts_n").as("n_b")), "id_b")
+      .select(col("block"), col("id_a"), col("id_b"),
         (inter / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate-scheme switch point: at thresholds this high the deletion
+    * scheme's per-side-difference bound (≤ 1 token) holds for every
+    * document under 2t/(1−t) ≥ 18 tokens, which is where prefix buckets
+    * on duplicate-heavy corpora stop being selective. Below it, prefix
+    * lengths grow past what deletion keys could ever cover and the prefix
+    * scheme is the right (and standard) tool.
+    */
+  private val HighThreshold = 0.9
+
+  /** Single-token PREFIX-FILTER candidates (AllPairs/PPJoin family —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08, reimplemented from the
+    * published math): order every document's token set by GLOBAL document
+    * frequency (rarest first; ties by hash — any shared total order is
+    * correct, rare-first minimizes bucket sizes), emit only the first
+    * p = |s| − ⌈t·|s|⌉ + 1 tokens as candidate keys, and equi-join on
+    * (block, token). Lossless: j(A,B) ≥ t with the size filter
+    * |B| ≥ t·|A| forces overlap o ≥ t·(|A|+|B|)/(1+t) ≥ ⌈t·|A|⌉ (and
+    * symmetrically ≥ ⌈t·|B|⌉); the prefix lemma then guarantees two sets
+    * with overlap ≥ α collide inside their (|s|−α+1)-prefixes, and p is
+    * exactly that length at the minimum admissible overlap.
+    *
+    * Scale shape: token-df histogram (one partial-agg shuffle), df
+    * join-back + per-doc prefix sort (token- then id-keyed shuffles, AQE
+    * handles hot tokens), then the candidate equi-join on
+    * (block, prefix-token) — everything linear in tokens plus the
+    * candidate count the data actually admits.
+    */
+  private def prefixCandidates(base: DataFrame,
+      threshold: Double): DataFrame = {
+    val tok = base.select(col("id"), explode(col("tset")).as("t"))
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val plen = greatest(lit(1),
+      (size(col("ord")) - ceil(lit(threshold) * size(col("ord"))) + 1)
+        .cast("int"))
+    val prefixes = tok.join(dfreq, "t")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("t")))),
+        s => s.getField("t")).as("ord"))
+      .select(col("id"), slice(col("ord"), lit(1), plen).as("prefix"))
+    // inner join: a zero-token document has no prefix rows and can never
+    // reach threshold anyway (0/0 is null-jaccard, filtered before)
+    val withP = base.join(prefixes, "id")
+    val l = withP.select(col("block"), col("id").as("id_a"),
+      col("ts_n").as("n_a"), explode(col("prefix")).as("pt"))
+    val r = withP.select(col("block"), col("id").as("id_b"),
+      col("ts_n").as("n_b"), explode(col("prefix")).as("pt"))
+    l.join(r, Seq("block", "pt"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select(col("block"), col("id_a"), col("id_b"))
+  }
+
+  /** DELETION-KEY candidates for high thresholds: every document emits an
+    * order-independent XOR hash of its full token set plus one key per
+    * single-token deletion (n+1 keys); candidates are pairs sharing any
+    * key within a block. Two sets with at most ONE unmatched token on
+    * EACH side reach a common key (each deletes its extra), so the scheme
+    * is lossless for |A∖B| ≤ 1 ∧ |B∖A| ≤ 1 — and at threshold t the
+    * pairs it can miss (≥ 2 unmatched on some side) force BOTH sizes
+    * ≥ 2t/(1−t) (from o ≥ t(m+n)/(1+t) and the size-ratio bound), which
+    * is exactly the population [[ngramJaccardPairs]] routes through the
+    * prefix pool as well.
+    *
+    * Why it exists: on duplicate-heavy low-vocabulary corpora (the dedup
+    * workload), prefix buckets degenerate — the "rarest" token of a
+    * document is still shared by tens of thousands of near-template
+    * documents, and measured candidate volume at the 100× tier was ~10⁹⁺
+    * for single-token AND token-pair prefixes alike. Deletion keys bucket
+    * by (almost) the WHOLE set, so bucket size equals the actual
+    * duplicate-group size: measured 37M candidates at the same tier —
+    * linear in the corpus. XOR (not sum) keeps the combine safe under
+    * ANSI long-overflow semantics; hash collisions only ADD candidates,
+    * which the exact verify rejects.
+    */
+  private def deletionKeyCandidates(base: DataFrame,
+      threshold: Double): DataFrame = {
+    val fullKey = aggregate(col("tset"), lit(0L), (acc, x) => acc.bitwiseXOR(x))
+    val emit = base.select(col("block"), col("id"), col("ts_n"),
+      explode(array_union(array(fullKey),
+        transform(col("tset"), x => fullKey.bitwiseXOR(x)))).as("dk"))
+    val l = emit.select(col("block"), col("id").as("id_a"),
+      col("ts_n").as("n_a"), col("dk"))
+    val r = emit.select(col("block"), col("id").as("id_b"),
+      col("ts_n").as("n_b"), col("dk"))
+    l.join(r, Seq("block", "dk"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select(col("block"), col("id_a"), col("id_b"))
   }
 
   // --- embedding cosine near-dup --------------------------------------------
@@ -524,6 +595,12 @@ object Dedup {
     val toks = TextFunctions.tokens(col(textCol))
     val spans = graft.core.Parallelism.ensure(
         df.select(col(idCol), col(textCol)))
+      // whitespace-only docs tokenize to [""] (split semantics) and would
+      // each contribute one phantom empty-string span — all sharing ONE
+      // global "" key, so every empty doc but one reports a "stripped"
+      // span that never existed. They belong in the n_spans=0 branch of
+      // the left join below instead.
+      .filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), posexplode(
         transform(

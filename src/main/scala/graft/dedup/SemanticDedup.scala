@@ -24,7 +24,11 @@ import graft.similarity.{Ann, VectorFunctions}
   * WITHIN a cell of the IVF k-means index ([[Ann.buildIvfIndex]], auto
   * √n cells), so pair volume is Σ|cell|² ≈ n·√n, not n² — and the
   * within-cell self-join is a plain equi-join on the cell id that
-  * shuffles fixed-width rows. Cross-cell duplicate pairs are missed BY
+  * shuffles fixed-width rows. Before that pairwise, IDENTICAL embeddings
+  * collapse to one representative per distinct vector ([[dupEdges]]) —
+  * exact duplicates are the dominant mass in a dedup workload and would
+  * otherwise pile into one cell and pay |group|² for cosine-1 pairs.
+  * Cross-cell duplicate pairs are missed BY
   * DESIGN (the paper's documented approximation; raise `refineIters`
   * to tighten cells on clustered corpora). Components come from the
   * shared [[Dedup.connectedComponents]] engine — O(log d) rounds — so
@@ -52,16 +56,7 @@ object SemanticDedup {
           FloatVecDot.dot(col("ce"), col("cvec")), col("cn2"), col("cvn2"))
           .as("centroid_sim"))
 
-    // within-cell pairwise cosine — the cell id bounds the pair space
-    val l = members.select(col("cell"), col("nid").as("id_a"),
-      col("ce").as("e_a"), col("cn2").as("n_a"))
-    val r = members.select(col("cell"), col("nid").as("id_b"),
-      col("ce").as("e_b"), col("cn2").as("n_b"))
-    val edges = l.join(r, Seq("cell")).filter(col("id_a") < col("id_b"))
-      .filter(VectorFunctions.cosinePrenormed(
-        FloatVecDot.dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
-        >= lit(threshold))
-      .select(col("id_a"), col("id_b"))
+    val edges = dupEdges(members, threshold)
 
     val clusters = Dedup.connectedComponents(edges, "id_a", "id_b")
       .toDF("nid", "cluster")
@@ -79,5 +74,45 @@ object SemanticDedup {
     labeled.join(keeper, Seq("cluster"))
       .select(col("vec_id"), col("cluster"), col("centroid_sim"),
         (col("vec_id") === col("keep_id")).as("keep"))
+  }
+
+  /** Semantic-duplicate EDGES sufficient for component closure, with
+    * IDENTICAL-vector collapse before the within-cell pairwise — the same
+    * representative trick the image near-dup path uses
+    * ([[Dedup.hammingClusterEdges]]): a dedup-heavy corpus (the actual
+    * use case) concentrates exact-duplicate embeddings in ONE k-means
+    * cell, where raw pairwise pays |group|² for pairs whose cosine is 1
+    * by construction. Instead every distinct vector group collapses to
+    * its min-id representative (star edges rep→member connect the group —
+    * cosine(v, v) = 1 ≥ threshold always, for nonzero v), and pairwise
+    * cosine runs over DISTINCT vectors per cell only. The component
+    * closure is provably the one raw pairwise yields: within-group
+    * members chain through the star, cross-group near-dups chain through
+    * representatives, and identical vectors always share a cell (same
+    * assignment), so no admissible edge is lost. Pair volume scales with
+    * distinct-vectors-per-cell², not members².
+    *
+    * Zero vectors (n2 = 0) are NEVER edged — cosine with a zero vector
+    * is undefined and raw pairwise filtered those pairs out via its
+    * null-propagating comparison; the star edges must not resurrect them.
+    */
+  private[graft] def dupEdges(members: DataFrame,
+      threshold: Double): DataFrame = {
+    val groups = members.filter(col("cn2") > 0)
+      .groupBy(col("ce")).agg(min("nid").as("rep"))
+    val stars = members.join(groups, Seq("ce"))
+      .filter(col("nid") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("nid").as("id_b"))
+    val reps = members.join(groups.select(col("rep").as("nid")), Seq("nid"))
+    val l = reps.select(col("cell"), col("nid").as("id_a"),
+      col("ce").as("e_a"), col("cn2").as("n_a"))
+    val r = reps.select(col("cell"), col("nid").as("id_b"),
+      col("ce").as("e_b"), col("cn2").as("n_b"))
+    val repPairs = l.join(r, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosinePrenormed(
+        FloatVecDot.dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
+        >= lit(threshold))
+      .select(col("id_a"), col("id_b"))
+    stars.unionByName(repPairs)
   }
 }

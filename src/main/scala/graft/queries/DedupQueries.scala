@@ -201,7 +201,7 @@ object DedupQueries extends QueryModule {
           .orderBy("doc_id"),
       Some("""WITH d AS (
              |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-             |  FROM documents
+             |  FROM documents WHERE trim(text) <> ''
              |), c AS (
              |  SELECT doc_id, pos,
              |    array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS span

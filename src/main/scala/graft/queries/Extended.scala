@@ -585,7 +585,11 @@ object Extended extends QueryModule {
       (s, dir) => {
         val k = get_json_object(col("props"), "$.k")
         val doc = concat(lit("{\"a\": {\"b\": ["), k, lit(",2]}}"))
-        Tables.events(s, dir)
+        // five JSON parses per row is exactly the CPU-dense expansion
+        // shape the parallelism guard exists for — a single-split events
+        // file would otherwise serialize the parse on a handful of cores
+        graft.core.Parallelism.ensure(
+            Tables.events(s, dir).select(col("event_id"), col("props")))
           .select(col("event_id"),
             k.cast("long").as("k"),
             from_json(col("props"), lit("k LONG")).getField("k").as("k_typed"),

@@ -59,10 +59,18 @@ object Retrieval {
       .crossJoin(broadcast(totals))
       .withColumn("s", idf * ((col("tf").cast("double") * lit(k1 + 1.0))
         / (col("tf").cast("double") + kTerm)))
-    val wide = scored.groupBy("doc_id", "dl")
-      .pivot("token", terms).agg(sum("s"))
-    val sCols = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)).as(s"s_$t"))
-    val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+    // pivot on a RESERVED key (t<i>), not the raw term text: a term equal
+    // to "doc_id"/"dl" would collide with the groupBy columns, and a term
+    // containing a backtick would break the quoted col() lookup below
+    val tkey = terms.zipWithIndex
+      .map { case (t, i) => when(col("token") === lit(t), lit(s"t$i")) }
+      .reduce(coalesce(_, _))
+    val wide = scored.withColumn("tkey", tkey)
+      .groupBy("doc_id", "dl")
+      .pivot("tkey", terms.indices.map(i => s"t$i")).agg(sum("s"))
+    val sCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(col(s"t$i"), lit(0.0)).as(s"s_$t") }
+    val total = terms.indices.map(i => coalesce(col(s"t$i"), lit(0.0)))
       .reduceLeft(_ + _)
     wide.select((col("doc_id") +: col("dl") +: sCols :+ total.as("score")): _*)
       .orderBy(col("score").desc, col("doc_id"))

@@ -62,10 +62,12 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 20.0 / 22.0) < 1e-12)
   }
 
-  test("jaccard band blocking: exact band-edge pair is not dropped") {
-    // regression: sizes 243 and 729 at t = 1/3 are both powers of the
-    // band ratio — FP floor() can split them two bands apart, and the
-    // ±1-neighbor registration silently dropped this true pair
+  test("jaccard blocking: pair sitting exactly at the threshold is not dropped") {
+    // losslessness regression at the filter boundary: sizes 243 vs 729 at
+    // t = 1/3 give jaccard exactly 1/3 and a size ratio exactly at the
+    // limit — historically the FP size-band floor() dropped this pair;
+    // the prefix filter must keep it (the prefix lemma is exact at the
+    // minimum admissible overlap, no FP banding involved)
     val big = (0 until 729).map(i => s"w$i").mkString(" ")
     val small = (0 until 243).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, small, "en"), (2L, big, "en")).toDF("doc_id", "text", "lang")
@@ -73,6 +75,31 @@ class DedupSpec extends AnyFunSuite {
       .collect()
     assert(r.length == 1, "the exact-threshold pair must surface")
     assert(math.abs(r.head.getAs[Double]("jaccard") - 1.0 / 3) < 1e-15)
+  }
+
+  test("high-threshold hybrid: every qualifying pair class surfaces at t=0.95") {
+    // the t >= 0.9 path unions deletion-key candidates with a prefix pool
+    // over big docs; each planted pair exercises one coverage class
+    def words(r: Range, pre: String = "w") = r.map(i => s"$pre$i").mkString(" ")
+    val docs = Seq(
+      // Δ=1 subset: 19 vs its 20-token superset → j = 19/20 = 0.95 (deletion key)
+      (1L, words(0 until 19), "en"),
+      (2L, words(0 until 20), "en"),
+      // Δ=2, one extra EACH side, sizes 39/39 sharing 38 → j = 38/40 = 0.95
+      (3L, words(0 until 38) + " x1", "en"),
+      (4L, words(0 until 38) + " y1", "en"),
+      // Δ=2 on ONE side (B = A ∪ {x,y}), sizes 39/41 → j = 39/41 ≈ 0.9512:
+      // deletion-1 CANNOT reach this pair; the big-doc prefix pool must
+      (5L, words(100 until 139), "en"),
+      (6L, words(100 until 139) + " z1 z2", "en"),
+      // just BELOW threshold: 18 vs its 19-superset → 18/19 ≈ 0.947
+      (7L, words(200 until 218), "en"),
+      (8L, words(200 until 219), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "lang", 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L), (5L, 6L)),
+      s"expected exactly the three planted pairs, got: $got")
   }
 
   test("jaccard block join never FORCES a corpus broadcast") {
@@ -214,7 +241,9 @@ class DedupSpec extends AnyFunSuite {
     val planted = Seq(
       (1L, s"$t10 t11 t12"),      // spans: t-span, "t11 t12" — both first
       (2L, s"$t10 x1 x2"),        // t-span is a cross-doc dup of doc 1 pos 0
-      (4L, s"$s10 $s10"))         // within-doc duplicate span
+      (4L, s"$s10 $s10"),         // within-doc duplicate span
+      (8L, "   "),                // whitespace-only: NO spans, not one "" span
+      (9L, ""))                   // empty: same
       .toDF("doc_id", "text")
     val r = Dedup.spanDedup(planted, "text", "doc_id")
       .collect()
@@ -223,5 +252,7 @@ class DedupSpec extends AnyFunSuite {
     assert(r(1L) == ((2L, 2L, s"$t10 t11 t12"))) // earliest occurrence keeps all
     assert(r(2L) == ((2L, 1L, "x1 x2")))         // shared span stripped
     assert(r(4L) == ((2L, 1L, s10)))             // second identical span dropped
+    assert(r(8L) == ((0L, 0L, "")))              // empty docs: zero spans,
+    assert(r(9L) == ((0L, 0L, "")))              // no shared phantom "" span
   }
 }

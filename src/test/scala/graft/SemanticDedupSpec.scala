@@ -52,6 +52,46 @@ class SemanticDedupSpec extends AnyFunSuite {
       "the off-axis member is the kept exemplar")
   }
 
+  test("identical-vector collapse: edge volume is linear in the group, not quadratic") {
+    // a dup-heavy corpus concentrates 1000 IDENTICAL embeddings in one
+    // k-means cell — raw within-cell pairwise would emit 1000·999/2 ≈ 500k
+    // edges there; the representative collapse must emit exactly 999 star
+    // edges for the group (plus nothing across the orthogonal singletons)
+    val members = ((0L until 1000L).map(i => (i, 0, Array(1.0f, 0.0f, 0.0f), 1.0)) ++
+      Seq((2000L, 0, Array(0.0f, 1.0f, 0.0f), 1.0),
+          (2001L, 0, Array(0.0f, 0.0f, 1.0f), 1.0)))
+      .toDF("nid", "cell", "ce", "cn2")
+    val edges = graft.dedup.SemanticDedup.dupEdges(members, 0.97)
+    assert(edges.count() == 999L,
+      "exactly one star edge per non-representative identical member")
+    assert(edges.filter(org.apache.spark.sql.functions.col("id_a") =!= 0L).count() == 0,
+      "every star edge hangs off the min-id representative")
+  }
+
+  test("identical-vector collapse: zero vectors are never edged") {
+    // cosine with a zero vector is undefined; raw pairwise null-filtered
+    // those pairs and the star edges must not resurrect them
+    val members = Seq(
+      (1L, 0, Array(0.0f, 0.0f, 0.0f), 0.0),
+      (2L, 0, Array(0.0f, 0.0f, 0.0f), 0.0),
+      (3L, 0, Array(1.0f, 0.0f, 0.0f), 1.0))
+      .toDF("nid", "cell", "ce", "cn2")
+    assert(graft.dedup.SemanticDedup.dupEdges(members, 0.5).count() == 0)
+  }
+
+  test("collapse end-to-end: planted 1k-identical cluster groups with one keeper") {
+    val vecs = ((0L until 1000L).map(i => (i, Array(1.0f, 0.0f, 0.0f))) ++
+      Seq((5000L, Array(0.0f, 1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val r = SemanticDedup.semanticDedup(vecs, threshold = 0.97, nCells = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+    assert(r.length == 1001)
+    val big = r.filter(_._2 == 0L)
+    assert(big.length == 1000, "all identical vectors form one cluster")
+    assert(big.count(_._3) == 1, "exactly one keeper in the collapsed cluster")
+    assert(r.find(_._1 == 5000L).exists(_._3), "the singleton is kept")
+  }
+
   test("fixture run: total function, one keeper per cluster, rule holds") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val n = emb.count()

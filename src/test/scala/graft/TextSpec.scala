@@ -103,6 +103,23 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: adversarial terms (column-name and backtick) do not collide") {
+    // the pivot runs on reserved t<i> keys, so a query term named like an
+    // internal column ("doc_id", "dl") or carrying a backtick must score
+    // normally instead of colliding with the schema
+    val docs = Seq(
+      (1L, "doc_id dl `tick` normal"),
+      (2L, "normal words only here")).toDF("doc_id", "text")
+    val r = graft.text.Retrieval
+      .bm25(docs, "text", "doc_id", Seq("doc_id", "dl", "`tick`"))
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L), "only doc 1 matches")
+    val row = r.head
+    assert(row.schema.fieldNames.toSeq ==
+      Seq("doc_id", "dl", "s_doc_id", "s_dl", "s_`tick`", "score"))
+    assert(row.getDouble(5) > 0.0)
+  }
+
   test("rrf fusion: hand-derived ranks from both retrievers, full-outer union") {
     val docs = Seq(
       (1L, "spark spark fast"),
