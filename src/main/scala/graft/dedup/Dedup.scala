@@ -49,6 +49,27 @@ object Dedup {
         col("n_dups"))
   }
 
+  /** Incremental exact dedup: dedupe a NEW batch against a persisted
+    * fingerprint ledger (all fingerprints ever admitted) — the production
+    * shape for continuously-ingested corpora, where re-deduping the full
+    * corpus per batch would cost O(corpus) for an O(batch) question.
+    * Returns the batch's survivors: one row per fingerprint that is new
+    * within the batch (min id wins, with the batch duplicate count) AND
+    * absent from the ledger. Appending the survivors' fingerprints to the
+    * ledger afterwards is the caller's one-line state update.
+    *
+    * Scale shape: one shuffle of the BATCH on its fingerprint (group-by),
+    * then a left-anti join against the ledger on the same key — the
+    * batch side arrives already hash-partitioned on fp, so only the
+    * ledger pays an exchange; a ledger bucketed on fp at rest (
+    * [[graft.core.Layout.writeBucketed]]-style) joins with no shuffle at
+    * all. Nothing scales with corpus × batch.
+    */
+  def exactIncremental(newDocs: DataFrame, textCol: String, idCol: String,
+      seenFps: DataFrame): DataFrame =
+    exact(newDocs, textCol, idCol)
+      .join(seenFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+
   // --- MinHash + LSH --------------------------------------------------------
 
   object MinHashLsh {

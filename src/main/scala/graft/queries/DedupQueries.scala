@@ -45,6 +45,35 @@ object DedupQueries extends QueryModule {
              |SELECT fp, doc_id AS keep_id, score AS keep_score, n_dups
              |FROM ranked WHERE rn = 1 ORDER BY fp""".stripMargin)),
 
+    // Incremental exact dedup: even-id docs are the already-admitted
+    // corpus (their fingerprints = the persisted ledger), odd-id docs are
+    // the arriving batch; survivors are batch fingerprints unseen in both
+    // the ledger and the batch itself (min id wins). One batch-side
+    // fingerprint shuffle + a left-anti join — the production shape for
+    // continuously-ingested corpora.
+    "q100_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ledger = Dedup.exact(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+          .select("fp")
+        Dedup.exactIncremental(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "text", "doc_id", ledger)
+          .orderBy("fp")
+      },
+      Some("""WITH seen AS (
+             |  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents WHERE doc_id % 2 = 0
+             |), newb AS (
+             |  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |    min(doc_id) AS keep_id, count(*) AS n_dups
+             |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+             |)
+             |SELECT fp, keep_id, n_dups FROM newb
+             |WHERE fp NOT IN (SELECT fp FROM seen)
+             |ORDER BY fp""".stripMargin)),
+
     // MinHash + LSH near-dup candidates, exact-Jaccard verified (rows-only:
     // xxhash64-seeded signatures are not reproducible in the oracle engine).
     "q31_dedup_minhash" -> QueryDef(

@@ -34,6 +34,22 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") == 3L)
   }
 
+  test("incremental exact dedup: ledger hits and batch-internal dups both drop") {
+    val seen = Seq((0L, "alpha beta"), (1L, "gamma")).toDF("doc_id", "text")
+    val ledger = Dedup.exact(seen, "text", "doc_id").select("fp")
+    val batch = Seq(
+      (10L, " alpha  beta "), // normalizes onto the ledger fingerprint
+      (11L, "delta x"),
+      (12L, "delta x"),       // batch-internal duplicate
+      (13L, "epsilon"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactIncremental(batch, "text", "doc_id", ledger)
+      .collect().map(x => x.getAs[Long]("keep_id") -> x.getAs[Long]("n_dups"))
+      .toMap
+    assert(r == Map(11L -> 2L, 13L -> 1L),
+      "survivors = unseen fingerprints only, min id, batch dup counts")
+  }
+
   test("minhash LSH finds the planted near-dup pair, not the unrelated one") {
     val pairs = Dedup.MinHashLsh.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
