@@ -90,7 +90,14 @@ object Bench {
     val walls = scala.collection.mutable.Map.empty[String, Double]
     val plan = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val failed0 = scala.collection.mutable.Set.empty[String]
-    for (sweep <- 1 to 3; (name, fn) <- ordered if !failed0(name)) {
+    // A query that OOMs the (shared local-mode) JVM stops the
+    // SparkContext, and every later attempt then fails with "stopped
+    // SparkContext" — without this flag one late OOM used to poison the
+    // ENTIRE artifact to -1, discarding every wall already measured.
+    // Abort instead: blame the in-flight query, keep prior sweeps' mins,
+    // and stamp the artifact aborted so a reader knows sweeps are partial.
+    var aborted = false
+    for (sweep <- 1 to 3; (name, fn) <- ordered if !aborted && !failed0(name)) {
       try {
         if (sweep == 3) {
           // listener events are delivered async: drain the previous
@@ -109,6 +116,12 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         failed0 += name
+        walls.remove(name)
+        if (spark.sparkContext.isStopped) {
+          System.err.println(
+            s"[bench] SparkContext stopped during $name — aborting run")
+          aborted = true
+        }
       }
     }
     // ---- automated noise gate -------------------------------------------
@@ -144,7 +157,8 @@ object Bench {
       close(sb, rsb, 0.02) && close(tk, rtk, 0.10)
     }
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, fn) <- ordered if !failed0(name); (rw, rsb, rtk) <- refMetrics.get(name)) {
+    for ((name, fn) <- ordered if !aborted && !failed0(name);
+         (rw, rsb, rtk) <- refMetrics.get(name)) {
       val (sb, tk) = plan.getOrElse(name, (-1L, -1L))
       if (rw > 0 && walls(name) > 3 * rw && planMatches(sb, tk, rsb, rtk)) {
         try {
@@ -156,10 +170,12 @@ object Bench {
     }
 
     val results = ordered.map { case (name, _) =>
-      if (failed0(name)) (name, -1.0, -1L, -1L)
-      else {
-        val (sb, tk) = plan.getOrElse(name, (-1L, -1L))
-        (name, walls(name), sb, tk)
+      // walls absent = failed, or never reached after an abort → -1
+      walls.get(name) match {
+        case Some(w) if !failed0(name) =>
+          val (sb, tk) = plan.getOrElse(name, (-1L, -1L))
+          (name, w, sb, tk)
+        case _ => (name, -1.0, -1L, -1L)
       }
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
@@ -172,7 +188,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val remeasuredJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"failed":$failed,"sf":"$sfDir","warm_sf":"$warmDir","remeasured":$remeasuredJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"failed":$failed,"aborted":$aborted,"sf":"$sfDir","warm_sf":"$warmDir","remeasured":$remeasuredJson}"""
     println(line)
     // stdout tail-capture can truncate the (long) per-query map — keep a
     // full parseable copy next to the build for anyone reading the numbers.

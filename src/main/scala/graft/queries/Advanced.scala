@@ -20,6 +20,51 @@ object Advanced extends QueryModule {
 
   def queries: Map[String, QueryDef] = Map(
 
+    // CDC merge-into: apply a derived changeset (updates on keys % 7,
+    // deletes on % 13 — which win over the updates on % 91 via the higher
+    // version, inserts key-shifted from % 101) to the orders snapshot.
+    // One window shuffle on the changeset + a broadcast/bucketable
+    // anti-join against the snapshot; nothing scales with snapshot×changes.
+    "q101_merge_upsert" -> QueryDef(
+      (s, dir) => {
+        val snap = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val updates = snap.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
+        val deletes = snap.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("version", lit(3L)).withColumn("deleted", lit(true))
+        val inserts = snap.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+        graft.etl.Merge.merge(snap,
+            updates.unionByName(deletes).unionByName(inserts),
+            Seq("o_orderkey"), "version", "deleted")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH snap AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |), changes AS (
+             |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice,
+             |         2 AS version, false AS deleted
+             |  FROM snap WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice, 3, true
+             |  FROM snap WHERE o_orderkey % 13 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice, 1, false
+             |  FROM snap WHERE o_orderkey % 101 = 0
+             |), latest AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+             |    FROM changes) WHERE rn = 1
+             |)
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM snap
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+             |UNION ALL
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE NOT deleted
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // As-of join (point-in-time lookup): for each purchase, the same user's
     // latest click at-or-before it. Composed as union → one window pass:
     // tag both streams, sort by (ts, tag) with clicks first at ties

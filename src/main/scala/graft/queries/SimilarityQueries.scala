@@ -73,6 +73,20 @@ object SimilarityQueries extends QueryModule {
           .orderBy("qid", "rn")
       }),
 
+    // Incremental index add: build the IVF index on the even-id half of
+    // the corpus, add the odd-id half against the FROZEN centroids (batch
+    // cost only — no retrain), then search. Rows-only: cell assignment is
+    // engine-hash-seeded; recall properties are spec-gated.
+    "q102_ivf_add" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = Ann.buildIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), nCells0 = 0, refineIters = 0)
+        val idx = Ann.addToIvfIndex(base, emb.filter(col("vec_id") % 2 === 1))
+        Ann.searchIvf(idx, emb.filter(col("vec_id") % 10 === 0), k = 5)
+          .orderBy("qid", "rn")
+      }),
+
     // Int8-quantized brute-force top-k — q40 at a quarter of the memory
     // traffic. Symmetric per-vector scales cancel in cosine, so scoring is
     // exact int64 dot products (native codegen loop) over 1-byte

@@ -119,10 +119,20 @@ object Ann {
     // the broadcast branch's exchange) — exponential in refineIters
     val cent = (1 to refineIters)
       .foldLeft(materialize(init))((c, _) => materialize(lloydStep(corpus, c)))
+    IvfIndex(cent, assign(corpus, cent))
+  }
+
+  /** Assign each vector to its nearest centroid (cosine): one broadcast of
+    * the ≤ nCells centroid rows, no corpus shuffle beyond the parallelism
+    * spread. Ties break to the lowest cell id — deterministic at any
+    * parallelism.
+    */
+  private def assign(corpus: DataFrame,
+      cent: DataFrame): DataFrame = {
     def cellSim(vec: Column, vn2: Column): Column =
       cosinePrenormed(FloatVecDot.dot(vec, col("cvec")), vn2, col("cvn2"))
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val assigned = corpus.repartition(par)
+    corpus.repartition(par)
       .select(col("vec_id").as("nid"), col("embedding").as("ce"),
         FloatVecDot.norm2(col("embedding")).as("cn2"))
       .join(broadcast(cent), lit(true))
@@ -131,8 +141,23 @@ object Ann {
         max_by(col("cell"), struct(cellSim(col("ce"), col("cn2")), col("cell")))
           .as("cell"),
         first("ce").as("ce"), first("cn2").as("cn2"))
-    IvfIndex(cent, assigned)
   }
+
+  /** Incrementally add vectors to an existing index WITHOUT retraining:
+    * the new batch is assigned against the FROZEN centroids (one broadcast
+    * join over the batch — cost scales with the batch, never the indexed
+    * corpus) and unioned into the posting lists. This is the ANN side of
+    * the incremental-ingest shape ([[graft.dedup.Dedup.exactIncremental]]
+    * is the dedup side): a 100 TB corpus cannot re-run Lloyd's per arriving
+    * batch. Centroids drift as the distribution shifts — cells fatten and
+    * recall/latency degrade gracefully rather than break — so the
+    * maintenance contract is periodic rebuild, like any IVF system.
+    * For the PERSISTED form, append the assigned batch to the bucketed
+    * `<name>_assigned` table; bucket pruning keeps searches shuffle-free
+    * on the corpus side either way.
+    */
+  def addToIvfIndex(idx: IvfIndex, newVecs: DataFrame): IvfIndex =
+    IvfIndex(idx.centroids, idx.assigned.unionByName(assign(newVecs, idx.centroids)))
 
   /** Persist an IVF index as two tables: `<name>_centroids` (tiny) and
     * `<name>_assigned` BUCKETED on `cell` — the probe join in [[searchIvf]]

@@ -76,6 +76,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("incremental IVF add: frozen centroids, batch searchable, single membership") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val base = Ann.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      nCells0 = 0, refineIters = 0)
+    val idx = Ann.addToIvfIndex(base, emb.filter(col("vec_id") % 2 === 1))
+    // centroids are frozen — the add must not retrain
+    assert(idx.centroids eq base.centroids)
+    // every vector (old and new) is posted exactly once
+    val n = emb.count()
+    assert(idx.assigned.count() == n)
+    assert(idx.assigned.groupBy("nid").count().filter(col("count") > 1).isEmpty)
+    // assignment against frozen centroids is consistent: a clone of an
+    // already-indexed vector (same embedding, new id) lands in its cell
+    val clones = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") <= 10)
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+    val withClones = Ann.addToIvfIndex(base, clones)
+    val cellOf = withClones.assigned
+      .select(col("nid"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    clones.select("vec_id").collect().map(_.getLong(0)).foreach { cid =>
+      assert(cellOf(cid) == cellOf(cid - 1000000000L),
+        "identical embeddings must be posted to the same cell")
+    }
+    // added postings participate in search: querying each added vector's
+    // exact embedding under a fresh id retrieves it at rank 1, sim ≈ 1
+    val probes = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") <= 11)
+      .select((col("vec_id") + 2000000000L).as("vec_id"), col("embedding"))
+    val top = Ann.searchIvf(idx, probes, k = 1).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getAs[Long]("nid") == r.getAs[Long]("qid") - 2000000000L,
+        "the added identical vector must come back as the top hit")
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+  }
+
   test("persisted IVF index: search skips the assignment pass, results identical") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
