@@ -548,26 +548,58 @@ object Dedup {
     labels
   }
 
-  /** Scale path for embedding near-dup: hyperplane-LSH bucket blocking
-    * (multi-probe, same machinery as [[graft.similarity.Ann]]) turns the
-    * all-pairs O(n²) into a shuffle join on bucket keys; candidates get
-    * exact cosine. Recall is parameter-bounded (not exhaustive) — the
+  /** Scale path for embedding near-dup: BANDED sign-random-projection LSH.
+    *
+    * `nTables` independent hash tables, each keyed on `bitsPerTable` sign
+    * bits of deterministic random hyperplanes (OR-of-ANDs amplification —
+    * the hyperplane analogue of MinHash banding). A pair collides in one
+    * table with prob (1−θ/π)^bitsPerTable, so near-identical vectors
+    * (θ→0) collide almost surely in some table while random pairs
+    * (θ≈π/2, bit-match prob ½) survive a table with prob 2^-bitsPerTable.
+    * The previous single-table + 1-bit-multiprobe design kept a FIXED
+    * 2^nPlanes bucket count, so bucket occupancy — and candidate volume —
+    * grew as n²/2^nPlanes: measured 1.7 s → 390 s for a 10× step at the
+    * 100× tier (≈1.4·10⁹ candidate pairs at 256 buckets over 200k
+    * vectors). Banding keeps the per-table random-collision RATE constant
+    * (5 tables × 12 bits: ≈5·n²/2¹³ — and those are cheap key matches,
+    * verified pairs stay sparse), with recall ≥95% at cosine 0.98 by the
+    * formula above. Every emitted pair is still exact-cosine-verified, so
+    * false positives never escape; the parameter-bounded recall is the
     * standard trade at corpus sizes where n² is impossible.
+    *
+    * Identical vectors are collapsed to a representative BEFORE the table
+    * join (the [[SemanticDedup]]/image-path lesson: a dup-heavy corpus —
+    * the actual dedup workload — concentrates identical embeddings into
+    * one bucket of every table, reintroducing |group|² exactly where the
+    * corpus is most duplicated) and returned as (rep, member, 1.0) star
+    * edges. The output is an edge set whose transitive closure equals the
+    * full qualifying-pair relation's: identical vectors have identical
+    * cosines to every third vector, so rep-level edges plus the stars
+    * close over exactly the member-level pairs.
     */
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      threshold: Double, nTables: Int = 5, bitsPerTable: Int = 12,
+      dim: Int = 64): DataFrame = {
     import graft.similarity.Ann
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      graft.functions.FloatVecDot.norm2(col(vecCol)).as("n2"),
-      Ann.signatureFor(col(vecCol), nPlanes, dim).as("bucket"))
-    // probe own bucket + 1-bit neighbors; each unordered pair meets in at
-    // least the bucket they share, dedup handles multi-bucket meetings
-    val probes = array((Seq(0) ++ (0 until nPlanes).map(1 << _))
-      .map(f => col("bucket").bitwiseXOR(lit(f))): _*)
+    val grouped = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vfp", xxhash64(col("v")))
+      .withColumn("rep", min("id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vfp")))
+    val stars = grouped.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("cosine"))
+    val allPlanes = Ann.planes(nTables * bitsPerTable, dim)
+    val keys = array((0 until nTables).map { t =>
+      xxhash64(Ann.signature(col("v"),
+        allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)), lit(t))
+    }: _*)
+    val base = grouped.filter(col("id") === col("rep"))
+      .select(col("id"), col("v"),
+        graft.functions.FloatVecDot.norm2(col("v")).as("n2"))
     val l = base.select(col("id").as("id_a"), col("v").as("v_a"),
-      col("n2").as("n2_a"), explode(probes).as("bkt"))
+      col("n2").as("n2_a"), explode(keys).as("bkt"))
     val r = base.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("n2").as("n2_b"), col("bucket").as("bkt"))
+      col("n2").as("n2_b"), explode(keys).as("bkt"))
     l.join(r, Seq("bkt")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosinePrenormed(
@@ -575,6 +607,7 @@ object Dedup {
           col("n2_a"), col("n2_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
+      .unionByName(stars)
   }
 
   /** Cross-document duplicated-span accounting: for every document, how

@@ -49,7 +49,7 @@ object Ann {
   }
 
   /** Deterministic random hyperplanes: nPlanes × dim doubles in [-1, 1). */
-  private[similarity] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     var x = seed
     def next(): Long = { // splitmix64 — public-domain PRNG step
       x += 0x9e3779b97f4a7c15L
@@ -66,7 +66,7 @@ object Ann {
     signature(v, planes(nPlanes, dim))
 
   /** Bit i = 1 iff dot(v, plane_i) >= 0; bucket = the bits as an int. */
-  private[similarity] def signature(v: Column, ps: Array[Array[Double]]): Column =
+  private[graft] def signature(v: Column, ps: Array[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       when(dot(v, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))

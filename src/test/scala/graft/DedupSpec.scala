@@ -232,6 +232,19 @@ class DedupSpec extends AnyFunSuite {
     assert(r == Set((0L, 1L)))
   }
 
+  test("embedding LSH: identical vectors collapse to star edges, closure intact") {
+    val v = Array.tabulate(64)(i => (i + 1).toFloat)
+    val vecs = Seq(
+      (7L, v), (3L, v), (9L, v), // identical group — rep = 3
+      (20L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDupLsh(vecs, "embedding", "vec_id", 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // two star edges from the rep, NOT the 3 within-group pairs; the
+    // closure over {3,7,9} is identical either way
+    assert(r == Set((3L, 7L, 1.0), (3L, 9L, 1.0)))
+  }
+
   test("crossDocShared: planted shared 8-gram, case folding, short docs") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),      // grams: w1..w8, w2..w9
