@@ -77,8 +77,27 @@ object Dedup {
     val Bands = 8
     val RowsPerBand: Int = NumHashes / Bands
 
-    /** Candidate pairs from banded signatures, verified with exact Jaccard
-      * over distinct shingle sets; returns pairs with `jaccard >= threshold`.
+    /** Near-dup EDGES from banded signatures, verified with exact Jaccard
+      * over distinct shingle sets — an edge set whose TRANSITIVE CLOSURE
+      * equals the full `jaccard >= threshold` pair relation, not the full
+      * pair list itself.
+      *
+      * Documents with IDENTICAL shingle sets collapse to a min-id
+      * representative BEFORE banding (the same collapse
+      * [[embeddingNearDupLsh]] and [[hammingClusterEdges]] apply): exact
+      * duplicates share every band key — identical sets give identical
+      * signatures — so a dup-heavy corpus (the actual dedup workload)
+      * otherwise pays Σ|group|² candidate pairs in ALL bands before the
+      * `distinct()` (measured: 149 s and superlinear at a 100× tier
+      * through the full-pair path; collapsed, the tier is ~linear).
+      * Collapsed groups come back as (rep, member, 1.0) star edges —
+      * exact for identical sets — and closure is preserved: within-group
+      * members chain through the star; a member's near-dups outside the
+      * group have the member's exact jaccard to the REPRESENTATIVE
+      * (identical sets ⇒ identical jaccard to every third set), so
+      * rep-level verified edges carry them. The group key is
+      * `xxhash64(sset)` — one long through the shuffle instead of the
+      * full hashed-shingle array.
       *
       * Shuffle hygiene: only (band, key, id) rows enter the banded
       * self-join — the shingle sets stay out of that shuffle and are joined
@@ -97,9 +116,21 @@ object Dedup {
       val src = graft.core.Parallelism.ensure(
         df.select(col(idCol), col(textCol)))
       val toks = TextFunctions.tokens(col(textCol))
-      val sigs = src.select(col(idCol).as("id"),
-        graft.functions.Sketches.minhashTokens(toks).as("sig"))
-      val banded = sigs.select(col("id"), posexplode(
+      // one pass computes both the candidate sketch (minhash signature)
+      // and the verification set (sorted hashed shingles); the signature
+      // is a pure function of the shingle SET, so identical sets are
+      // interchangeable for both banding and verification
+      val base = src.select(col(idCol).as("id"),
+        graft.functions.Sketches.minhashTokens(toks).as("sig"),
+        graft.functions.Sketches.shingleSet(toks).as("sset"))
+      val grouped = base.withColumn("sfp", xxhash64(col("sset")))
+        .withColumn("rep", min("id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sfp")))
+      val stars = grouped.filter(col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"),
+          lit(1.0).as("jaccard"))
+      val reps = grouped.filter(col("id") === col("rep"))
+      val banded = reps.select(col("id"), posexplode(
         array((0 until Bands).map { b =>
           xxhash64(concat_ws("_",
             (0 until RowsPerBand).map(r =>
@@ -112,8 +143,7 @@ object Dedup {
         .select("id_a", "id_b").distinct()
       // exact verification over sorted hashed shingle sets: merge-scan
       // intersection, |∪| = |A|+|B|−|∩| — no per-pair hash sets or arrays
-      val sets = src.select(col(idCol).as("sid"),
-        graft.functions.Sketches.shingleSet(toks).as("sset"))
+      val sets = reps.select(col("id").as("sid"), col("sset"))
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
       candidates
@@ -125,6 +155,7 @@ object Dedup {
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             .as("jaccard"))
         .filter(col("jaccard") >= threshold)
+        .unionByName(stars)
     }
   }
 

@@ -98,9 +98,19 @@ object SemanticDedup {
     */
   private[graft] def dupEdges(members: DataFrame,
       threshold: Double): DataFrame = {
-    val groups = members.filter(col("cn2") > 0)
-      .groupBy(col("ce")).agg(min("nid").as("rep"))
-    val stars = members.join(groups, Seq("ce"))
+    // the collapse keys on xxhash64(ce) — one long through the group-by
+    // and join-back shuffles instead of a 256-byte float-array key
+    // (measured at sf0.1: array keys cost ~1.7× wall and +55% tasks on
+    // q91). Same trade as [[Dedup.embeddingNearDupLsh]]'s vfp: a 64-bit
+    // collision between two DIFFERENT vectors in the same corpus is
+    // ~n²/2⁶⁵ — negligible against the operator's own parameter-bounded
+    // approximation. Zero vectors stay excluded on BOTH sides of the
+    // star join (cn2 > 0), never by luck of the hash.
+    val nz = members.filter(col("cn2") > 0)
+    val groups = nz.groupBy(xxhash64(col("ce")).as("cefp"))
+      .agg(min("nid").as("rep"))
+    val stars = nz.withColumn("cefp", xxhash64(col("ce")))
+      .join(groups, Seq("cefp"))
       .filter(col("nid") =!= col("rep"))
       .select(col("rep").as("id_a"), col("nid").as("id_b"))
     val reps = members.join(groups.select(col("rep").as("nid")), Seq("nid"))

@@ -90,6 +90,8 @@ object Sketches {
       1, es => ShingleSet(es.head)),
     ("int8_vec_dot", "_FUNC_(a, b) - exact int64 dot of two int8 vectors",
       2, es => Int8VecDot(es.head, es(1))),
+    ("ivf_argmax_cell", "_FUNC_(v, cells, centroids) - argmax-cosine cell id",
+      3, es => IvfArgmaxCell(es.head, es(1), es(2))),
     ("bpe_encode", "_FUNC_(text, merges) - byte-level BPE token ids",
       2, es => BpeEncode(es.head, es(1))))
 

@@ -88,8 +88,9 @@ object Ann {
     *     `refineIters` Lloyd iterations tighten them ([[lloydStep]]:
     *     exact-decimal cell means, so replay determinism survives);
     *  2. every corpus vector is assigned to its max-cosine centroid —
-    *     one broadcast join + `max_by` aggregate, O(n·nCells) map-side
-    *     work, ONE shuffle on vec_id.
+    *     one projection through the native [[graft.functions.IvfArgmaxCell]]
+    *     kernel, O(n·nCells) map-side flops, zero shuffles and zero
+    *     row blowup (the centroid table rides in the plan as a literal).
     *
     * At 100 TB this output is written once via [[writeIvfIndex]] and
     * reused across every query batch; recomputing the assignment per
@@ -122,25 +123,38 @@ object Ann {
     IvfIndex(cent, assign(corpus, cent))
   }
 
-  /** Assign each vector to its nearest centroid (cosine): one broadcast of
-    * the ≤ nCells centroid rows, no corpus shuffle beyond the parallelism
-    * spread. Ties break to the lowest cell id — deterministic at any
-    * parallelism.
+  /** Assign each vector to its nearest centroid (cosine) via the native
+    * [[graft.functions.IvfArgmaxCell]] kernel: the ≤ nCells centroid rows
+    * are collected (they are already local after [[materialize]] — and at
+    * √n cells the table is ~100 MB even at 10¹¹ vectors) and shipped as a
+    * plan literal, so assignment is ONE projection — O(nCells·dim) flops
+    * per row, one output row per vector, no join, no aggregate, no
+    * shuffle beyond the parallelism spread. The previous
+    * `join(broadcast(cent), lit(true))` + `max_by` formulation
+    * materialized n×nCells wide rows (embedding duplicated per candidate
+    * cell) through a hash aggregate — measured 361 s and ~quadratic at a
+    * 100× tier; this is the fix. Ties break to the HIGHEST cell id
+    * (the kernel's documented (sim, cell) lexicographic max — matching
+    * the max_by it replaced, spec-pinned bit-identical) — deterministic
+    * at any parallelism.
     */
-  private def assign(corpus: DataFrame,
+  private[graft] def assign(corpus: DataFrame,
       cent: DataFrame): DataFrame = {
-    def cellSim(vec: Column, vn2: Column): Column =
-      cosinePrenormed(FloatVecDot.dot(vec, col("cvec")), vn2, col("cvn2"))
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus.repartition(par)
-      .select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      .select(col("vec_id").as("nid"),
+        argmaxCell(col("embedding"), cent).as("cell"),
+        col("embedding").as("ce"),
         FloatVecDot.norm2(col("embedding")).as("cn2"))
-      .join(broadcast(cent), lit(true))
-      .groupBy("nid")
-      .agg(
-        max_by(col("cell"), struct(cellSim(col("ce"), col("cn2")), col("cell")))
-          .as("cell"),
-        first("ce").as("ce"), first("cn2").as("cn2"))
+  }
+
+  /** `IvfArgmaxCell` over a collected centroid table (cell, cvec, …). */
+  private def argmaxCell(vec: Column, cent: DataFrame): Column = {
+    val rows = cent.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    call_function("ivf_argmax_cell", vec,
+      typedLit(rows.map(_._1).toSeq),
+      typedLit(rows.map(_._2.toSeq).toSeq))
   }
 
   /** Incrementally add vectors to an existing index WITHOUT retraining:
@@ -279,17 +293,10 @@ object Ann {
   private[similarity] def lloydStep(corpus: DataFrame, cent: DataFrame): DataFrame = {
     val assigned = corpus
       // same explicit parallelism guard as the other Ann hot loops: the
-      // assignment cross join must not run at small-file split count
+      // assignment kernel must not run at small-file split count
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id").as("nid"), col("embedding").as("v"),
-        FloatVecDot.norm2(col("embedding")).as("vn2"))
-      .join(broadcast(cent), lit(true))
-      .groupBy("nid")
-      .agg(
-        max_by(col("cell"),
-          struct(cosinePrenormed(FloatVecDot.dot(col("v"), col("cvec")),
-            col("vn2"), col("cvn2")), col("cell"))).as("cell"),
-        first("v").as("v"))
+        argmaxCell(col("embedding"), cent).as("cell"))
     val means = assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim")

@@ -58,6 +58,29 @@ class DedupSpec extends AnyFunSuite {
       "unrelated doc must not pair above threshold")
   }
 
+  test("minhash LSH: identical shingle sets collapse to star edges, closure intact") {
+    // 1000 exact copies + one near-dup of the copy text + one unrelated:
+    // pair volume must scale with DISTINCT shingle sets (here 3), not
+    // members² — the group surfaces as min-id star edges, and the
+    // external near-dup pairs with the REPRESENTATIVE only (identical
+    // sets have identical jaccard to every third set, so one rep-level
+    // verified edge closes over all 1000 member-level pairs)
+    val n = 1000
+    val rows = (1L to n.toLong).map(i => (i, base, "en")) ++
+      Seq((2000L, nearDup, "en"), (3000L, unrelated, "en"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = Dedup.MinHashLsh.nearDupPairs(df, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val stars = got.filter { case (a, _, j) => a == 1L && j == 1.0 }
+    assert(stars.map(_._2).toSet == (2L to n.toLong).toSet,
+      "every member star-links to the min-id representative with jaccard 1.0")
+    val nonStar = got.filterNot { case (a, b, _) => a == 1L && b >= 2L && b <= n.toLong }
+    assert(nonStar.map(p => (p._1, p._2)).toSet == Set((1L, 2000L)),
+      s"exactly one rep-level edge to the external near-dup, got: ${nonStar.toSet}")
+    assert(got.length == (n - 1) + 1,
+      "output volume ∝ distinct sets: n−1 stars + 1 verified rep pair")
+  }
+
   test("simhash: near-dups at small hamming distance, unrelated far") {
     val sh = docs.select(col("doc_id"),
       Dedup.simhash(graft.text.TextFunctions.tokens(col("text"))).as("sh"))

@@ -112,6 +112,55 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native argmax-cell assignment bit-identical to the max_by formulation") {
+    import graft.functions.FloatVecDot
+    // the legacy broadcast-true-join + max_by assignment, reproduced here
+    // verbatim as the parity reference for the IvfArgmaxCell kernel
+    def legacy(corpus: org.apache.spark.sql.DataFrame,
+        cent: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      corpus.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("nid"), col("embedding").as("ce"),
+          FloatVecDot.norm2(col("embedding")).as("cn2"))
+        .join(broadcast(cent), lit(true))
+        .groupBy("nid")
+        .agg(max_by(col("cell"), struct(
+          VectorFunctions.cosinePrenormed(
+            FloatVecDot.dot(col("ce"), col("cvec")),
+            col("cn2"), col("cvn2")), col("cell"))).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def native(corpus: org.apache.spark.sql.DataFrame,
+        cent: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Ann.assign(corpus, cent)
+        .select("nid", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // hand-built corner cases: a zero vector (all-NaN sims must resolve
+    // to the HIGHEST cell like max_by's NaN-greatest struct order), an
+    // exact sim tie from a duplicated centroid (higher cell wins), and
+    // duplicate corpus vectors (same cell both)
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f)),
+      (4L, Array(0.5f, 0.5f, 0f, 0f)),
+      (5L, Array(-1f, 0f, 0f, 0f)),
+      (6L, Array(0.5f, 0.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cent = Seq(
+      (1, Array(1f, 0f, 0f, 0f)),
+      (2, Array(0f, 1f, 0f, 0f)),
+      (3, Array(1f, 0f, 0f, 0f))).toDF("cell", "cvec")
+      .select(col("cell"), col("cvec"),
+        FloatVecDot.norm2(col("cvec")).as("cvn2"))
+    assert(native(corpus, cent) == legacy(corpus, cent),
+      "kernel must match max_by on ties, NaN rows, and duplicates")
+
+    // and on the real fixture with hash-drawn centroids
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val idx = Ann.buildIvfIndex(emb, nCells0 = 0, refineIters = 0)
+    assert(native(emb, idx.centroids) == legacy(emb, idx.centroids),
+      "kernel must match max_by on the fixture corpus")
+  }
+
   test("persisted IVF index: search skips the assignment pass, results identical") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
