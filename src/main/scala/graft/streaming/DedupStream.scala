@@ -46,16 +46,138 @@ import graft.dedup.Dedup
   */
 object DedupStream {
 
-  /** The committed ledger's fingerprints; an empty-but-typed frame before
-    * the first commit (the sink owns the schema — there is nothing
-    * trustworthy to infer it from, see [[IdempotentSink.readCommitted]]).
+  private val FpSchema = StructType(Seq(StructField("fp", StringType)))
+
+  /** The committed ledger's fingerprints: the fp-bucketed compacted table
+    * (if [[compactLedger]] has run) unioned with every `batch=` dir
+    * committed since; an empty-but-typed frame before the first commit
+    * (the sink owns the schema — see [[IdempotentSink.readCommitted]]).
+    * Once all batches are compacted the read is the bucketed table ALONE,
+    * so the incremental-dedup anti-join's ledger side plans with zero
+    * Exchange (spec-pinned in StreamingDedupSpec).
     */
   def ledgerFps(spark: SparkSession, ledgerDir: String): DataFrame = {
-    val committed = IdempotentSink.readCommitted(spark, ledgerDir)
-    if (committed.columns.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("fp", StringType))))
-    else committed.select("fp")
+    val batches = IdempotentSink
+      .readCommitted(spark, ledgerDir, Some(FpSchema)).select("fp")
+    currentCompaction(spark, ledgerDir) match {
+      case None => batches
+      case Some((_, table)) =>
+        val compacted = spark.table(table).select("fp")
+        if (IdempotentSink.committedBatches(spark, ledgerDir).isEmpty)
+          compacted // preserve the bucketed partitioning — no union node
+        else compacted.unionByName(batches)
+    }
+  }
+
+  // --- ledger compaction ----------------------------------------------------
+
+  private val CompactedPrefix = "_compactedtable-"
+
+  /** The current compaction generation: (version, metastore table name),
+    * read from the HIGHEST-versioned `_compactedtable-<v>` marker. Marker
+    * files are tiny (they hold the table name) and written via
+    * tmp + rename, so a reader never sees a half-written name; `_`-prefixed
+    * names keep them out of Spark's file listings like the batch markers.
+    */
+  def currentCompaction(spark: SparkSession,
+      ledgerDir: String): Option[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(CompactedPrefix))
+      .map(p => p.getName.stripPrefix(CompactedPrefix).toLong -> p)
+      .sortBy(_._1).lastOption
+      .map { case (v, p) =>
+        val in = fs.open(p)
+        val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        (v, name)
+      }
+  }
+
+  /** Compact every committed `batch=` dir (plus any previous compaction)
+    * into ONE fp-bucketed metastore table — the ledger maintenance job the
+    * scale story depends on: an anti-join against years of per-batch
+    * slivers pays per-file opens and a full ledger exchange every
+    * micro-batch, while the bucketed table arrives pre-partitioned on
+    * `fp` and joins with zero Exchange on the ledger side.
+    *
+    * Crash-safe by the same marker discipline as the sink — at every
+    * kill point the READ ([[ledgerFps]]) stays complete and correct:
+    *
+    *  1. the union (previous compacted table + committed batch fps) is
+    *     written to a NEW versioned table `…_v<maxBatchId>` — readers
+    *     still resolve the old marker;
+    *  2. the new `_compactedtable-<v>` marker is renamed into place
+    *     (tmp + rename, atomic on the sink's filesystem) — readers now
+    *     resolve the new table; fps are temporarily duplicated between
+    *     the table and the not-yet-deleted batch dirs, which dedup
+    *     semantics tolerate (the anti-join ignores duplicate rows);
+    *  3. older compaction markers + their tables are dropped, then each
+    *     compacted batch's MARKER then its dir (marker-first: a dir
+    *     without a marker is invisible to committed reads).
+    *
+    * A batch REPLAYED by the stream after its dirs were compacted away
+    * (restart from an old checkpoint) recomputes the identical survivor
+    * set — its fps are still in the ledger via the table, and the
+    * computation is a pure function of (batch, committed fps) — and
+    * rewrites its ledger dir: harmless duplication until the next
+    * compaction sweeps it. Single concurrent compactor per ledger, like
+    * [[graft.similarity.Ann.writeIvfIndex]]'s single-writer contract.
+    *
+    * Returns the active compacted table name, or None when the ledger has
+    * never committed anything.
+    */
+  def compactLedger(spark: SparkSession, ledgerDir: String,
+      buckets: Int = 8): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = IdempotentSink.committedBatches(spark, ledgerDir)
+    val current = currentCompaction(spark, ledgerDir)
+    if (ids.isEmpty) return current.map(_._2)
+
+    val version = math.max(ids.max, current.map(_._1 + 1).getOrElse(0L))
+    val marker = new org.apache.hadoop.fs.Path(root, s"$CompactedPrefix$version")
+    if (!fs.exists(marker)) {
+      // deterministic per-ledger table family; the dir hash keys the
+      // family so two ledgers in one warehouse never collide
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(ledgerDir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val table = s"graft_ledger_${digest}_v$version"
+      val batchFps = IdempotentSink
+        .readCommitted(spark, ledgerDir, Some(FpSchema)).select("fp")
+      val all = current
+        .map { case (_, t) => spark.table(t).select("fp").unionByName(batchFps) }
+        .getOrElse(batchFps)
+        .distinct()
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      graft.core.Layout.writeBucketed(all, table, "fp", buckets)
+      val tmp = new org.apache.hadoop.fs.Path(root, s".$CompactedPrefix$version.tmp")
+      val o = fs.create(tmp, true)
+      try o.write(table.getBytes("UTF-8")) finally o.close()
+      if (!fs.rename(tmp, marker))
+        throw new java.io.IOException(
+          s"compactLedger: rename $tmp -> $marker failed")
+    }
+    // cleanup (idempotent — a crashed run resumes here on re-invoke):
+    // older compaction generations first, then the absorbed batch dirs
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(CompactedPrefix) &&
+        p.getName.stripPrefix(CompactedPrefix).toLong < version)
+      .foreach { p =>
+        val in = fs.open(p)
+        val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        fs.delete(p, false)
+        spark.sql(s"DROP TABLE IF EXISTS `$old`")
+      }
+    ids.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_committed-$id"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true)
+    }
+    currentCompaction(spark, ledgerDir).map(_._2)
   }
 
   /** The `foreachBatch` function:

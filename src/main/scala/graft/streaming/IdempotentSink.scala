@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Exactly-once parquet sink for `foreachBatch` pipelines.
   *
@@ -92,13 +93,22 @@ object IdempotentSink {
     * partition filter applies — and an `isin` over years of batch ids
     * would grow an unbounded predicate. Path-based reads have neither
     * problem: uncommitted dirs are never listed, and cost scales with the
-    * committed count only. Zero committed batches → an empty 0-column
-    * frame (the sink owns the schema; there is nothing trustworthy to
-    * infer it from).
+    * committed count only.
+    *
+    * Zero committed batches: the sink owns the schema — there is nothing
+    * trustworthy to infer it from — so callers that know their sink's
+    * schema pass it as `schema` and get a TYPED empty frame their
+    * downstream `select`/joins accept; without it the fallback is an
+    * empty 0-column frame (which a `.select("fp")` would reject — the
+    * schema parameter exists precisely so callers need not special-case
+    * the cold start themselves).
     */
-  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+  def readCommitted(spark: SparkSession, outDir: String,
+      schema: Option[StructType] = None): DataFrame = {
     val ids = committedBatches(spark, outDir)
-    if (ids.isEmpty) spark.emptyDataFrame
+    if (ids.isEmpty)
+      schema.fold(spark.emptyDataFrame)(s =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s))
     else spark.read.option("basePath", outDir)
       .parquet(ids.map(id => s"$outDir/batch=$id"): _*)
   }

@@ -58,6 +58,73 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(IdempotentSink.readCommitted(spark, out).count() == 4)
   }
 
+  test("readCommitted: zero batches with a schema yields a typed empty frame") {
+    val dir = freshDir("graft-empty-read")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType)))
+    val typed = IdempotentSink.readCommitted(spark, dir, Some(schema))
+    // the whole point: downstream selects work on the cold start
+    assert(typed.select("fp").count() == 0)
+    assert(typed.schema == schema)
+    // without a schema the legacy 0-column empty frame comes back
+    assert(IdempotentSink.readCommitted(spark, dir).columns.isEmpty)
+  }
+
+  test("ledger compaction: identical dedup results, exchange-free anti-join") {
+    val root = freshDir("graft-ledger-compact")
+    val out = s"$root/out"; val ledger = s"$root/ledger"
+    val w = DedupStream.writer(out, ledger, "text", "doc_id")
+    w(Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), 0L)
+    w(Seq((2L, "b"), (3L, "c")).toDF("doc_id", "text"), 1L)
+    w(Seq((4L, "d")).toDF("doc_id", "text"), 2L)
+
+    val next = Seq((10L, "c"), (11L, "e"), (12L, "e")).toDF("doc_id", "text")
+    def survivors() = graft.dedup.Dedup
+      .exactIncremental(next, "text", "doc_id", DedupStream.ledgerFps(spark, ledger))
+    val before = survivors().collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+
+    val v1 = DedupStream.compactLedger(spark, ledger)
+    assert(v1.isDefined)
+    // the batch= dirs are absorbed: no committed batches remain, the
+    // fingerprints now live in the bucketed table alone
+    assert(IdempotentSink.committedBatches(spark, ledger).isEmpty)
+    assert(DedupStream.ledgerFps(spark, ledger).count() == 4)
+    val after = survivors()
+    assert(after.collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+      == before, "compaction must not change dedup results")
+    assert(before == Map(11L -> 2L), s"unexpected survivors: $before")
+
+    // the 100 TB contract: the anti-join's ledger side arrives
+    // pre-bucketed on fp — no ShuffleExchange above the table scan
+    after.write.format("noop").mode("overwrite").save()
+    val ledgerShuffled = after.queryExecution.executedPlan.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.toString.contains("graft_ledger_")
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(!ledgerShuffled,
+      s"compacted ledger must join exchange-free:\n${after.queryExecution.executedPlan}")
+
+    // post-compaction stream continues: new batches dedup against the
+    // table, and a SECOND compaction absorbs them into the next version
+    w(next, 3L)
+    assert(IdempotentSink.readCommitted(spark, out)
+      .select("keep_id").as[Long].collect().toSet == Set(0L, 1L, 3L, 4L, 11L))
+    val v2 = DedupStream.compactLedger(spark, ledger)
+    assert(v2.isDefined && v2 != v1, "new generation, new table")
+    assert(DedupStream.ledgerFps(spark, ledger).count() == 5)
+    assert(IdempotentSink.committedBatches(spark, ledger).isEmpty)
+    // the superseded generation's table is dropped
+    assert(!spark.catalog.tableExists(v1.get))
+  }
+
   test("crash between survivor commit and ledger commit replays identically") {
     val root = freshDir("graft-dedup-crash")
     val out = s"$root/out"; val ledger = s"$root/ledger"
