@@ -75,17 +75,78 @@ object SimilarityQueries extends QueryModule {
 
     // Incremental index add: build the IVF index on the even-id half of
     // the corpus, add the odd-id half against the FROZEN centroids (batch
-    // cost only — no retrain), then search. Rows-only: cell assignment is
-    // engine-hash-seeded; recall properties are spec-gated.
+    // cost only — no retrain), then search. Centroids are drawn by an
+    // ENGINE-INDEPENDENT rule (every stride-th vec_id, stride ≈ n/√n, so
+    // ~√n cells at any corpus size), which makes the whole incremental
+    // pipeline — assignment argmax incl. its higher-cell tie-break, probe
+    // ranking, final top-k — reproducible in DuckDB: the oracle computes
+    // the equivalent BATCH build over even∪odd, so a hash PASS proves the
+    // add-against-frozen-centroids path ≡ indexing everything at once
+    // (the assignment invariant). Exact double left-fold cosine on both
+    // sides, q40-style.
     "q102_ivf_add" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val base = Ann.buildIvfIndex(
-          emb.filter(col("vec_id") % 2 === 0), nCells0 = 0, refineIters = 0)
+        val n = emb.count().toDouble
+        val stride = math.max(1L,
+          math.floor(n / math.ceil(math.sqrt(n))).toLong)
+        val cent = emb.filter(col("vec_id") % stride === 0)
+          .select(row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+            .as("cell"), col("embedding").as("cvec"))
+        val base = Ann.indexWithCentroids(
+          emb.filter(col("vec_id") % 2 === 0), cent)
         val idx = Ann.addToIvfIndex(base, emb.filter(col("vec_id") % 2 === 1))
         Ann.searchIvf(idx, emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")
-      }),
+      },
+      Some("""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+             |s AS (
+             |  SELECT greatest(1, cast(floor(cnt / ceil(sqrt(cnt))) AS bigint)) AS stride
+             |  FROM n
+             |), cent AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+             |    embedding AS cvec,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS cvn2
+             |  FROM embeddings WHERE vec_id % (SELECT stride FROM s) = 0
+             |), base AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
+             |  FROM embeddings
+             |), asg AS (
+             |  SELECT vec_id AS nid, embedding AS ce, n2 AS cn2, cell FROM (
+             |    SELECT b.vec_id, b.embedding, b.n2, c.cell,
+             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             |        (list_reduce(list_transform(range(1, len(b.embedding) + 1),
+             |            i -> b.embedding[i]::double * c.cvec[i]::double), (x, y) -> x + y)
+             |         / (sqrt(b.n2) * sqrt(c.cvn2))) DESC, c.cell DESC) AS arn
+             |    FROM base b CROSS JOIN cent c
+             |  ) WHERE arn = 1
+             |), q AS (
+             |  SELECT vec_id AS qid, embedding AS qe, n2 AS qn2
+             |  FROM base WHERE vec_id % 10 = 0
+             |), probes AS (
+             |  SELECT qid, qe, qn2, cell FROM (
+             |    SELECT q.qid, q.qe, q.qn2, c.cell,
+             |      row_number() OVER (PARTITION BY q.qid ORDER BY
+             |        (list_reduce(list_transform(range(1, len(q.qe) + 1),
+             |            i -> q.qe[i]::double * c.cvec[i]::double), (x, y) -> x + y)
+             |         / (sqrt(q.qn2) * sqrt(c.cvn2))) DESC, c.cell ASC) AS pr
+             |    FROM q CROSS JOIN cent c
+             |  ) WHERE pr <= 4
+             |), pairs AS (
+             |  SELECT p.qid, a.nid,
+             |    (list_reduce(list_transform(range(1, len(p.qe) + 1),
+             |        i -> p.qe[i]::double * a.ce[i]::double), (x, y) -> x + y)
+             |     / (sqrt(p.qn2) * sqrt(a.cn2))) AS sim
+             |  FROM probes p JOIN asg a ON p.cell = a.cell AND a.nid <> p.qid
+             |), ranked AS (
+             |  SELECT qid, nid, sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+             |  FROM pairs
+             |)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
 
     // Int8-quantized brute-force top-k — q40 at a quarter of the memory
     // traffic. Symmetric per-vector scales cancel in cosine, so scoring is

@@ -157,6 +157,21 @@ object Ann {
       typedLit(rows.map(_._2.toSeq).toSeq))
   }
 
+  /** Build an IVF index from USER-SUPPLIED centroids `(cell, cvec)` — no
+    * sampling, no Lloyd. This is the deterministic-ingest form: centroids
+    * trained offline (or drawn by any engine-independent rule) are the
+    * frozen coordinate system, and the whole index build reduces to the
+    * linear [[graft.functions.IvfArgmaxCell]] assignment pass. Because
+    * nothing is engine-hash-seeded, the full build + add + search
+    * pipeline is reproducible by an independent SQL engine — which is
+    * exactly how q102's DuckDB oracle gates the assignment invariant.
+    */
+  def indexWithCentroids(corpus: DataFrame, centroids: DataFrame): IvfIndex = {
+    val cent = centroids.select(col("cell"), col("cvec"),
+      FloatVecDot.norm2(col("cvec")).as("cvn2"))
+    IvfIndex(cent, assign(corpus, cent))
+  }
+
   /** Incrementally add vectors to an existing index WITHOUT retraining:
     * the new batch is assigned against the FROZEN centroids (one broadcast
     * join over the batch — cost scales with the batch, never the indexed
