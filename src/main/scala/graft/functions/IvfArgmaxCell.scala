@@ -56,35 +56,11 @@ case class IvfArgmaxCell(first: Expression, second: Expression,
           s"array<array<float>>), got $v / $c / $m")
     }
 
-  @transient private lazy val table: IvfArgmaxCell.Table = {
-    val cellsArr = second.eval().asInstanceOf[ArrayData].toIntArray()
-    val matData = third.eval().asInstanceOf[ArrayData]
-    require(matData.numElements() == cellsArr.length && cellsArr.length > 0,
-      s"ivf_argmax_cell: ${cellsArr.length} cells vs " +
-        s"${matData.numElements()} centroids")
-    val vecs = Array.tabulate(matData.numElements()) { i =>
-      val a = matData.getArray(i)
-      require(a != null, s"ivf_argmax_cell: null centroid at index $i")
-      a.toFloatArray()
-    }
-    // ascending cell order makes the >=-replace scan the lexicographic
-    // max of (sim, cell) — the max_by tie-break this kernel must match
-    val order = cellsArr.indices.sortBy(cellsArr)
-    IvfArgmaxCell.Table(
-      order.map(cellsArr).toArray,
-      order.map(vecs).toArray,
-      order.map { i =>
-        val v = vecs(i)
-        var s = 0.0
-        var k = 0
-        while (k < v.length) {
-          val x = v(k).toDouble
-          s += x * x
-          k += 1
-        }
-        math.sqrt(s)
-      }.toArray)
-  }
+  // ascending cell order (decodeTable sorts) makes the >=-replace scan
+  // the lexicographic max of (sim, cell) — the max_by tie-break this
+  // kernel must match
+  @transient private lazy val table: IvfArgmaxCell.Table =
+    IvfArgmaxCell.decodeTable(second, third)
 
   override def nullSafeEval(v: Any, c: Any, m: Any): Any =
     IvfArgmaxCell.compute(v.asInstanceOf[ArrayData], table)
@@ -107,6 +83,38 @@ object IvfArgmaxCell {
     */
   final case class Table(cells: Array[Int], vecs: Array[Array[Float]],
       norms: Array[Double])
+
+  /** Decode foldable (cells, centroids) children into a [[Table]] —
+    * shared by [[IvfArgmaxCell]] and [[IvfProbeCells]].
+    */
+  private[functions] def decodeTable(cells: Expression,
+      matrix: Expression): Table = {
+    val cellsArr = cells.eval().asInstanceOf[ArrayData].toIntArray()
+    val matData = matrix.eval().asInstanceOf[ArrayData]
+    require(matData.numElements() == cellsArr.length && cellsArr.length > 0,
+      s"ivf centroid table: ${cellsArr.length} cells vs " +
+        s"${matData.numElements()} centroids")
+    val vecs = Array.tabulate(matData.numElements()) { i =>
+      val a = matData.getArray(i)
+      require(a != null, s"ivf centroid table: null centroid at index $i")
+      a.toFloatArray()
+    }
+    val order = cellsArr.indices.sortBy(cellsArr)
+    Table(
+      order.map(cellsArr).toArray,
+      order.map(vecs).toArray,
+      order.map { i =>
+        val v = vecs(i)
+        var s = 0.0
+        var k = 0
+        while (k < v.length) {
+          val x = v(k).toDouble
+          s += x * x
+          k += 1
+        }
+        math.sqrt(s)
+      }.toArray)
+  }
 
   /** The per-row kernel — static so generated code JITs one tight loop.
     * Accumulation order and the (sim, cell) total-order compare are the

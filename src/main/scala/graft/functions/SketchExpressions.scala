@@ -92,6 +92,14 @@ object Sketches {
       2, es => Int8VecDot(es.head, es(1))),
     ("ivf_argmax_cell", "_FUNC_(v, cells, centroids) - argmax-cosine cell id",
       3, es => IvfArgmaxCell(es.head, es(1), es(2))),
+    ("ivf_probe_cells",
+      "_FUNC_(v, cells, centroids, nProbe) - nProbe nearest cell ids",
+      4, es => es(3) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, IntegerType) =>
+          IvfProbeCells(es.head, es(1), es(2), n)
+        case other => throw new IllegalArgumentException(
+          s"ivf_probe_cells: nProbe must be an int literal, got $other")
+      }),
     ("bpe_encode", "_FUNC_(text, merges) - byte-level BPE token ids",
       2, es => BpeEncode(es.head, es(1))))
 

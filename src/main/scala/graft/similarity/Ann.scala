@@ -150,11 +150,30 @@ object Ann {
 
   /** `IvfArgmaxCell` over a collected centroid table (cell, cvec, …). */
   private def argmaxCell(vec: Column, cent: DataFrame): Column = {
+    val (cells, mat) = collectCentroids(cent)
+    call_function("ivf_argmax_cell", vec, cells, mat)
+  }
+
+  /** `IvfProbeCells`: the nProbe nearest cell ids, rank-ordered. */
+  private def probeCells(vec: Column, cent: DataFrame, nProbe: Int): Column = {
+    val (cells, mat) = collectCentroids(cent)
+    call_function("ivf_probe_cells", vec, cells, mat, lit(nProbe))
+  }
+
+  /** Spec hook: (qid, pr, cell) probe triples as [[searchIvf]] ranks
+    * them — rank = 1-based array position from the kernel.
+    */
+  private[graft] def probesForTest(idx: IvfIndex, queries: DataFrame,
+      nProbe: Int): DataFrame =
+    queries.select(col("vec_id").as("qid"),
+        posexplode(probeCells(col("embedding"), idx.centroids, nProbe))
+          .as(Seq("pos", "cell")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("pr"), col("cell"))
+
+  private def collectCentroids(cent: DataFrame): (Column, Column) = {
     val rows = cent.select(col("cell"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    call_function("ivf_argmax_cell", vec,
-      typedLit(rows.map(_._1).toSeq),
-      typedLit(rows.map(_._2.toSeq).toSeq))
+    (typedLit(rows.map(_._1).toSeq), typedLit(rows.map(_._2.toSeq).toSeq))
   }
 
   /** Build an IVF index from USER-SUPPLIED centroids `(cell, cvec)` — no
@@ -246,18 +265,18 @@ object Ann {
     */
   def searchIvf(idx: IvfIndex, queries: DataFrame, k: Int,
       nProbe: Int = 4): DataFrame = {
-    def cellSim(vec: Column, vn2: Column): Column =
-      cosinePrenormed(FloatVecDot.dot(vec, col("cvec")), vn2, col("cvn2"))
-    val qw = Window.partitionBy("qid").orderBy(col("psim").desc, col("cell"))
+    // probe selection runs through the native IvfProbeCells kernel — one
+    // bounded array<int> per query, exploded to nProbe rows. The prior
+    // broadcast-true-join + per-query row_number window materialized and
+    // SORTED |queries|×nCells wide rows just to keep nProbe of them —
+    // Θ(|queries|·√n) exchange rows at auto-sized cell counts. Rank
+    // semantics (psim desc, cell asc, NaN greatest) are unchanged and
+    // spec-pinned against the window formulation.
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        FloatVecDot.norm2(col("embedding")).as("qn2"))
-      .join(broadcast(idx.centroids), lit(true))
-      .select(col("qid"), col("qe"), col("qn2"), col("cell"),
-        cellSim(col("qe"), col("qn2")).as("psim"))
-      .withColumn("pr", row_number().over(qw))
-      .filter(col("pr") <= nProbe)
-      .select("qid", "qe", "qn2", "cell")
+        FloatVecDot.norm2(col("embedding")).as("qn2"),
+        explode(probeCells(col("embedding"), idx.centroids, nProbe))
+          .as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     idx.assigned.join(q, Seq("cell")).filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),

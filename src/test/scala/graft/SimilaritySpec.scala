@@ -161,6 +161,33 @@ class SimilaritySpec extends AnyFunSuite {
       "kernel must match max_by on the fixture corpus")
   }
 
+  test("native probe-cells kernel bit-identical to the window ranking") {
+    import graft.functions.FloatVecDot
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val idx = Ann.buildIvfIndex(emb, nCells0 = 0, refineIters = 0)
+    // the legacy probe ranking: broadcast-true-join + per-query window
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("psim").desc, col("cell"))
+    val legacy = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        FloatVecDot.norm2(col("embedding")).as("qn2"))
+      .join(broadcast(idx.centroids), lit(true))
+      .select(col("qid"), col("cell"),
+        VectorFunctions.cosinePrenormed(
+          FloatVecDot.dot(col("qe"), col("cvec")),
+          col("qn2"), col("cvn2")).as("psim"))
+      .withColumn("pr", row_number().over(qw))
+      .filter(col("pr") <= 4)
+      .select("qid", "pr", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // the kernel path, as searchIvf now plans it (rank = array position)
+    val native = Ann.probesForTest(idx, queries, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(native == legacy,
+      "probe (qid, rank, cell) triples must match the window ranking")
+  }
+
   test("persisted IVF index: search skips the assignment pass, results identical") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
