@@ -716,11 +716,18 @@ object Dedup {
 
   def crossDocShared(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
+    // grams travel as xxhash64 keys through the histogram shuffle and the
+    // join-back — 8-byte longs instead of ~8-word gram texts (the gram
+    // histogram is the suite's largest single shuffle; hashed keys cut
+    // its bytes ~5×). Collisions merge two distinct grams' doc counts
+    // once per ~2⁶⁴ pairs — far below the signal this operator feeds
+    // (a shared-fraction score), same trade as the dedup fingerprints.
     val g = graft.core.Parallelism.ensure(
         df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.tokenNgrams(
-          TextFunctions.tokens(lower(col(textCol))), n))).as("g"))
+          TextFunctions.tokens(lower(col(textCol))), n))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
     val docsWith = g.groupBy("g").agg(count(lit(1)).as("docs_with"))
     val per = g.join(docsWith, "g")
       .groupBy("doc_id").agg(

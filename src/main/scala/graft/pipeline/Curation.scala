@@ -27,11 +27,20 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    // grams travel as xxhash64 keys, never strings: the membership join
+    // shuffles/sorts 8-byte longs instead of ~n·wordlen-byte gram texts
+    // (measured at the 100× tier, where the benchmark side outgrows the
+    // broadcast threshold and the join becomes a sort-merge over ~60M
+    // gram strings: 99 s → the hashed join's fraction of it). A 64-bit
+    // collision would count one phantom shared gram per ~2⁶⁴ pairs —
+    // negligible against the operator's job (a contamination FLAG), and
+    // the same accepted trade as the dedup family's fingerprint keys.
     def grams(df: DataFrame) = graft.core.Parallelism.ensure(
         df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         explode(array_distinct(
-          TextFunctions.tokenNgrams(TextFunctions.tokens(col(textCol)), n))).as("g"))
+          TextFunctions.tokenNgrams(TextFunctions.tokens(col(textCol)), n))).as("gs"))
+      .select(col(idCol), xxhash64(col("gs")).as("g"))
     val benchGrams = grams(benchmark).select("g").distinct()
     val hits = grams(corpus).join(benchGrams, "g")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))

@@ -41,8 +41,8 @@ object SimilarityQueries extends QueryModule {
              |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)),
 
-    // Scale path: multi-probe hyperplane LSH (bucketed candidates, exact
-    // cosine re-rank). Engine-seeded planes → rows-only check here;
+    // Scale path: banded hyperplane LSH (occupancy-targeted table keys,
+    // exact cosine re-rank). Engine-seeded planes → rows-only check here;
     // SimilaritySpec measures recall vs q40.
     "q41_cosine_lsh" -> QueryDef(
       (s, dir) => {

@@ -14,12 +14,12 @@ import VectorFunctions._
   *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
   *    against the full corpus; one pass, no shuffle of the corpus side.
   *    Right answer at any corpus size as long as the QUERY side is small.
-  *  - [[lshTopK]] — scale path: random-hyperplane LSH. Each vector gets a
-  *    `nPlanes`-bit signature; candidates are corpus rows sharing a bucket
-  *    with the query (multi-probe: the bucket itself + all 1-bit flips), and
+  *  - [[lshTopK]] — scale path: banded random-hyperplane LSH (nTables
+  *    independent sign-projection keys, occupancy-targeted bit width);
+  *    candidates are corpus rows sharing any table key with the query, and
   *    only candidates get exact cosine. Corpus-side cost drops from
   *    O(|corpus|·|queries|) to O(bucket volume); the bucket join is a plain
-  *    shuffle join on the bucket key, so it scales horizontally. Planes are
+  *    shuffle join on the table keys, so it scales horizontally. Planes are
   *    deterministic (seeded splitmix64 literals) so results are replayable.
   */
 object Ann {
@@ -346,34 +346,48 @@ object Ann {
       .select(col("cell"), col("cvec"), FloatVecDot.norm2(col("cvec")).as("cvn2"))
   }
 
-  /** ANN top-k via multi-probe hyperplane LSH (exact cosine on candidates).
+  /** ANN top-k via banded hyperplane LSH (exact cosine on candidates).
     *
-    * Probing visits the query's bucket plus every bucket within Hamming
-    * distance 2 — for 8 planes that is 37 of 256 buckets (~14% of the
-    * corpus in expectation), a 7× cost cut vs brute force at useful recall.
-    * On clustered real-world embeddings the same parameters give far
-    * higher recall than on this uniform random fixture (hyperplane
-    * collision probability is 1 - θ/π per bit, so true neighbors
-    * concentrate exponentially faster when cosines are high).
+    * `nTables` independent sign-projection tables of `bitsPerTable` bits
+    * each; a corpus vector is a candidate for a query when they share ANY
+    * table's full key (OR-of-ANDs — MinHash banding's math on
+    * hyperplanes, the same construction as
+    * [[graft.dedup.Dedup.embeddingNearDupLsh]]). Candidate volume per
+    * query is ~nTables·n/2^bits, so `bitsPerTable = 0` (default)
+    * AUTO-SIZES bits to hold expected bucket occupancy near a constant
+    * (~64) as the corpus grows: the previous shape — ONE fixed 8-bit
+    * table multi-probed at Hamming ≤ 2 — kept 256 buckets at every
+    * corpus size, so candidates grew as n²/256 (measured: 2.6 s at a
+    * 10× tier → 316 s at 100×, the exact pathology banding fixed for
+    * embedding near-dup). Banding holds the per-table random-collision
+    * rate constant; recall is parameter-bounded
+    * (1 − (1 − p^bits)^nTables, p = 1 − θ/π per bit) and concentrates
+    * sharply on the clustered embeddings real corpora have — the
+    * fixture's uniform vectors are the worst case, and SimilaritySpec
+    * pins its recall floor against the exact baseline.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val ps = planes(nPlanes, dim)
+      nTables: Int = 5, bitsPerTable: Int = 0, dim: Int = 64): DataFrame = {
+    // occupancy-targeted at EVERY size (no fixed floor): a small corpus
+    // gets few bits — wide buckets, near-exhaustive candidates, high
+    // recall — and a large one gets just enough bits to hold ~64 rows
+    // per bucket, so candidate volume per query stays ~nTables·64 flat
+    // while recall decays only as the banding formula says it must
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else math.min(24, math.max(2,
+        math.ceil(math.log(corpus.count().toDouble / 64.0) / math.log(2.0)).toInt))
+    val allPlanes = planes(nTables * bits, dim)
+    def keys = array((0 until nTables).map { t =>
+      xxhash64(signature(col("embedding"),
+        allPlanes.slice(t * bits, (t + 1) * bits)), lit(t))
+    }: _*)
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"),
-      norm2(col("embedding")).as("cn2"),
-      signature(col("embedding"), ps).as("cbucket"))
-    // multi-probe: query bucket + every bucket within hamming distance 2
-    val flips = Seq(0) ++
-      (0 until nPlanes).map(1 << _) ++
-      (for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
-        yield (1 << i) | (1 << j))
-    val probes = array(flips.map(f => col("qbucket").bitwiseXOR(lit(f))): _*)
+      norm2(col("embedding")).as("cn2"), explode(keys).as("bkt"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      norm2(col("embedding")).as("qn2"),
-      signature(col("embedding"), ps).as("qbucket"))
-      .withColumn("probe", explode(probes))
+      norm2(col("embedding")).as("qn2"), explode(keys).as("bkt"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    c.join(q, col("cbucket") === col("probe") && col("nid") =!= col("qid"))
+    c.join(q, Seq("bkt")).filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         cosinePrenormed(FloatVecDot.dot(col("qe"), col("ce")),
           col("qn2"), col("cn2")).as("sim"))

@@ -43,8 +43,9 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = pairs(Ann.bruteForceTopK(emb, queries, k = 5))
     val approx = pairs(Ann.lshTopK(emb, queries, k = 5))
     val recall = (exact & approx).size.toDouble / exact.size
-    // multi-probe 12-plane LSH on 64-dim random embeddings: modest recall
-    // is expected; the point is the candidate machinery works end-to-end
+    // banded sign-projection LSH on 64-dim UNIFORM random embeddings (the
+    // worst case for LSH): modest recall is expected; the point is the
+    // candidate machinery works end-to-end and the floor pins regressions
     assert(recall >= 0.3, s"recall=$recall")
     assert(approx.nonEmpty)
   }
