@@ -728,8 +728,18 @@ object Dedup {
         explode(array_distinct(TextFunctions.tokenNgrams(
           TextFunctions.tokens(lower(col(textCol))), n))).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
-    val docsWith = g.groupBy("g").agg(count(lit(1)).as("docs_with"))
-    val per = g.join(docsWith, "g")
+    // doc-count per gram as a WINDOW over the gram partition, not a
+    // groupBy + join-back: the join shape references `g` twice, so the
+    // tokenize→shingle→explode pass — the operator's dominant CPU — runs
+    // once per reference and the plan pays three gram-keyed exchanges
+    // (histogram, join left, and the partial agg). One window = one
+    // exchange and one tokenize pass (measured at the 100× tier: the
+    // biggest single worker in the suite). Partition state is ONE gram's
+    // occurrence list — the corpus duplication factor, never the corpus.
+    // Grams are distinct per doc, so the partition row count IS the
+    // doc count.
+    val per = g.withColumn("docs_with", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_grams"),
         count(when(col("docs_with") >= 2, 1)).as("n_shared"))
