@@ -125,6 +125,54 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists(v1.get))
   }
 
+  test("ledger compaction: interrupted cleanup recovers; reads complete at every kill point") {
+    val root = freshDir("graft-ledger-crash")
+    val out = s"$root/out"; val ledger = s"$root/ledger"
+    val w = DedupStream.writer(out, ledger, "text", "doc_id")
+    w(Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), 0L)
+    w(Seq((2L, "c")).toDF("doc_id", "text"), 1L)
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // kill point 1: compacted table written but the generation marker
+    // never landed (crash between writeBucketed and the marker rename).
+    // Simulate by compacting, then deleting the marker but keeping the
+    // orphan table AND restoring the batch dirs (which the real crash
+    // would never have deleted — cleanup runs after the marker).
+    val t1 = DedupStream.compactLedger(spark, ledger).get
+    fs.delete(new org.apache.hadoop.fs.Path(ledger, "_compactedtable-1"), false)
+    w(Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), 0L) // replay rebuilds batch dirs
+    w(Seq((2L, "c")).toDF("doc_id", "text"), 1L)
+    // no marker → the orphan table is invisible; reads fall back to dirs
+    assert(DedupStream.currentCompaction(spark, ledger).isEmpty)
+    assert(DedupStream.ledgerFps(spark, ledger).distinct().count() == 3)
+    // re-invoking compaction recovers: drops/rewrites the orphan, lands
+    // its marker, cleans the dirs
+    val t2 = DedupStream.compactLedger(spark, ledger).get
+    assert(DedupStream.ledgerFps(spark, ledger).count() == 3)
+    assert(IdempotentSink.committedBatches(spark, ledger).isEmpty)
+
+    // kill point 2: marker landed but cleanup never ran (crash after the
+    // rename). Simulate by re-materializing absorbed batch dirs next to
+    // the live generation.
+    w(Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), 0L)
+    w(Seq((2L, "c")).toDF("doc_id", "text"), 1L)
+    // duplicated state (table + dirs) must not change dedup results
+    val survivors = graft.dedup.Dedup.exactIncremental(
+      Seq((9L, "c"), (10L, "d")).toDF("doc_id", "text"),
+      "text", "doc_id", DedupStream.ledgerFps(spark, ledger))
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(survivors == Set(10L), "c is in the ledger twice, still dropped once")
+    // the next compaction absorbs the leftovers into a fresh generation
+    // and drops the superseded table
+    val t3 = DedupStream.compactLedger(spark, ledger).get
+    assert(t3 != t2)
+    assert(!spark.catalog.tableExists(t2))
+    assert(DedupStream.ledgerFps(spark, ledger).count() == 3)
+    assert(IdempotentSink.committedBatches(spark, ledger).isEmpty)
+    assert(t1 != t3) // generations never reuse a table name
+  }
+
   test("crash between survivor commit and ledger commit replays identically") {
     val root = freshDir("graft-dedup-crash")
     val out = s"$root/out"; val ledger = s"$root/ledger"
