@@ -78,9 +78,16 @@ object Dedup {
     val RowsPerBand: Int = NumHashes / Bands
 
     /** Near-dup EDGES from banded signatures, verified with exact Jaccard
-      * over distinct shingle sets — an edge set whose TRANSITIVE CLOSURE
-      * equals the full `jaccard >= threshold` pair relation, not the full
-      * pair list itself.
+      * over distinct shingle sets. Contract: the CONNECTED COMPONENTS of
+      * the returned edge set equal the connected components of the full
+      * `jaccard >= threshold` pair relation — cluster-level consumers
+      * ([[Dedup.connectedComponents]], q76) lose nothing. The edge LIST
+      * itself is neither the exhaustive pair list (within-group pairs are
+      * star-collapsed) nor is its transitive closure the pair relation:
+      * chaining two verified rep-level edges through a shared
+      * representative can connect a pair whose direct jaccard is below
+      * threshold. Consumers of the raw pair list (per-pair jaccard
+      * analytics, pair counts) should verify pairs directly instead.
       *
       * Documents with IDENTICAL shingle sets collapse to a min-id
       * representative BEFORE banding (the same collapse
@@ -716,33 +723,53 @@ object Dedup {
 
   def crossDocShared(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
-    // grams travel as xxhash64 keys through the histogram shuffle and the
-    // join-back — 8-byte longs instead of ~8-word gram texts (the gram
-    // histogram is the suite's largest single shuffle; hashed keys cut
-    // its bytes ~5×). Collisions merge two distinct grams' doc counts
-    // once per ~2⁶⁴ pairs — far below the signal this operator feeds
-    // (a shared-fraction score), same trade as the dedup fingerprints.
+    // grams travel as xxhash64 keys — 8-byte longs instead of ~8-word
+    // gram texts (the gram histogram is the suite's largest single
+    // shuffle; hashed keys cut its bytes ~5×). Collisions merge two
+    // distinct grams' doc counts once per ~2⁶⁴ pairs — far below the
+    // signal this operator feeds (a shared-fraction score), same trade
+    // as the dedup fingerprints.
+    //
+    // The exploded gram table is computed ONCE and persisted: two
+    // aggregations consume it (per-gram histogram, per-doc totals), and
+    // without the cache each would re-run the tokenize→shingle→explode
+    // pass — the operator's dominant CPU. MEMORY_AND_DISK spills rather
+    // than evicts under pressure; the entry is released by Spark's
+    // ContextCleaner once the returned plan is unreferenced (and
+    // re-invocations of the same query reuse it via the CacheManager's
+    // canonicalized-plan key in the meantime).
     val g = graft.core.Parallelism.ensure(
         df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.tokenNgrams(
           TextFunctions.tokens(lower(col(textCol))), n))).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
-    // doc-count per gram as a WINDOW over the gram partition, not a
-    // groupBy + join-back: the join shape references `g` twice, so the
-    // tokenize→shingle→explode pass — the operator's dominant CPU — runs
-    // once per reference and the plan pays three gram-keyed exchanges
-    // (histogram, join left, and the partial agg). One window = one
-    // exchange and one tokenize pass (measured at the 100× tier: the
-    // biggest single worker in the suite). Partition state is ONE gram's
-    // occurrence list — the corpus duplication factor, never the corpus.
-    // Grams are distinct per doc, so the partition row count IS the
-    // doc count.
-    val per = g.withColumn("docs_with", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_grams"),
-        count(when(col("docs_with") >= 2, 1)).as("n_shared"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Every step below is PARTIAL-AGG-SAFE — the earlier window-over-
+    // gram-partition formulation buffered one gram's entire occurrence
+    // list in a single task, so a boilerplate gram present in most
+    // documents (license header, nav bar — exactly the signal this
+    // operator measures) concentrated ~N rows in one straggling,
+    // spill-bound partition. Here that gram collapses map-side: each
+    // map task emits ONE (g, partial count, partial min) row, so no
+    // reduce task ever sees more than #mapTasks rows for any gram.
+    //
+    // Grams are distinct per doc, so docs_with IS the doc count; and a
+    // gram with docs_with == 1 has exactly one owner — min(doc_id) IS
+    // that owner. Per-doc shared count is then total minus unique
+    // (n_shared = n_grams − n_unshared), which removes the gram-keyed
+    // join-back entirely: after the histogram, everything is keyed by
+    // doc — small, skew-free, partial-agged.
+    val perGram = g.groupBy("g").agg(
+      count(lit(1)).as("docs_with"), min("doc_id").as("d0"))
+    val unshared = perGram.filter(col("docs_with") === 1)
+      .groupBy("d0").agg(count(lit(1)).as("n_unshared"))
+    val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val per = totals.join(unshared,
+        totals("doc_id") === unshared("d0"), "left")
+      .select(totals("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_unshared"), lit(0L)))
+          .as("n_shared"))
     df.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

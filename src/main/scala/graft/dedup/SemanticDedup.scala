@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.FloatVecDot
@@ -106,10 +106,17 @@ object SemanticDedup {
     // ~n²/2⁶⁵ — negligible against the operator's own parameter-bounded
     // approximation. Zero vectors stay excluded on BOTH sides of the
     // star join (cn2 > 0), never by luck of the hash.
+    // hash over a CANONICALIZED array: xxhash64 sees raw float bits, so
+    // -0.0 vs 0.0 (bit-distinct, == -equal) would land one vector group
+    // in two collapse keys and silently never pair them — semantics the
+    // previous array-equality groupBy key (NormalizeFloatingNumbers) gave
+    // for free. `x + 0.0f` maps -0.0 to +0.0 and re-quiets any exotic
+    // NaN payload to the JVM's canonical NaN.
+    def cefp(ce: Column): Column = xxhash64(transform(ce, x => x + lit(0.0f)))
     val nz = members.filter(col("cn2") > 0)
-    val groups = nz.groupBy(xxhash64(col("ce")).as("cefp"))
+    val groups = nz.groupBy(cefp(col("ce")).as("cefp"))
       .agg(min("nid").as("rep"))
-    val stars = nz.withColumn("cefp", xxhash64(col("ce")))
+    val stars = nz.withColumn("cefp", cefp(col("ce")))
       .join(groups, Seq("cefp"))
       .filter(col("nid") =!= col("rep"))
       .select(col("rep").as("id_a"), col("nid").as("id_b"))

@@ -101,7 +101,20 @@ object Sketches {
           s"ivf_probe_cells: nProbe must be an int literal, got $other")
       }),
     ("bpe_encode", "_FUNC_(text, merges) - byte-level BPE token ids",
-      2, es => BpeEncode(es.head, es(1))))
+      2, es => BpeEncode(es.head, es(1))),
+    // Spark ships BloomFilterMightContain for its internal runtime-filter
+    // rewrite but does not register it for users; expose it so operators
+    // can request an explicit bloom prefilter (decontaminate's map-side
+    // benchmark-gram pruning) with the bloom as a lazy scalar subquery.
+    ("bloom_might_contain",
+      "_FUNC_(bloom, value) - bloom-filter membership probe",
+      2, es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1))),
+    ("bloom_filter_build",
+      "_FUNC_(value, items, bits) - serialized bloom filter aggregate",
+      3, es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head, es(1), es(2))
+        .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -18,15 +18,40 @@ object Curation {
     * n-gram-overlap rule for keeping test data out of training data.
     *
     * Scale shape: both sides explode to DISTINCT (doc, gram) pairs
-    * map-side; the benchmark side collapses to distinct grams (a
-    * benchmark is orders of magnitude smaller than the corpus, so
-    * Catalyst broadcasts it when it fits and shuffle-joins on the gram
-    * otherwise); one partial-agg count per corpus doc; a left join back
-    * onto the corpus keeps never-matching (and gramless) docs with
+    * map-side; the benchmark side collapses to distinct grams. The
+    * membership test is the asymmetric step — a benchmark is a FIXED
+    * eval set, orders of magnitude smaller than a 100 TB corpus, so the
+    * corpus side must never shuffle on the gram key. `benchSide` picks
+    * how:
+    *
+    *  - `"broadcast"` (default): the distinct hashed benchmark grams are
+    *    broadcast and the membership join is a map-side broadcast-hash
+    *    join — ZERO corpus-gram exchange. Right whenever the gram set
+    *    fits the broadcast budget (8-byte longs: tens of millions of
+    *    grams).
+    *  - `"bloom"`: a Bloom filter over the benchmark grams (built lazily
+    *    as a scalar subquery — no eager driver job) prunes corpus grams
+    *    MAP-SIDE first; only the tiny surviving fraction shuffles into
+    *    the exact membership join, which removes the Bloom's false
+    *    positives, so results are bit-identical to `"broadcast"`. Right
+    *    when the gram set outgrows the broadcast budget.
+    *  - `"shuffle"`: the plain shuffle join (both sides exchange on the
+    *    gram key). Kept for comparison and as the no-assumptions
+    *    fallback.
+    *
+    * After membership: one partial-agg count per corpus doc; a left join
+    * back onto the corpus keeps never-matching (and gramless) docs with
     * n_shared = 0. Nothing is O(corpus²).
+    *
+    * `bloomExpectedGrams`/`bloomNumBits` size the `"bloom"` filter
+    * (defaults: 4M grams in 64M bits ≈ 8 MB, ~0.4% FP — false positives
+    * cost only wasted shuffle rows, never correctness).
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+      textCol: String, idCol: String, n: Int = 5,
+      benchSide: String = "broadcast",
+      bloomExpectedGrams: Long = 4000000L,
+      bloomNumBits: Long = 67108864L): DataFrame = {
     // grams travel as xxhash64 keys, never strings: the membership join
     // shuffles/sorts 8-byte longs instead of ~n·wordlen-byte gram texts
     // (measured at the 100× tier, where the benchmark side outgrows the
@@ -42,8 +67,25 @@ object Curation {
           TextFunctions.tokenNgrams(TextFunctions.tokens(col(textCol)), n))).as("gs"))
       .select(col(idCol), xxhash64(col("gs")).as("g"))
     val benchGrams = grams(benchmark).select("g").distinct()
-    val hits = grams(corpus).join(benchGrams, "g")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val corpusGrams = grams(corpus)
+    val matched = benchSide match {
+      case "broadcast" => corpusGrams.join(broadcast(benchGrams), "g")
+      case "bloom" =>
+        // lazy Bloom build: bloom_filter_agg over the (small) benchmark
+        // side, delivered to every corpus task as a scalar subquery —
+        // Spark's own runtime-filter machinery, requested explicitly.
+        // The follow-up exact join removes false positives.
+        val bloom = benchGrams.agg(call_function("bloom_filter_build",
+          col("g"), lit(bloomExpectedGrams), lit(bloomNumBits)).as("bf"))
+          .scalar()
+        corpusGrams
+          .filter(call_function("bloom_might_contain", bloom, col("g")))
+          .join(benchGrams, "g")
+      case "shuffle" => corpusGrams.join(benchGrams.hint("shuffle_merge"), "g")
+      case other => throw new IllegalArgumentException(
+        s"decontaminate: benchSide must be broadcast|bloom|shuffle, got $other")
+    }
+    val hits = matched.groupBy(idCol).agg(count(lit(1)).as("n_shared"))
     corpus.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),

@@ -190,8 +190,9 @@ object DedupQueries extends QueryModule {
 
     // Cross-document duplicated-span accounting: per doc, how many of its
     // DISTINCT 8-grams appear in >= 2 docs corpus-wide (boilerplate
-    // signal). Distinct-per-doc grams -> one gram-histogram shuffle ->
-    // gram-keyed join back -> per-doc rollup; nothing O(corpus^2).
+    // signal). Cached gram table -> partial-agg gram histogram (hot
+    // grams collapse map-side) -> doc-keyed rollups; no gram-keyed
+    // join-back, nothing O(corpus^2), no unbounded window partition.
     "q93_crossdoc_ngram" -> QueryDef(
       (s, dir) =>
         Dedup.crossDocShared(Tables.documents(s, dir), "text", "doc_id")

@@ -55,23 +55,55 @@ object DedupStream {
     * Once all batches are compacted the read is the bucketed table ALONE,
     * so the incremental-dedup anti-join's ledger side plans with zero
     * Exchange (spec-pinned in StreamingDedupSpec).
+    *
+    * Read ordering vs a completing compaction: the marker is resolved
+    * FIRST, and only batch dirs STRICTLY NEWER than the marked generation
+    * are then listed and read — every id ≤ the generation is already in
+    * the table (absorbed, or a replayed rewrite of an absorbed batch), so
+    * a compactor deleting those dirs after our marker read cannot fail or
+    * skew this read. The one remaining window — a SECOND compaction
+    * completing and deleting `(v, v']` dirs between our listing and the
+    * parquet read — is excluded by contract, not code: compaction is a
+    * maintenance job run by the ledger's single writer between
+    * micro-batches (see [[compactLedger]]), never concurrently with the
+    * stream that reads this.
     */
-  def ledgerFps(spark: SparkSession, ledgerDir: String): DataFrame = {
-    val batches = IdempotentSink
-      .readCommitted(spark, ledgerDir, Some(FpSchema)).select("fp")
+  def ledgerFps(spark: SparkSession, ledgerDir: String): DataFrame =
     currentCompaction(spark, ledgerDir) match {
-      case None => batches
-      case Some((_, table)) =>
+      case None =>
+        IdempotentSink.readCommitted(spark, ledgerDir, Some(FpSchema))
+          .select("fp")
+      case Some((version, table)) =>
         val compacted = spark.table(table).select("fp")
-        if (IdempotentSink.committedBatches(spark, ledgerDir).isEmpty)
+        val fresh = IdempotentSink.committedBatches(spark, ledgerDir)
+          .filter(_ > version)
+        if (fresh.isEmpty)
           compacted // preserve the bucketed partitioning — no union node
-        else compacted.unionByName(batches)
+        else compacted.unionByName(
+          spark.read.option("basePath", ledgerDir)
+            .parquet(fresh.map(id => s"$ledgerDir/batch=$id"): _*)
+            .select("fp"))
     }
-  }
 
   // --- ledger compaction ----------------------------------------------------
 
   private val CompactedPrefix = "_compactedtable-"
+
+  /** Delete a table's DEFAULT warehouse directory if it exists without a
+    * catalog entry — the orphan a crash leaves when the JVM dies after
+    * `saveAsTable` but before its marker, and a restart's non-durable
+    * metastore has forgotten the table (so `DROP TABLE IF EXISTS` no-ops
+    * while the location blocks every re-create with
+    * LOCATION_ALREADY_EXISTS). Resolved through the catalog so the
+    * current database's `<db>.db/<table>` path is honored.
+    */
+  private def deleteDefaultLocation(spark: SparkSession, table: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 
   /** The current compaction generation: (version, metastore table name),
     * read from the HIGHEST-versioned `_compactedtable-<v>` marker. Marker
@@ -124,7 +156,11 @@ object DedupStream {
     * computation is a pure function of (batch, committed fps) — and
     * rewrites its ledger dir: harmless duplication until the next
     * compaction sweeps it. Single concurrent compactor per ledger, like
-    * [[graft.similarity.Ann.writeIvfIndex]]'s single-writer contract.
+    * [[graft.similarity.Ann.writeIvfIndex]]'s single-writer contract —
+    * and compaction must not run CONCURRENTLY with the stream's
+    * micro-batches either: [[ledgerFps]] reads marker-then-dirs in two
+    * steps, so run this between batches (e.g. from the stream's own
+    * `foreachBatch` cadence check, or with the query stopped).
     *
     * Returns the active compacted table name, or None when the ledger has
     * never committed anything.
@@ -153,6 +189,14 @@ object DedupStream {
         .getOrElse(batchFps)
         .distinct()
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      // a crash between writeBucketed and the marker rename, followed by a
+      // JVM restart with a non-durable metastore, leaves the table's
+      // warehouse DIRECTORY behind while the catalog forgot the table —
+      // the DROP above is then a no-op and saveAsTable would refuse with
+      // LOCATION_ALREADY_EXISTS forever, wedging compaction. Clear the
+      // stale location first (same defense, and same single-writer
+      // contract, as [[graft.similarity.Ann.writeIvfIndex]]).
+      deleteDefaultLocation(spark, table)
       graft.core.Layout.writeBucketed(all, table, "fp", buckets)
       val tmp = new org.apache.hadoop.fs.Path(root, s".$CompactedPrefix$version.tmp")
       val o = fs.create(tmp, true)
@@ -172,6 +216,9 @@ object DedupStream {
         finally in.close()
         fs.delete(p, false)
         spark.sql(s"DROP TABLE IF EXISTS `$old`")
+        // across a restart the metastore may have forgotten `old` while
+        // its directory survives — don't leak superseded generations
+        deleteDefaultLocation(spark, old)
       }
     ids.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_committed-$id"), false)

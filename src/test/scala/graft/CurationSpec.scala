@@ -30,6 +30,40 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3L) == (0L, false))
   }
 
+  test("decontaminate: all three benchSide modes agree bit-for-bit, and " +
+      "the default never shuffles corpus grams") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val corpus = (1L to 50L).map { i =>
+      val body =
+        if (i % 5 == 0) "alpha beta gamma delta epsilon planted overlap"
+        else s"filler${i}a filler${i}b filler${i}c filler${i}d filler${i}e filler${i}f"
+      (i, body)
+    }.toDF("doc_id", "text")
+    def run(mode: String) =
+      Curation.decontaminate(corpus, bench, "text", "doc_id",
+          benchSide = mode)
+        .orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+    val base = run("broadcast")
+    assert(base.count(_._3) == 10)
+    // bloom prunes map-side but the exact join removes its false
+    // positives — results must be identical, not merely equivalent
+    assert(run("bloom") == base)
+    assert(run("shuffle") == base)
+    // default ("broadcast"): the gram-membership join must be a
+    // broadcast-hash join — a 100 TB corpus must never exchange its gram
+    // table against a fixed eval set
+    val plan = Curation.decontaminate(corpus, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast gram-membership join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus grams regressed to a shuffle join:\n$plan")
+  }
+
   test("packSequences: offsets, chunk ids, and the straddle flag") {
     def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
     val docs = Seq(

@@ -287,6 +287,32 @@ class DedupSpec extends AnyFunSuite {
     assert(r(5L) == ((1L, 1L, 1.0)))
   }
 
+  test("crossDocShared: ubiquitous boilerplate gram stays skew-safe " +
+      "(partial-agg plan, no window partition)") {
+    // EVERY doc carries the same 8-gram (a license-header stand-in) plus
+    // one private gram — the adversarial shape for any plan that keys a
+    // window or unsplittable partition on the gram: that gram's
+    // occurrence list is the whole corpus.
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = (1L to 200L).map(i =>
+      (i, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocShared(docs, "text", "doc_id")
+    val r = out.collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // 15 tokens -> 8 distinct 8-grams; only the pure-boilerplate one is
+    // shared (every mixed gram contains a doc-private u<i> token)
+    assert(r.size == 200 && r.values.forall(_ == ((8L, 1L))))
+    val plan = out.queryExecution.executedPlan.toString
+    // the histogram must be a two-phase aggregate (map-side partial
+    // absorbs the hot gram before any exchange), never a window whose
+    // partition buffers one gram's full occurrence list in a single task
+    assert(!plan.contains("Window"),
+      s"gram histogram regressed to a window partition:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("merge_count"),
+      s"expected a partial/final aggregate pair for the gram histogram:\n$plan")
+  }
+
   test("span dedup: cross-doc and within-doc duplicate spans rewrite correctly") {
     val t10 = (1 to 10).map(i => s"t$i").mkString(" ")   // one full span
     val s10 = (1 to 10).map(i => s"s$i").mkString(" ")

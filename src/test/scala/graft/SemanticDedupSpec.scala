@@ -68,6 +68,24 @@ class SemanticDedupSpec extends AnyFunSuite {
       "every star edge hangs off the min-id representative")
   }
 
+  test("identical-vector collapse: -0.0 and 0.0 components land in ONE group") {
+    // xxhash64 hashes raw float bits, where -0.0f != 0.0f bitwise; the
+    // collapse canonicalizes before hashing so these two ==-equal vectors
+    // form one group (one star edge), as the pre-hash array-equality key
+    // (NormalizeFloatingNumbers semantics) always did. (Uncollapsed they
+    // would still pair through the rep-level pairwise — cosine(v,v)=1 —
+    // so this pins collapse EFFECTIVENESS, which is what keeps a
+    // dup-heavy ±0.0-mixed group off the pairwise path, not closure.)
+    val members = Seq(
+      (1L, 0, Array(1.0f, 0.0f), 1.0),
+      (2L, 0, Array(1.0f, -0.0f), 1.0))
+      .toDF("nid", "cell", "ce", "cn2")
+    val edges = graft.dedup.SemanticDedup.dupEdges(members, 0.97)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(edges == Set((1L, 2L)),
+      "bit-distinct but ==-equal vectors must collapse to one star edge")
+  }
+
   test("identical-vector collapse: zero vectors are never edged") {
     // cosine with a zero vector is undefined; raw pairwise null-filtered
     // those pairs and the star edges must not resurrect them
