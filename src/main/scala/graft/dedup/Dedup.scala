@@ -201,9 +201,24 @@ object Dedup {
     * candidate pairs (4×16-bit measured 2× faster than 8×8-bit on text
     * sketches); callers needing Hamming > 3 pay that knowingly via
     * `nChunks = 8`.
+    *
+    * `collapseIdentical` (default OFF) runs the blocking over DISTINCT
+    * sketch values and reconstructs the exact full pair list afterwards —
+    * the escape hatch for dup-heavy corpora, where identical-sketch
+    * groups otherwise flood every chunk bucket quadratically. Measured on
+    * the q32 fixture (500k docs / 322k distinct sketches, 100× tier):
+    * candidates 1.98·10⁹ → 6.2·10⁸, but wall only 10.4 s → 8.9 s — the
+    * codegen XOR/bit_count verify is cheap, so wall is output-bound
+    * there — while at the 10× tier the collapse machinery's fixed stage
+    * cost REGRESSES 1.2 s → 4.4 s. Flip it on when identical-group sizes
+    * are large (exact-dup-heavy media/web corpora), where the quadratic
+    * term dominates and the reconstruction is output-bound; for
+    * cluster-level consumers [[hammingClusterEdges]] builds the collapse
+    * in without any reconstruction cost.
     */
   def hammingPairs(sketches: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int = 3, nChunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, nChunks: Int = 4,
+      collapseIdentical: Boolean = false): DataFrame = {
     require(64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
     require(maxHamming < nChunks,
       s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
@@ -211,20 +226,76 @@ object Dedup {
     val bits = 64 / nChunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sh = sketches.select(col(idCol).as("id"), col(hashCol).as("sh"))
-    val chunked = sh.select(col("id"), col("sh"), posexplode(array(
-      (0 until nChunks).map(c =>
-        shiftright(col("sh"), c * bits).bitwiseAND(lit(mask))): _*))
-      .as(Seq("chunk", "ckey")))
-    val l = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // filter BEFORE dedup: hamming is a pure function of the pair, so
-    // duplicates across chunk meetings agree — dedup then shuffles only
-    // the surviving near-dups, not every candidate pair
-    l.join(r, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+    def blocked(src: DataFrame, aCol: String, bCol: String,
+        carry: Seq[String] = Nil): DataFrame = {
+      val chunked = src.select(Seq(col("id"), col("sh")) ++ carry.map(col) ++
+        Seq(posexplode(array(
+          (0 until nChunks).map(c =>
+            shiftright(col("sh"), c * bits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("chunk", "ckey"))): _*)
+      def side(tag: String, idAs: String) = chunked.select(
+        Seq(col("chunk"), col("ckey"), col("id").as(idAs),
+          col("sh").as(s"sh_$tag")) ++
+          carry.map(c => col(c).as(s"${c}_$tag")): _*)
+      // filter BEFORE dedup: hamming is a pure function of the pair, so
+      // duplicates across chunk meetings agree — dedup then shuffles only
+      // the surviving near-dups, not every candidate pair
+      side("a", aCol).join(side("b", bCol), Seq("chunk", "ckey"))
+        .filter(col(aCol) < col(bCol))
+        .withColumn("hamming",
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .dropDuplicates(aCol, bCol)
+        .drop("chunk", "ckey")
+    }
+    if (!collapseIdentical)
+      blocked(sh, "id_a", "id_b").select("id_a", "id_b", "hamming")
+    else {
+      // IDENTICAL-sketch collapse before blocking, EXACT expansion after:
+      // the chunk buckets see DISTINCT sketches only, so candidate volume
+      // scales with distinct² instead of corpus² (measured q32 sf10:
+      // 1.98·10⁹ candidate pairs raw vs 6.2·10⁸ collapsed — sketches are
+      // low-entropy by design, identical-sketch groups flood every
+      // bucket), and the full pair list is reconstructed exactly:
+      // within-group pairs are hamming-0 by definition; a verified rep
+      // pair expands by its two member lists. The expansion is tiered so
+      // a mostly-unique corpus pays ~nothing: pairs whose BOTH sketch
+      // groups are singletons (the bulk) pass through join-free, and only
+      // pairs touching a multi-member group meet the (dup members only)
+      // expansion joins — a left join whose null side falls back to the
+      // representative itself. Every pair appears exactly once (within ⊓
+      // cross = ∅ — same vs different sketch; the direct/expanded split
+      // partitions rep pairs), so no output-sized dedup shuffle either.
+      // See the docstring for when this pays; on already-distinct input
+      // (e.g. [[hammingClusterEdges]]' representatives) it is pure
+      // overhead — keep the flag off there.
+      val groups = sh.groupBy("sh").agg(
+        min("id").as("id"), count(lit(1)).as("m"))
+      val repPairs = blocked(groups, "rep_a", "rep_b", carry = Seq("m"))
+      val direct = repPairs.filter(col("m_a") === 1 && col("m_b") === 1)
+        .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"),
+          col("hamming"))
+      val dupSh = groups.filter(col("m") > 1).select("sh")
+      val dupMembers = sh.join(dupSh, "sh")
+      val within = dupMembers.select(col("sh"), col("id").as("id_a"))
+        .join(dupMembers.select(col("sh"), col("id").as("id_b")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          lit(0).cast("integer").as("hamming"))
+      val needExp = repPairs.filter(col("m_a") > 1 || col("m_b") > 1)
+      val cross = needExp
+        .join(dupMembers.select(col("sh").as("sh_a"), col("id").as("ia")),
+          Seq("sh_a"), "left")
+        .join(dupMembers.select(col("sh").as("sh_b"), col("id").as("ib")),
+          Seq("sh_b"), "left")
+        .select(
+          least(coalesce(col("ia"), col("rep_a")),
+            coalesce(col("ib"), col("rep_b"))).as("id_a"),
+          greatest(coalesce(col("ia"), col("rep_a")),
+            coalesce(col("ib"), col("rep_b"))).as("id_b"),
+          col("hamming"))
+      direct.unionByName(within).unionByName(cross)
+    }
   }
 
   /** Near-dup EDGES sufficient for connected-component clustering over a
@@ -249,7 +320,7 @@ object Dedup {
       .select(col("rep").as("id_a"), col("id").as("id_b"))
     val repPairs = hammingPairs(
         groups.select(col("rep").as("id"), col("sh")),
-        "id", "sh", maxHamming, nChunks)
+        "id", "sh", maxHamming, nChunks, collapseIdentical = false)
       .select("id_a", "id_b")
     stars.unionByName(repPairs)
   }
@@ -738,12 +809,19 @@ object Dedup {
     // ContextCleaner once the returned plan is unreferenced (and
     // re-invocations of the same query reuse it via the CacheManager's
     // canonicalized-plan key in the meantime).
+    // native shingle loop (same XXH64-seed-42 hashes as the old
+    // string-gram + xxhash64 chain, one JVM pass per doc) — the
+    // interpreted transform/concat_ws gram builder dominated this
+    // operator's CPU at the 100× tier; short docs are filtered before
+    // the loop, whose sub-width shingle would otherwise mint a phantom
+    // gram for them
     val g = graft.core.Parallelism.ensure(
         df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.tokenNgrams(
-          TextFunctions.tokens(lower(col(textCol))), n))).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.Sketches.shingleSetN(col("toks"), n)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Every step below is PARTIAL-AGG-SAFE — the earlier window-over-
     // gram-partition formulation buffered one gram's entire occurrence

@@ -63,6 +63,19 @@ object Sketches {
   def shingleSet(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("shingle_set", tokens)
 
+  /** [[shingleSet]] with an explicit shingle width — the native gram
+    * builder for the n-gram membership operators (decontaminate's
+    * 5-grams, crossDocShared's 8-grams), replacing the interpreted
+    * `transform(sequence, …, concat_ws)` + `array_distinct` + `xxhash64`
+    * chain (measured at the 100× tier: the string-gram builder dominated
+    * those operators' CPU). NOTE: for token arrays SHORTER than `n` the
+    * loop emits one sub-width shingle — callers wanting "no grams for
+    * short docs" semantics must filter `size(tokens) >= n` first.
+    */
+  def shingleSetN(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("shingle_set_n", tokens,
+      org.apache.spark.sql.functions.lit(n))
+
   private[graft] def arity(name: String, n: Int)(
       exprs: Seq[Expression]): Seq[Expression] = {
     require(exprs.length == n, s"$name expects $n argument(s), got ${exprs.length}")
@@ -88,6 +101,14 @@ object Sketches {
       2, es => SortedIntersectCount(es.head, es(1))),
     ("shingle_set", "_FUNC_(tokens) - sorted distinct hashed 3-gram shingles",
       1, es => ShingleSet(es.head)),
+    ("shingle_set_n",
+      "_FUNC_(tokens, n) - sorted distinct hashed n-gram shingles",
+      2, es => es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, IntegerType) =>
+          ShingleSet(es.head, shingleN = n)
+        case other => throw new IllegalArgumentException(
+          s"shingle_set_n: n must be an int literal, got $other")
+      }),
     ("int8_vec_dot", "_FUNC_(a, b) - exact int64 dot of two int8 vectors",
       2, es => Int8VecDot(es.head, es(1))),
     ("ivf_argmax_cell", "_FUNC_(v, cells, centroids) - argmax-cosine cell id",

@@ -630,7 +630,8 @@ object Multimodal {
         // retouch drift routinely exceeds 3 bits, so radii up to 7 are
         // first-class via 8×8-bit chunks
         val edges = Dedup.hammingPairs(distinctHashes, "h", "h", frameHamming,
-            nChunks = if (frameHamming < 4) 4 else 8)
+            nChunks = if (frameHamming < 4) 4 else 8,
+            collapseIdentical = false) // input already distinct
           .select("id_a", "id_b")
         val canon = Dedup.connectedComponents(edges, "id_a", "id_b")
           .toDF("h", "canon")

@@ -60,12 +60,19 @@ object Curation {
     // collision would count one phantom shared gram per ~2⁶⁴ pairs —
     // negligible against the operator's job (a contamination FLAG), and
     // the same accepted trade as the dedup family's fingerprint keys.
+    // The hashes come from the NATIVE shingle loop (one JVM pass per doc,
+    // same XXH64-seed-42 values as the old string-gram + xxhash64 chain)
+    // — after the join strategy stopped shuffling corpus grams, the
+    // interpreted transform/concat_ws gram builder WAS the operator's
+    // remaining cost (measured sf10: ~52 s of ~54 s total); docs shorter
+    // than n grams are filtered first, which the loop's sub-width shingle
+    // would otherwise phantom-match.
     def grams(df: DataFrame) = graft.core.Parallelism.ensure(
         df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
       .select(col(idCol),
-        explode(array_distinct(
-          TextFunctions.tokenNgrams(TextFunctions.tokens(col(textCol)), n))).as("gs"))
-      .select(col(idCol), xxhash64(col("gs")).as("g"))
+        explode(graft.functions.Sketches.shingleSetN(col("toks"), n)).as("g"))
     val benchGrams = grams(benchmark).select("g").distinct()
     val corpusGrams = grams(corpus)
     val matched = benchSide match {

@@ -3,6 +3,7 @@ package graft.queries
 import java.time.LocalDateTime
 import java.time.temporal.ChronoUnit
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -441,50 +442,92 @@ object Extended extends QueryModule {
              |ORDER BY s.line_id, s.hour""".stripMargin)),
 
     // Stratified seeded sampling (training-data curation): downsample the
-    // dominant strata, keep rare ones whole. Row membership is Spark's
-    // seeded Bernoulli draw — deterministic per engine, engine-specific
-    // across engines, hence rows-only at the driver; SamplingSpec pins
-    // reproducibility and per-stratum rates.
+    // dominant strata, keep rare ones whole. Membership is a pure
+    // (id, seed) scramble — the identical arithmetic runs in DuckDB SQL,
+    // so the draw itself is ORACLE-HASH-GATED (not rows-only, as the
+    // engine-RNG `Sampling.stratified` variant must be); SamplingSpec
+    // additionally pins per-stratum rates and determinism.
     "q63_stratified_sample" -> QueryDef(
       (s, dir) =>
-        graft.sampling.Sampling.stratified(
-            Tables.documents(s, dir), "lang",
+        graft.sampling.Sampling.stratifiedByHash(
+            Tables.documents(s, dir), "lang", "doc_id",
             Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "xx" -> 1.0),
             seed = 42L)
           .select("doc_id", "lang")
           .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    ((doc_id % 2147483648) * 2654435761 + 42) % 1048576 AS h,
+             |    CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+             |              WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5
+             |              WHEN 'xx' THEN 1.0 ELSE 0.0 END AS r
+             |  FROM documents
+             |) WHERE h < r * 1048576 ORDER BY doc_id""".stripMargin)),
 
-    // Frequent-items sketch over the token stream (KPS one-pass, bounded
-    // memory) — the scale path beside the exact token top-k (q24). Output
-    // is the sketch's candidate set as rows; rows-only at the driver,
-    // SamplingSpec proves it contains every truly-frequent token.
+    // Exact heavy hitters over the token stream at bounded memory: a KPS
+    // frequent-items sketch proposes candidates (no false negatives above
+    // the support), then an exact count of ONLY the candidate set keeps
+    // the true > 2% tokens — so the output is exact and ORACLE-HASH-GATED
+    // against DuckDB's full group-by, while the engine never shuffles the
+    // long tail. SamplingSpec separately pins the sketch's recall
+    // guarantee.
     "q64_freq_tokens" -> QueryDef(
       (s, dir) => {
         val toks = Tables.documents(s, dir)
           .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
-        graft.sampling.Sampling.frequentValues(toks, "token", 0.02)
-          .select(explode(col("token_freqItems")).as("token"))
+        graft.sampling.Sampling.heavyHitters(toks, "token", 0.02)
           .orderBy("token")
       },
-      None),
+      Some("""WITH t AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents
+             |), tot AS (SELECT count(*) AS n_tot FROM t)
+             |SELECT token, count(*) AS n FROM t, tot
+             |GROUP BY token, n_tot
+             |HAVING count(*) > 0.02 * n_tot
+             |ORDER BY token""".stripMargin)),
 
     // Approximate percentile sketch (Greenwald-Khanna via
     // percentile_approx) — the bounded-memory unbounded-group path next to
-    // the exact quantiles of q07/q08/q52. Returns actual input elements at
-    // sketch-bounded rank error; DuckDB's approx_quantile is a different
-    // sketch, so rows-only at the driver with the rank-error bound pinned
-    // in ExtendedSpec.
+    // the exact quantiles of q07/q08/q52. DuckDB's approx_quantile is a
+    // DIFFERENT sketch, so the sketch values themselves can't hash-gate;
+    // instead the query PROVES the sketch's contract in-band and the
+    // oracle gates the proof: pXX_ok asserts (a) the sketch value is an
+    // actual input element and (b) its exact rank — computed by a second
+    // distributed counting pass, no group ever materialized — sits within
+    // 0.01 of the target, while p50/p90_exact are quantile_disc values
+    // DuckDB reproduces bit-for-bit (q08's precedent). The oracle expects
+    // every pXX_ok TRUE, so a sketch drifting out of its error bound now
+    // FAILS the driver gate instead of passing a row count.
     "q65_quantile_sketch" -> QueryDef(
-      (s, dir) =>
-        Tables.lineitem(s, dir)
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val sk = li.groupBy("l_returnflag").agg(
+          quantileApprox(col("l_extendedprice"), 0.5).as("p50_sk"),
+          quantileApprox(col("l_extendedprice"), 0.9).as("p90_sk"),
+          quantileDisc(col("l_extendedprice"), 0.5).as("p50_exact"),
+          quantileDisc(col("l_extendedprice"), 0.9).as("p90_exact"),
+          count(lit(1)).as("n"))
+        def rankOk(sv: Column, tgt: Double) =
+          (abs(count(when(col("l_extendedprice") <= sv, 1)).cast("double") /
+            max("n").cast("double") - lit(tgt)) <= lit(0.01)) &&
+            (count(when(col("l_extendedprice") === sv, 1)) >= 1)
+        li.join(broadcast(sk), "l_returnflag")
           .groupBy("l_returnflag")
           .agg(
-            quantileApprox(col("l_extendedprice"), 0.5).as("p50_price"),
-            quantileApprox(col("l_extendedprice"), 0.9).as("p90_price"),
-            count(lit(1)).as("n"))
-          .orderBy("l_returnflag"),
-      None),
+            max("n").as("n"),
+            max("p50_exact").as("p50_exact"),
+            max("p90_exact").as("p90_exact"),
+            rankOk(col("p50_sk"), 0.5).as("p50_ok"),
+            rankOk(col("p90_sk"), 0.9).as("p90_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  quantile_disc(l_extendedprice, 0.5) AS p50_exact,
+             |  quantile_disc(l_extendedprice, 0.9) AS p90_exact,
+             |  TRUE AS p50_ok, TRUE AS p90_ok
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // CDC-style keep-latest: one surviving row per key, the newest by
     // (ts, event_id) — the upsert-view staple over an append-only zone.

@@ -244,6 +244,28 @@ class DedupSpec extends AnyFunSuite {
     assert(full == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("hammingPairs: collapseIdentical reconstructs the exact pair list") {
+    // dup groups, a near-dup bridge, unique near-dups, an island — the
+    // collapsed path's direct/within/expanded tiers all exercised; output
+    // must be IDENTICAL (pairs and distances) to the raw blocking
+    val sk = Seq(
+      (1L, 0x00000000000000ffL), (2L, 0x00000000000000ffL),
+      (7L, 0x00000000000000ffL),                            // 3-member group
+      (3L, 0x00000000000000feL),                            // bridge, hamming 1
+      (4L, 0x7700000000000000L), (5L, 0x7700000000000000L), // 2-member group
+      (8L, 0x7700000000000001L),                            // unique nbr of group
+      (9L, 0x0f0f0f0f0f0f0f00L), (10L, 0x0f0f0f0f0f0f0f01L), // unique-unique pair
+      (6L, 0x1122334455667788L))                            // island
+      .toDF("id", "sh")
+    def pairs(collapse: Boolean) =
+      Dedup.hammingPairs(sk, "id", "sh", collapseIdentical = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = pairs(false)
+    assert(pairs(true) == raw)
+    assert(raw.contains((9L, 10L, 1)) && raw.contains((1L, 2L, 0)) &&
+      raw.contains((4L, 8L, 1)) && !raw.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("embedding near-dup LSH path: finds same-direction pair (same bucket)") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => (i + 1).toFloat)),

@@ -37,6 +37,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(enRate > 0.05 && enRate < 0.4, s"en rate $enRate far from 0.2")
   }
 
+  test("stratifiedByHash: deterministic, near-rate, engine-independent formula") {
+    val docs = Tables.documents(spark, dir)
+    val fr = Map("en" -> 0.2, "de" -> 1.0)
+    val got = Sampling.stratifiedByHash(
+      docs.filter(col("lang").isin("en", "de")), "lang", "doc_id", fr, seed = 42L)
+    assert(got.filter(col("lang") === "de").count() ==
+      docs.filter(col("lang") === "de").count(), "rate 1.0 keeps the stratum")
+    val enIds = got.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val enAll = docs.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0))
+    val rate = enIds.size.toDouble / enAll.length
+    assert(rate > 0.1 && rate < 0.3, s"en rate $rate far from 0.2")
+    // the membership rule is plain arithmetic any engine reproduces —
+    // recompute it here, row for row
+    def member(id: Long): Boolean =
+      Math.floorMod(Math.floorMod(id, 1L << 31) * 2654435761L + 42L,
+        1L << 20) < 0.2 * (1L << 20)
+    assert(enAll.filter(member).toSet == enIds)
+    // strata missing from the map are dropped, like sampleBy
+    assert(Sampling.stratifiedByHash(docs, "lang", "doc_id", fr, 42L)
+      .filter(!col("lang").isin("en", "de")).count() == 0)
+  }
+
+  test("heavyHitters: exact counts, exactly the > support*N token set") {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+    val total = toks.count()
+    val got = Sampling.heavyHitters(toks, "token", 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy("token").count()
+      .filter(col("count") > lit(total * 0.02))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "two-pass sketch+verify must equal the full group-by")
+  }
+
   test("frequent-items sketch contains every truly frequent token") {
     val toks = Tables.documents(spark, dir)
       .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
