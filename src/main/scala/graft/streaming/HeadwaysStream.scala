@@ -76,7 +76,7 @@ object HeadwaysStream {
   case class ArrivalEvent(line_id: String, stop_id: String, event_ts: Timestamp)
   case class HeadwayGap(line_id: String, stop_id: String, event_ts: Timestamp,
       headway_s: Double)
-  case class LastSeen(lastTs: Long)
+  case class LastSeen(lastTs: Long) // epoch MICROS of the newest event seen
 
   /** Per-(line, stop) gap emission with `flatMapGroupsWithState`: the state
     * is just the last arrival timestamp per key — O(keys), no recompute.
@@ -90,6 +90,18 @@ object HeadwaysStream {
     * exists for the scale regime where recomputing history per trigger is
     * impossible — state stays at 16 bytes per (line, stop).
     */
+  /** Exact epoch MICROSECONDS of a timestamp — `Timestamp.getTime` alone
+    * is millisecond-resolution, which silently truncated every gap to ms
+    * precision (and blurred the late-drop comparison for events inside
+    * the same millisecond); caught by the sf1 tier run's byte-equality
+    * gate against the `unix_micros` batch recompute, invisible to
+    * whole-second spec fixtures. `getNanos` carries the full sub-second;
+    * `getTime`'s ms include its first three digits, so only the sub-ms
+    * remainder is added back.
+    */
+  private def epochMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   def incrementalGaps(spark: SparkSession, arrivals: Dataset[ArrivalEvent]):
       Dataset[HeadwayGap] = {
     import spark.implicits._
@@ -98,14 +110,14 @@ object HeadwaysStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
         (key: (String, String), rows: Iterator[ArrivalEvent],
          state: GroupState[LastSeen]) => {
-          val sorted = rows.toSeq.sortBy(_.event_ts.getTime)
+          val sorted = rows.toSeq.sortBy(a => epochMicros(a.event_ts))
           var last = state.getOption.map(_.lastTs)
           val gaps = sorted.flatMap { a =>
-            val ts = a.event_ts.getTime
+            val ts = epochMicros(a.event_ts)
             if (last.exists(ts < _)) None // late across batches → drop
             else {
               val gap = last.map(l => HeadwayGap(key._1, key._2, a.event_ts,
-                (ts - l).toDouble / 1000.0))
+                (ts - l).toDouble / 1e6))
               last = Some(ts)
               gap
             }

@@ -173,6 +173,36 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(t1 != t3) // generations never reuse a table name
   }
 
+  test("ledger compaction: orphan warehouse dir from a pre-marker crash " +
+      "in a FORGOTTEN-catalog JVM is cleared, not wedged") {
+    // the cross-JVM variant of kill point 1: the process died between
+    // writeBucketed and the marker rename, and the restart's non-durable
+    // metastore has no memory of the table — DROP TABLE IF EXISTS no-ops
+    // while the stale warehouse DIRECTORY would block every saveAsTable
+    // with LOCATION_ALREADY_EXISTS, wedging compaction permanently.
+    // Simulate by planting the directory for the exact table name the
+    // next compaction will choose, with no catalog entry.
+    val root = freshDir("graft-ledger-orphan")
+    val out = s"$root/out"; val ledger = s"$root/ledger"
+    val w = DedupStream.writer(out, ledger, "text", "doc_id")
+    w(Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), 0L)
+    w(Seq((2L, "c")).toDF("doc_id", "text"), 1L)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(ledger.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val table = s"graft_ledger_${digest}_v1" // version = max committed id
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).toString))
+    assert(loc.mkdirs(), s"orphan location setup failed: $loc")
+    assert(new java.io.File(loc, "stale-part.parquet").createNewFile())
+    assert(!spark.catalog.tableExists(table), "orphan must be catalog-less")
+    val v = DedupStream.compactLedger(spark, ledger)
+    assert(v.contains(table),
+      s"compaction must claim the planned generation name, got $v")
+    assert(DedupStream.ledgerFps(spark, ledger).count() == 3)
+    assert(IdempotentSink.committedBatches(spark, ledger).isEmpty)
+  }
+
   test("crash between survivor commit and ledger commit replays identically") {
     val root = freshDir("graft-dedup-crash")
     val out = s"$root/out"; val ledger = s"$root/ledger"
