@@ -123,6 +123,8 @@ object Sketches {
       }),
     ("bpe_encode", "_FUNC_(text, merges) - byte-level BPE token ids",
       2, es => BpeEncode(es.head, es(1))),
+    ("bpe_decode", "_FUNC_(ids, merges) - text from byte-level BPE token ids",
+      2, es => BpeDecode(es.head, es(1))),
     // Spark ships BloomFilterMightContain for its internal runtime-filter
     // rewrite but does not register it for users; expose it so operators
     // can request an explicit bloom prefilter (decontaminate's map-side

@@ -164,9 +164,19 @@ object CurationQueries extends QueryModule {
     // the corpus itself (deterministic: histogram cut and pair ties are
     // both totally ordered) replaces the whitespace token accounting in
     // q80 — chunk ids now bill in the unit a training run consumes.
-    // BPE is not SQL-expressible → rows-only at the driver gate; the
-    // tokenizer itself is golden-vector-gated in BpeSpec (merge order,
-    // token ids, byte-level round-trip).
+    // BPE is not SQL-expressible, so the query carries its proof IN-BAND
+    // (q65's pattern) and the oracle gates the proof per document:
+    //  - roundtrip_ok: bpe_decode(bpe_encode(text)) === text — byte-level
+    //    BPE is lossless, so any encoder/decoder/merge-table defect fails
+    //    the driver gate on the exact document it breaks;
+    //  - count_ok: 1 <= n_tokens <= n_bytes for non-empty text (merges
+    //    only ever shrink the byte sequence);
+    //  - adj_ok: the NEXT doc's pack offset equals start_off + n_tokens —
+    //    an independent lead()-window recomputation of packSequences'
+    //    cumulative frame, so an off-by-one in the packing window fails
+    //    here rather than hiding in engine-only output.
+    // n_bytes rides along as the one oracle-computable numeric column.
+    // BpeSpec keeps the golden vectors (merge order, token ids).
     "q86_bpe_pack" -> QueryDef(
       (s, dir) => {
         import graft.text.Bpe
@@ -178,15 +188,26 @@ object CurationQueries extends QueryModule {
         if (!s.catalog.tableExists(name))
           Bpe.save(Bpe.train(d, "text", nMerges = 200, maxWords = 20000), s, name)
         val model = Bpe.load(s, name)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
         Curation.packSequences(d, partCol = "lang", idCol = "doc_id",
             textCol = "text", cap = 256, tokenCount = Bpe.countCol(_, model))
-          .join(d.select(col("doc_id"),
-            octet_length(col("text")).as("n_bytes")), "doc_id")
-          .withColumn("bytes_per_token",
-            col("n_bytes").cast("double") / col("n_tokens").cast("double"))
-          .orderBy("lang", "doc_id")
+          .withColumn("adj_ok", coalesce(
+            lead(col("start_off"), 1).over(w) ===
+              col("start_off") + col("n_tokens"), lit(true)))
+          .join(d.select(col("doc_id"), col("text"),
+            octet_length(col("text")).cast("long").as("n_bytes")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_bytes"),
+            (Bpe.decodeCol(Bpe.encodeCol(col("text"), model), model)
+              === col("text")).as("roundtrip_ok"),
+            (col("n_tokens") <= col("n_bytes") &&
+              (col("n_bytes") === 0 || col("n_tokens") >= 1)).as("count_ok"),
+            col("adj_ok"))
+          .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id, lang, strlen(text) AS n_bytes,
+             |  TRUE AS roundtrip_ok, TRUE AS count_ok, TRUE AS adj_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Domain mixture: per (source, lang) token shares and the uniform-mix
     // downsampling rate.

@@ -722,18 +722,31 @@ object Extended extends QueryModule {
       Some(recursiveClosureSql)),
 
     // HLL distinct sketch (Apache DataSketches via hll_sketch_agg): the
-    // mergeable bounded-memory distinct count for 100 TB group-bys, next to
-    // the exact count for in-query error visibility. No oracle — DuckDB's
-    // approx_count_distinct is a different HLL implementation; the ScalaTest
-    // asserts the error bound and partition-merge associativity instead.
+    // mergeable bounded-memory distinct count for 100 TB group-bys. DuckDB's
+    // approx_count_distinct is a DIFFERENT HLL, so the estimate itself can't
+    // hash-gate; instead the query PROVES the sketch's error contract
+    // in-band (q65's pattern): `hll_ok` asserts the estimate sits within 5%
+    // of the exact distinct count — at lgConfigK=14 the sketch's relative
+    // standard error is ~0.65%, so 5% is a ≥7σ bound that a broken sketch
+    // (or a broken merge) cannot pass, while HLL's determinism on fixed
+    // input keeps the gate replayable. The oracle expects every hll_ok
+    // TRUE plus the exact counts bit-for-bit; ExtendedSpec keeps the
+    // partition-merge associativity law.
     "q60_hll_sketch" -> QueryDef(
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy("event_type")
           .agg(
-            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+              .as("approx_users"),
             countDistinct(col("user_id")).as("exact_users"),
             count(lit(1)).as("n_events"))
+          .select(col("event_type"), col("exact_users"), col("n_events"),
+            (abs(col("approx_users").cast("double") /
+                col("exact_users").cast("double") - 1.0d) <= lit(0.05d))
+              .as("hll_ok"))
           .orderBy("event_type"),
-      None))
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  count(*) AS n_events, TRUE AS hll_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

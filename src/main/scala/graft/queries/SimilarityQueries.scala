@@ -12,7 +12,7 @@ import graft.similarity.Ann
   */
 object SimilarityQueries extends QueryModule {
 
-  def queries: Map[String, QueryDef] = Map(
+  def queries: Map[String, QueryDef] = quantizedQueries ++ Map(
 
     // Exact ANN baseline: every 10th vector queries the full corpus.
     "q40_cosine_topk" -> QueryDef(
@@ -52,26 +52,41 @@ object SimilarityQueries extends QueryModule {
       }),
 
     // Second scale path: inverted-file index (data-aware cells, one cell
-    // per corpus vector, nProbe cells per query). Centroid draw is
-    // engine-hash-seeded → rows-only; SimilaritySpec measures recall and
-    // single-cell membership. refineIters=0 here: Lloyd is measured flat
-    // on this uniform fixture (Ann scaladoc). The index is built ONCE per
-    // corpus and persisted as a cell-bucketed table (the 100 TB contract:
-    // the O(n·nCells) assignment is an indexing cost, not a query cost);
-    // repeat query batches — and the second bench pass — only pay the
-    // probe join. The table name carries a corpus fingerprint (path +
-    // file sizes + mtimes) so a regenerated fixture rebuilds the index.
+    // per corpus vector, nProbe cells per query). Centroids are drawn by
+    // the ENGINE-INDEPENDENT stride rule (every stride-th vec_id, ~√n
+    // cells — q102's pattern), which makes the whole persisted pipeline —
+    // assignment argmax incl. its higher-cell tie-break, probe ranking,
+    // final top-k — reproducible in DuckDB and therefore ORACLE-HASH-GATED:
+    // a hash PASS proves the write→load→bucketed-search round trip returns
+    // exactly what a from-scratch in-memory build would (the oracle IS the
+    // batch build — the same SQL gates q102's incremental-add path, so the
+    // two queries also prove each other equal). refineIters=0 equivalent:
+    // Lloyd is measured flat on this uniform fixture (Ann scaladoc). The
+    // index is built ONCE per corpus and persisted as a cell-bucketed
+    // table (the 100 TB contract: the O(n·√n) assignment is an indexing
+    // cost, not a query cost); repeat query batches — and the second bench
+    // pass — only pay the probe join. The table name carries a corpus
+    // fingerprint (path + file sizes + mtimes) so a regenerated fixture
+    // rebuilds the index.
     "q66_cosine_ivf" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val name = s"graft_ivf_${Tables.fingerprint(s, s"$dir/embeddings.parquet")}"
-        if (!s.catalog.tableExists(s"${name}_assigned"))
-          Ann.writeIvfIndex(
-            Ann.buildIvfIndex(emb, nCells0 = 0, refineIters = 0), name)
+        val name = s"graft_ivfs_${Tables.fingerprint(s, s"$dir/embeddings.parquet")}"
+        if (!s.catalog.tableExists(s"${name}_assigned")) {
+          val n = emb.count().toDouble
+          val stride = math.max(1L,
+            math.floor(n / math.ceil(math.sqrt(n))).toLong)
+          val cent = emb.filter(col("vec_id") % stride === 0)
+            .select(row_number().over(
+                org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+              .as("cell"), col("embedding").as("cvec"))
+          Ann.writeIvfIndex(Ann.indexWithCentroids(emb, cent), name)
+        }
         Ann.searchIvf(Ann.loadIvfIndex(s, name),
             emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")
-      }),
+      },
+      Some(ivfBatchOracleSql)),
 
     // Incremental index add: build the IVF index on the even-id half of
     // the corpus, add the odd-id half against the FROZEN centroids (batch
@@ -100,7 +115,18 @@ object SimilarityQueries extends QueryModule {
         Ann.searchIvf(idx, emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")
       },
-      Some("""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      Some(ivfBatchOracleSql)))
+
+  /** The engine-independent IVF pipeline, spelled out in DuckDB SQL:
+    * stride-drawn centroids (~√n cells), full-corpus argmax assignment
+    * (higher-cell tie-break), nProbe=4 probe ranking (lower-cell
+    * tie-break), exact left-fold double cosine, k=5. Shared by q66
+    * (persisted-index search ≡ batch build) and q102 (incremental add ≡
+    * batch build): one oracle, two engine paths — a pass on both proves
+    * them equal to the oracle AND to each other.
+    */
+  private val ivfBatchOracleSql: String =
+    """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
              |s AS (
              |  SELECT greatest(1, cast(floor(cnt / ceil(sqrt(cnt))) AS bigint)) AS stride
              |  FROM n
@@ -146,8 +172,9 @@ object SimilarityQueries extends QueryModule {
              |  FROM pairs
              |)
              |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
-             |ORDER BY qid, rn""".stripMargin)),
+             |ORDER BY qid, rn""".stripMargin
 
+  private val quantizedQueries: Map[String, QueryDef] = Map(
     // Int8-quantized brute-force top-k — q40 at a quarter of the memory
     // traffic. Symmetric per-vector scales cancel in cosine, so scoring is
     // exact int64 dot products (native codegen loop) over 1-byte

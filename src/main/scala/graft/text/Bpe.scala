@@ -290,4 +290,11 @@ object Bpe {
     */
   def countCol(text: Column, model: Model): Column =
     size(encodeCol(text, model))
+
+  /** Inverse of [[encodeCol]]: text from token ids. Byte-level BPE is
+    * lossless, so `decodeCol(encodeCol(t, m), m) === t` — the in-band
+    * round-trip proof q86's oracle gates.
+    */
+  def decodeCol(ids: Column, model: Model): Column =
+    call_function("bpe_decode", ids, typedLit(model.flat))
 }

@@ -76,15 +76,17 @@ class BpeSpec extends AnyFunSuite {
     } finally { spark.sql("DROP TABLE IF EXISTS graft_bpe_spec_roundtrip"); () }
   }
 
-  test("q86: token-exact packing runs, counts positive, chunk math holds") {
+  test("q86: packing + tokenizer proofs hold on every document") {
     val r = SparkEntry.queries("q86_bpe_pack")(spark, TestSpark.sfDir)
       .cache()
     try {
       assert(r.count() > 0)
-      assert(r.filter(col("n_tokens") <= 0).count() == 0)
-      // chunk_id must equal floor(start_off / 256) exactly
-      assert(r.filter(col("chunk_id") =!=
-        (col("start_off") - pmod(col("start_off"), lit(256))) / 256).count() == 0)
+      // the oracle gates these as literal TRUE — fail here with the
+      // offending doc ids rather than as an opaque driver hash mismatch
+      Seq("roundtrip_ok", "count_ok", "adj_ok").foreach { c =>
+        val bad = r.filter(!col(c)).select("doc_id").collect().map(_.getLong(0))
+        assert(bad.isEmpty, s"$c false for docs ${bad.take(5).mkString(",")}")
+      }
     } finally { r.unpersist(); () }
   }
 }
