@@ -43,11 +43,22 @@ import graft.similarity.{Ann, VectorFunctions}
 object SemanticDedup {
 
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.97,
-      nCells: Int = 0, refineIters: Int = 1): DataFrame = {
+      nCells: Int = 0, refineIters: Int = 1): DataFrame =
+    fromIndex(Ann.buildIvfIndex(embeddings, nCells, refineIters), threshold)
+
+  /** [[semanticDedup]] over a caller-supplied IVF index — the
+    * deterministic-ingest form (same split as
+    * [[graft.similarity.Ann.indexWithCentroids]] vs
+    * [[graft.similarity.Ann.buildIvfIndex]]): with centroids drawn by an
+    * engine-independent rule ([[graft.similarity.Ann.strideCentroids]]),
+    * every step — assignment, within-cell pairwise, component closure,
+    * exemplar pick — is reproducible in plain SQL, which is how q91
+    * carries a full DuckDB oracle despite being an approximate operator
+    * (the approximation lives in the cell blocking, not the engine).
+    */
+  def fromIndex(idx: Ann.IvfIndex, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"semantic-dup cosine threshold must lie in (0, 1], got $threshold")
-    val idx = Ann.buildIvfIndex(embeddings, nCells, refineIters)
-
     // centroid similarity per member — broadcast the tiny centroid table
     val members = idx.assigned
       .join(broadcast(idx.centroids), Seq("cell"))

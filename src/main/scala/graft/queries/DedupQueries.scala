@@ -140,15 +140,77 @@ object DedupQueries extends QueryModule {
 
     // SemDeDup semantic dedup: k-means-cell-bounded pairwise cosine →
     // duplicate groups → one exemplar kept per group (the member farthest
-    // from its centroid, per the paper). Rows-only: centroid init is
-    // engine-hash-seeded; SemanticDedupSpec pins planted-group clustering,
-    // the exactly-one-keeper invariant, the farthest-from-centroid
-    // exemplar rule, and replay determinism on the fixture.
+    // from its centroid, per the paper). Centroids come from the
+    // engine-independent stride draw (Ann.strideCentroids — q66/q102's
+    // pattern), which makes every step reproducible in DuckDB and the
+    // query ORACLE-HASH-GATED: the oracle re-derives cells, raw
+    // within-cell pairwise edges, the recursive-CTE component closure
+    // (q76's pattern), and the farthest-from-centroid exemplar — so a
+    // hash PASS additionally proves the engine's identical-vector
+    // star-collapse and pointer-jump CC return exactly the raw-pairwise
+    // closure they claim to. SemanticDedupSpec keeps planted-group
+    // clustering, the exactly-one-keeper invariant, and replay
+    // determinism on the Lloyd (engine-seeded) path.
     "q91_semantic_dedup" -> QueryDef(
-      (s, dir) =>
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
         graft.dedup.SemanticDedup
-          .semanticDedup(Tables.embeddings(s, dir), threshold = 0.4)
-          .orderBy("vec_id")),
+          .fromIndex(graft.similarity.Ann.indexWithCentroids(
+            emb, graft.similarity.Ann.strideCentroids(emb)), threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM embeddings),
+             |s AS (
+             |  SELECT greatest(1, cast(floor(cnt / ceil(sqrt(cnt))) AS bigint)) AS stride
+             |  FROM n
+             |), cent AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+             |    embedding AS cvec,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS cvn2
+             |  FROM embeddings WHERE vec_id % (SELECT stride FROM s) = 0
+             |), base AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
+             |  FROM embeddings
+             |), mem AS (
+             |  SELECT vec_id AS nid, embedding AS ce, n2 AS cn2, cell,
+             |    (list_reduce(list_transform(range(1, len(embedding) + 1),
+             |        i -> embedding[i]::double * cvec[i]::double), (x, y) -> x + y)
+             |     / (sqrt(n2) * sqrt(cvn2))) AS centroid_sim
+             |  FROM (
+             |    SELECT b.vec_id, b.embedding, b.n2, c.cell, c.cvec, c.cvn2,
+             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             |        (list_reduce(list_transform(range(1, len(b.embedding) + 1),
+             |            i -> b.embedding[i]::double * c.cvec[i]::double), (x, y) -> x + y)
+             |         / (sqrt(b.n2) * sqrt(c.cvn2))) DESC, c.cell DESC) AS arn
+             |    FROM base b CROSS JOIN cent c
+             |  ) WHERE arn = 1
+             |), prs AS (
+             |  SELECT a.nid AS id_a, b.nid AS id_b
+             |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.nid < b.nid
+             |  WHERE a.cn2 > 0 AND b.cn2 > 0 AND
+             |    (list_reduce(list_transform(range(1, len(a.ce) + 1),
+             |        i -> a.ce[i]::double * b.ce[i]::double), (x, y) -> x + y)
+             |     / (sqrt(a.cn2) * sqrt(b.cn2))) >= 0.4
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM prs
+             |  UNION
+             |  SELECT id_b, id_a FROM prs
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             |), comps AS (
+             |  SELECT src AS nid, least(src, min(dst)) AS comp FROM reach GROUP BY src
+             |), labeled AS (
+             |  SELECT m.nid AS vec_id, coalesce(c.comp, m.nid) AS cluster,
+             |    m.centroid_sim
+             |  FROM mem m LEFT JOIN comps c ON m.nid = c.nid
+             |)
+             |SELECT vec_id, cluster, centroid_sim,
+             |  row_number() OVER (PARTITION BY cluster
+             |    ORDER BY centroid_sim, vec_id) = 1 AS keep
+             |FROM labeled ORDER BY vec_id""".stripMargin)),
 
     // Duplicate clusters: connected components over the oracle-verified
     // exact-Jaccard pair graph (q33's pairs), assigning every paired doc

@@ -72,16 +72,9 @@ object SimilarityQueries extends QueryModule {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val name = s"graft_ivfs_${Tables.fingerprint(s, s"$dir/embeddings.parquet")}"
-        if (!s.catalog.tableExists(s"${name}_assigned")) {
-          val n = emb.count().toDouble
-          val stride = math.max(1L,
-            math.floor(n / math.ceil(math.sqrt(n))).toLong)
-          val cent = emb.filter(col("vec_id") % stride === 0)
-            .select(row_number().over(
-                org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
-              .as("cell"), col("embedding").as("cvec"))
-          Ann.writeIvfIndex(Ann.indexWithCentroids(emb, cent), name)
-        }
+        if (!s.catalog.tableExists(s"${name}_assigned"))
+          Ann.writeIvfIndex(
+            Ann.indexWithCentroids(emb, Ann.strideCentroids(emb)), name)
         Ann.searchIvf(Ann.loadIvfIndex(s, name),
             emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")
@@ -102,15 +95,8 @@ object SimilarityQueries extends QueryModule {
     "q102_ivf_add" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val n = emb.count().toDouble
-        val stride = math.max(1L,
-          math.floor(n / math.ceil(math.sqrt(n))).toLong)
-        val cent = emb.filter(col("vec_id") % stride === 0)
-          .select(row_number().over(
-              org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
-            .as("cell"), col("embedding").as("cvec"))
         val base = Ann.indexWithCentroids(
-          emb.filter(col("vec_id") % 2 === 0), cent)
+          emb.filter(col("vec_id") % 2 === 0), Ann.strideCentroids(emb))
         val idx = Ann.addToIvfIndex(base, emb.filter(col("vec_id") % 2 === 1))
         Ann.searchIvf(idx, emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")

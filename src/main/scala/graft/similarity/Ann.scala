@@ -191,6 +191,22 @@ object Ann {
     IvfIndex(cent, assign(corpus, cent))
   }
 
+  /** The ENGINE-INDEPENDENT centroid draw: every stride-th id, stride ≈
+    * n/⌈√n⌉, so ~√n cells at any corpus size. Nothing is hash-seeded —
+    * the same arithmetic runs in plain SQL, which is what lets q66, q91,
+    * and q102 carry full DuckDB oracles over their IVF pipelines. One
+    * bounded `count()` on the driver; the ~√n-row window sort is the
+    * centroid table build, not a corpus-scale stage.
+    */
+  def strideCentroids(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.count().toDouble
+    val stride = math.max(1L, math.floor(n / math.ceil(math.sqrt(n))).toLong)
+    corpus.filter(col(idCol) % stride === 0)
+      .select(row_number().over(Window.orderBy(idCol)).as("cell"),
+        col(vecCol).as("cvec"))
+  }
+
   /** Incrementally add vectors to an existing index WITHOUT retraining:
     * the new batch is assigned against the FROZEN centroids (one broadcast
     * join over the batch — cost scales with the batch, never the indexed
