@@ -180,14 +180,29 @@ object Dedup {
     * agrees on ≥ 1 chunk, so the chunk join is lossless at maxHamming ≤ 3.
     * (8-bit chunks would extend the guarantee to Hamming ≤ 7 but measured
     * 2× slower here: smaller keys → denser buckets → more candidate pairs.)
+    *
+    * The identical-sketch collapse tier switches on by OCCUPANCY, the same
+    * auto-sizing philosophy as [[graft.similarity.Ann.lshTopK]]'s banded
+    * tables: the 4×16-bit chunk space holds 2¹⁶ buckets, so once the corpus
+    * exceeds ~2·2¹⁶ sketches the buckets saturate and identical-sketch
+    * groups start paying |group|² inside every chunk bucket — exactly when
+    * the collapse's three reconstruction joins amortize. Measured at HEAD
+    * (TimeQ min-of-3, local[32]): collapse OFF 0.59 / 1.03 / 9.3 s vs ON
+    * 1.34 / 3.75 / 5.74 s at sf0.1 / sf1 / sf10 (6k / 50k / 500k docs) —
+    * the crossover sits between 50k and 500k, consistent with the 131k
+    * saturation gate. The `count()` that drives the gate is a
+    * parquet-metadata read, not a data scan.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3): DataFrame = {
+    val src = graft.core.Parallelism.ensure(
+      df.select(col(idCol), col(textCol)))
     hammingPairs(
-      graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
-        .select(col(idCol).as("id"),
-          simhash(TextFunctions.tokens(col(textCol))).as("sh")),
-      "id", "sh", maxHamming)
+      src.select(col(idCol).as("id"),
+        simhash(TextFunctions.tokens(col(textCol))).as("sh")),
+      "id", "sh", maxHamming,
+      collapseIdentical = df.count() > 2L * 65536)
+  }
 
   /** Near-dup pairs over ANY precomputed 64-bit sketch column (simhash,
     * image dHash, audio fingerprint …) by Hamming distance — the shared

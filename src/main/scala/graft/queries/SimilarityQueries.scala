@@ -42,14 +42,62 @@ object SimilarityQueries extends QueryModule {
              |ORDER BY qid, rn""".stripMargin)),
 
     // Scale path: banded hyperplane LSH (occupancy-targeted table keys,
-    // exact cosine re-rank). Engine-seeded planes → rows-only check here;
-    // SimilaritySpec measures recall vs q40.
+    // exact cosine re-rank), in the ENGINE-INDEPENDENT form: plane normals
+    // are stride-drawn corpus vectors and the occupancy rule is integer
+    // arithmetic (Ann.lshTopKDataPlanes), so the full approximate pipeline
+    // — sign bits, packed bucket ids, candidate join, exact re-rank — is
+    // reproduced in DuckDB and ORACLE-HASH-GATED. SimilaritySpec measures
+    // recall vs q40 for both this and the splitmix-seeded lshTopK (which
+    // remains the library path for corpora without a usable id column).
     "q41_cosine_lsh" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Ann.lshTopK(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+        Ann.lshTopKDataPlanes(emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
           .orderBy("qid", "rn")
-      }),
+      },
+      Some("""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+             |b AS (
+             |  SELECT coalesce(min(x), 24) AS bits FROM range(2, 25) t(x), n
+             |  WHERE (1::BIGINT << x) * 64 >= cnt
+             |), np AS (SELECT 5 * bits AS np FROM b),
+             |st AS (SELECT greatest(1, cnt // np) AS stride FROM n, np),
+             |pl AS (
+             |  SELECT pid, pvec FROM (
+             |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pid,
+             |      embedding AS pvec
+             |    FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0
+             |  ), np WHERE pid < np.np
+             |), keysv AS (
+             |  SELECT v.vec_id,
+             |    (p.pid // b.bits) * (1::BIGINT << b.bits) +
+             |      sum(CASE WHEN list_reduce(list_transform(range(1, len(v.embedding) + 1),
+             |            i -> v.embedding[i]::double * p.pvec[i]::double), (x, y) -> x + y) >= 0
+             |          THEN (1::BIGINT << cast(p.pid % b.bits AS int)) ELSE 0 END) AS bkt
+             |  FROM embeddings v CROSS JOIN pl p CROSS JOIN b
+             |  GROUP BY v.vec_id, p.pid // b.bits, b.bits
+             |), cand AS (
+             |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+             |  FROM keysv q JOIN keysv c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+             |  WHERE q.vec_id % 10 = 0
+             |), base AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
+             |  FROM embeddings
+             |), scored AS (
+             |  SELECT cand.qid, cand.nid,
+             |    list_reduce(list_transform(range(1, len(q.embedding) + 1),
+             |        i -> q.embedding[i]::double * c.embedding[i]::double), (x, y) -> x + y)
+             |      / (sqrt(q.n2) * sqrt(c.n2)) AS sim
+             |  FROM cand
+             |  JOIN base q ON cand.qid = q.vec_id
+             |  JOIN base c ON cand.nid = c.vec_id
+             |), ranked AS (
+             |  SELECT qid, nid, sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+             |  FROM scored
+             |)
+             |SELECT qid, nid, sim, rn FROM ranked WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)),
 
     // Second scale path: inverted-file index (data-aware cells, one cell
     // per corpus vector, nProbe cells per query). Centroids are drawn by

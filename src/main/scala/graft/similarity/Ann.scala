@@ -411,4 +411,63 @@ object Ann {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** [[lshTopK]] with ENGINE-INDEPENDENT hyperplanes: instead of the
+    * splitmix64-seeded random planes (whose 64-bit wraparound arithmetic
+    * no SQL engine reproduces), the nTables·bits plane normals are
+    * stride-drawn CORPUS VECTORS — valid random directions, since the
+    * corpus is itself a sample of the embedding distribution, and on
+    * clustered real corpora mildly data-adaptive (planes concentrate
+    * where the data does). Everything downstream is plain arithmetic —
+    * sign bits packed by integer shifts, bucket id `t·2^bits + packed`,
+    * distinct candidates, exact cosine re-rank — so the whole approximate
+    * pipeline carries a full DuckDB oracle (q41), the same move that
+    * hash-gated the IVF paths via [[strideCentroids]].
+    *
+    * Occupancy targeting matches [[lshTopK]] but through an integer rule
+    * both engines state identically (smallest `b` in [2,24] with
+    * `2^b·64 ≥ n`) rather than floating `log2`, whose last-ulp rounding
+    * could flip a `ceil` across engines. Plane collection is bounded:
+    * ≤ nTables·24 rows ever reach the driver.
+    */
+  def lshTopKDataPlanes(corpus: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 5): DataFrame = {
+    val n = corpus.count()
+    val bits = (2 to 24).find(b => (1L << b) * 64 >= n).getOrElse(24)
+    val nP = nTables * bits
+    val stride = math.max(1L, n / nP)
+    val planeVecs: Array[Array[Float]] = corpus
+      .filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(nP)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(planeVecs.length == nP,
+      s"plane draw came up short: ${planeVecs.length} of $nP — id space too " +
+        "sparse for the stride rule at this corpus size")
+    // bucket key for table t: t·2^bits + Σ_i [dot(v, plane_{t·bits+i}) ≥ 0]·2^i
+    def keys(v: Column) = array((0 until nTables).map { t =>
+      (0 until bits).map { i =>
+        val p = typedLit(planeVecs(t * bits + i).toSeq)
+        when(FloatVecDot.dot(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(t.toLong * (1L << bits))
+    }: _*)
+    val ck = corpus.select(col("vec_id").as("nid"),
+      explode(keys(col("embedding"))).as("bkt"))
+    val qk = queries.select(col("vec_id").as("qid"),
+      explode(keys(col("embedding"))).as("bkt"))
+    val cand = qk.join(ck, Seq("bkt"))
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "nid").distinct()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    cand
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        FloatVecDot.norm2(col("embedding")).as("qn2")), Seq("qid"))
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+        FloatVecDot.norm2(col("embedding")).as("cn2")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        cosinePrenormed(FloatVecDot.dot(col("qe"), col("ce")),
+          col("qn2"), col("cn2")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
 }

@@ -50,6 +50,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("LSH top-k data-planes: recall floor and replay determinism (q41 path)") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(Ann.bruteForceTopK(emb, queries, k = 5))
+    val a = pairs(Ann.lshTopKDataPlanes(emb, queries, k = 5))
+    val b = pairs(Ann.lshTopKDataPlanes(emb, queries, k = 5))
+    // stride-drawn corpus vectors as plane normals must behave like the
+    // seeded planes: same recall floor, and (being engine-independent)
+    // bit-replayable across runs — the property q41's DuckDB oracle gates
+    assert(a == b, "data-plane draw must be deterministic")
+    val recall = (exact & a).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("IVF top-k: recall vs exact baseline; deterministic across runs") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
