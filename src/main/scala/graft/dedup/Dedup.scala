@@ -734,6 +734,64 @@ object Dedup {
       .unionByName(stars)
   }
 
+  /** [[embeddingNearDupLsh]] with ENGINE-INDEPENDENT plane normals:
+    * stride-drawn corpus vectors and integer-packed bucket keys
+    * (`t·2^bits + sign bits`) instead of splitmix64 planes and xxhash64
+    * table keys — the [[graft.similarity.Ann.lshTopKDataPlanes]] move
+    * applied to the near-dup-pair shape, which is what lets q35 carry a
+    * full DuckDB oracle: identical-vector groups, the banded candidate
+    * join, the exact-cosine verify, and the star edges are all plain
+    * SQL. Same output contract as [[embeddingNearDupLsh]] (rep-level
+    * verified pairs + (rep, member, 1.0) stars; closure equals the full
+    * qualifying-pair relation's). The identical-vector grouping keys on
+    * the raw float array (via min-id window over its hash), which the
+    * oracle mirrors as GROUP BY embedding — exact-bit equality on both
+    * sides for the fixture's nonzero floats.
+    */
+  def embeddingNearDupLshPortable(df: DataFrame, vecCol: String,
+      idCol: String, threshold: Double, nTables: Int = 5,
+      bitsPerTable: Int = 12): DataFrame = {
+    val grouped = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vfp", xxhash64(col("v")))
+      .withColumn("rep", min("id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vfp")))
+    val stars = grouped.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("cosine"))
+    val n = df.count()
+    val nP = nTables * bitsPerTable
+    val stride = math.max(1L, n / nP)
+    val planeVecs: Array[Array[Float]] = df
+      .filter(col(idCol) % stride === 0)
+      .orderBy(idCol).limit(nP)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(planeVecs.length == nP,
+      s"plane draw came up short: ${planeVecs.length} of $nP")
+    def keys(v: Column) = array((0 until nTables).map { t =>
+      (0 until bitsPerTable).map { i =>
+        val p = typedLit(planeVecs(t * bitsPerTable + i).toSeq)
+        when(graft.functions.FloatVecDot.dot(v, p) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _) + lit(t.toLong * (1L << bitsPerTable))
+    }: _*)
+    val base = grouped.filter(col("id") === col("rep"))
+      .select(col("id"), col("v"),
+        graft.functions.FloatVecDot.norm2(col("v")).as("n2"))
+    val l = base.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("n2").as("n2_a"), explode(keys(col("v"))).as("bkt"))
+    val r = base.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("n2").as("n2_b"), explode(keys(col("v"))).as("bkt"))
+    l.join(r, Seq("bkt")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosinePrenormed(
+          graft.functions.FloatVecDot.dot(col("v_a"), col("v_b")),
+          col("n2_a"), col("n2_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .unionByName(stars)
+  }
+
   /** Cross-document duplicated-span accounting: for every document, how
     * many of its DISTINCT token n-grams also appear in at least one other
     * document — the corpus-level repetition signal (MassiveText-style)

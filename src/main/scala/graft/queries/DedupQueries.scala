@@ -129,14 +129,61 @@ object DedupQueries extends QueryModule {
              |    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // Embedding near-dup, LSH-blocked scale path (rows-only: recall is
-    // parameter-bounded by design; DedupSpec pins the planted-pair recall
-    // and every emitted pair is exact-cosine-verified ≥ threshold).
+    // Embedding near-dup, LSH-blocked scale path, in the
+    // ENGINE-INDEPENDENT form (stride-drawn plane normals, integer-packed
+    // bucket keys — Ann.lshTopKDataPlanes' move on the pair shape), so the
+    // banded candidate join, exact-cosine verify, identical-vector stars,
+    // and the recall the banding formula allows are all ORACLE-HASH-GATED
+    // in DuckDB. Recall stays parameter-bounded by design; DedupSpec pins
+    // the planted-pair recall and the seeded-plane library path.
     "q35_dedup_embedding_lsh" -> QueryDef(
       (s, dir) =>
-        Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), "embedding",
-            "vec_id", threshold = 0.3)
-          .orderBy("id_a", "id_b")),
+        Dedup.embeddingNearDupLshPortable(Tables.embeddings(s, dir),
+            "embedding", "vec_id", threshold = 0.3)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+             |st AS (SELECT greatest(1, cnt // 60) AS stride FROM n),
+             |pl AS (
+             |  SELECT pid, pvec FROM (
+             |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pid,
+             |      embedding AS pvec
+             |    FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0
+             |  ) WHERE pid < 60
+             |), g AS (
+             |  SELECT embedding, min(vec_id) AS rep
+             |  FROM embeddings GROUP BY embedding
+             |), stars AS (
+             |  SELECT g.rep AS id_a, e.vec_id AS id_b, cast(1.0 AS double) AS cosine
+             |  FROM embeddings e JOIN g ON e.embedding = g.embedding
+             |  WHERE e.vec_id <> g.rep
+             |), reps AS (
+             |  SELECT rep, embedding,
+             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
+             |  FROM g
+             |), keysv AS (
+             |  SELECT r.rep,
+             |    (p.pid // 12) * (1::BIGINT << 12) +
+             |      sum(CASE WHEN list_reduce(list_transform(range(1, len(r.embedding) + 1),
+             |            i -> r.embedding[i]::double * p.pvec[i]::double), (x, y) -> x + y) >= 0
+             |          THEN (1::BIGINT << cast(p.pid % 12 AS int)) ELSE 0 END) AS bkt
+             |  FROM reps r CROSS JOIN pl p
+             |  GROUP BY r.rep, p.pid // 12
+             |), cand AS (
+             |  SELECT DISTINCT a.rep AS id_a, b.rep AS id_b
+             |  FROM keysv a JOIN keysv b ON a.bkt = b.bkt AND a.rep < b.rep
+             |), scored AS (
+             |  SELECT c.id_a, c.id_b,
+             |    list_reduce(list_transform(range(1, len(x.embedding) + 1),
+             |        i -> x.embedding[i]::double * y.embedding[i]::double), (u, w) -> u + w)
+             |      / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
+             |  FROM cand c
+             |  JOIN reps x ON c.id_a = x.rep
+             |  JOIN reps y ON c.id_b = y.rep
+             |)
+             |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+             |UNION ALL
+             |SELECT id_a, id_b, cosine FROM stars
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // SemDeDup semantic dedup: k-means-cell-bounded pairwise cosine →
     // duplicate groups → one exemplar kept per group (the member farthest

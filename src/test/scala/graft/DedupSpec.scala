@@ -290,6 +290,29 @@ class DedupSpec extends AnyFunSuite {
     assert(r == Set((3L, 7L, 1.0), (3L, 9L, 1.0)))
   }
 
+  test("embedding LSH portable (q35 path): planted pair, stars, determinism") {
+    // ids 0..59 so the stride-drawn plane pool is populated; the planted
+    // colinear pair and an identical-vector group must both surface, and
+    // the engine-independent draw must replay bit-identically
+    val v = Array.tabulate(64)(i => (i + 1).toFloat)
+    val base = (0L to 59L).map(id =>
+      (id, Array.tabulate(64)(i =>
+        math.sin(id * 64.0 + i).toFloat)))
+    val vecs = (base ++ Seq(
+      (100L, v), (101L, v.map(_ * 2f)), // colinear → same signature
+      (102L, v), (103L, v)))            // identical group — rep = 100
+      .toDF("vec_id", "embedding")
+    def run() = Dedup.embeddingNearDupLshPortable(
+        vecs, "embedding", "vec_id", 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val a = run()
+    assert(a == run(), "data-plane draw must be deterministic")
+    assert(a.contains((100L, 102L, 1.0)) && a.contains((100L, 103L, 1.0)),
+      s"star edges missing: $a")
+    assert(a.exists(p => p._1 == 100L && p._2 == 101L && p._3 > 0.99),
+      s"colinear pair missing: $a")
+  }
+
   test("crossDocShared: planted shared 8-gram, case folding, short docs") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),      // grams: w1..w8, w2..w9
