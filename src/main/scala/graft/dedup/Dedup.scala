@@ -117,7 +117,7 @@ object Dedup {
       * fixture scale and the safe one at 100 TB.
       */
     def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
-        threshold: Double = 0.5): DataFrame = {
+        threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
       // signature/shingle hashing is 10-100x the input bytes in CPU —
       // guard against a degenerate single-split scan serializing it
       val src = graft.core.Parallelism.ensure(
@@ -126,10 +126,19 @@ object Dedup {
       // one pass computes both the candidate sketch (minhash signature)
       // and the verification set (sorted hashed shingles); the signature
       // is a pure function of the shingle SET, so identical sets are
-      // interchangeable for both banding and verification
+      // interchangeable for both banding and verification.
+      // `portable = true` swaps the shingle hash for the md5-derived
+      // 60-bit Sketches.hashTokenPortable (~3× hash cost) — every
+      // downstream value (signature minima, band membership, exact
+      // jaccard) is then reproducible in DuckDB SQL and the whole
+      // query oracle-hash-gated; band/group KEYS stay xxhash64 (key
+      // identity only routes the shuffle — outputs carry values, and
+      // equal strings hash equal on any engine run)
       val base = src.select(col(idCol).as("id"),
-        graft.functions.Sketches.minhashTokens(toks).as("sig"),
-        graft.functions.Sketches.shingleSet(toks).as("sset"))
+        (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
+         else graft.functions.Sketches.minhashTokens(toks)).as("sig"),
+        (if (portable) graft.functions.Sketches.shingleSetPortable(toks)
+         else graft.functions.Sketches.shingleSet(toks)).as("sset"))
       val grouped = base.withColumn("sfp", xxhash64(col("sset")))
         .withColumn("rep", min("id").over(
           org.apache.spark.sql.expressions.Window.partitionBy("sfp")))
@@ -194,12 +203,19 @@ object Dedup {
     * parquet-metadata read, not a data scan.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     val src = graft.core.Parallelism.ensure(
       df.select(col(idCol), col(textCol)))
+    // portable = md5-hashed 60-bit sketch (oracle-reproducible; see
+    // SimHash64). Blocking is candidates-only machinery — the output is
+    // the EXACT hamming-≤k pair set either way (pigeonhole lossless), so
+    // an oracle needs to reproduce only the sketch, not the chunking.
+    val sketch =
+      if (portable) graft.functions.Sketches.simhashPortable _
+      else simhash _
     hammingPairs(
       src.select(col(idCol).as("id"),
-        simhash(TextFunctions.tokens(col(textCol))).as("sh")),
+        sketch(TextFunctions.tokens(col(textCol))).as("sh")),
       "id", "sh", maxHamming,
       collapseIdentical = df.count() > 2L * 65536)
   }

@@ -39,6 +39,28 @@ object Sketches {
     if (s == null) XXH64.hashLong(0L, seed)
     else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** PORTABLE 60-bit hash: the first 15 hex digits of md5(UTF-8 bytes),
+    * i.e. the big-endian first-8-bytes word `>>> 4`. md5 is the one hash
+    * both engines share (`md5()` in Spark AND DuckDB), so sketches built
+    * on it are reproducible in the oracle:
+    * DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT` yields this exact
+    * value. 15 hex digits (not 16) keep the value inside a SIGNED 64-bit
+    * BIGINT on both sides. The xxhash64-seeded variants stay the default
+    * hot path — md5 costs ~3× per token — the portable forms exist so the
+    * MinHash/SimHash QUERIES can be oracle-hash-gated end to end.
+    */
+  private[functions] def hashTokenPortable(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(if (s == null) Array.emptyByteArray else s.getBytes)
+    java.nio.ByteBuffer.wrap(d).getLong >>> 4
+  }
+
   def minhash(shingles: Column): Column =
     org.apache.spark.sql.functions.call_function("minhash_sig", shingles)
 
@@ -52,6 +74,19 @@ object Sketches {
 
   def simhash(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", tokens)
+
+  /** PORTABLE (md5-hashed, oracle-reproducible) forms — see
+    * [[hashTokenPortable]]. Same algorithms, the one substitution being the
+    * token/shingle hash, so the oracle can re-derive signatures exactly.
+    */
+  def minhashTokensPortable(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_tokens_md5", tokens)
+
+  def shingleSetPortable(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("shingle_set_md5", tokens)
+
+  def simhashPortable(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash60_md5", tokens)
 
   /** Merge-scan |A ∩ B| over sorted distinct long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
@@ -97,6 +132,15 @@ object Sketches {
       1, es => MinHashSig(es.head, shingleN = 3)),
     ("simhash64", "_FUNC_(tokens) - 64-bit simhash",
       1, es => SimHash64(es.head)),
+    ("minhash_tokens_md5",
+      "_FUNC_(tokens) - minhash over md5-hashed 3-gram shingles (portable)",
+      1, es => MinHashSig(es.head, shingleN = 3, portable = true)),
+    ("shingle_set_md5",
+      "_FUNC_(tokens) - sorted distinct md5-hashed 3-gram shingles (portable)",
+      1, es => ShingleSet(es.head, portable = true)),
+    ("simhash60_md5",
+      "_FUNC_(tokens) - 60-bit simhash over md5 token hashes (portable)",
+      1, es => SimHash64(es.head, portable = true)),
     ("sorted_intersect_count", "_FUNC_(a, b) - merge-scan intersection count",
       2, es => SortedIntersectCount(es.head, es(1))),
     ("shingle_set", "_FUNC_(tokens) - sorted distinct hashed 3-gram shingles",
@@ -153,7 +197,7 @@ object Sketches {
     * hash the same strings.
     */
   private[functions] def foreachShingleHash(arr: ArrayData, shingleN: Int,
-      seed: Long)(f: Long => Unit): Unit = {
+      seed: Long, portable: Boolean = false)(f: Long => Unit): Unit = {
     val n = arr.numElements()
     val count = math.max(1, n - shingleN + 1)
     val sb = new java.lang.StringBuilder(64)
@@ -167,7 +211,8 @@ object Sketches {
         if (t != null) sb.append(t.toString)
         k += 1
       }
-      f(hashToken(UTF8String.fromString(sb.toString), seed))
+      val u = UTF8String.fromString(sb.toString)
+      f(if (portable) hashTokenPortable(u) else hashToken(u, seed))
       i += 1
     }
   }
@@ -226,7 +271,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * materializing a shingle column.
   */
 case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
-    shingleN: Int = 0)
+    shingleN: Int = 0, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   private val Mask = 0xffffffffL
@@ -238,15 +283,8 @@ case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
     case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<string>, got $t")
   }
 
-  private lazy val coeffs: Array[(Long, Long)] = {
-    var st = seed
-    Array.fill(numHashes) {
-      val (s1, a) = Sketches.splitmix(st)
-      val (s2, b) = Sketches.splitmix(s1)
-      st = s2
-      ((a & Mask) | 1L, b & Mask)
-    }
-  }
+  private lazy val coeffs: Array[(Long, Long)] =
+    MinHashSig.coefficients(numHashes, seed)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -263,14 +301,18 @@ case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
     if (shingleN <= 0) {
       var i = 0
       while (i < n) {
-        update(Sketches.hashToken(arr.getUTF8String(i), seed) & Mask)
+        val h =
+          if (portable) Sketches.hashTokenPortable(arr.getUTF8String(i))
+          else Sketches.hashToken(arr.getUTF8String(i), seed)
+        update(h & Mask)
         i += 1
       }
     } else {
       // word n-gram shingles built in-loop (shared construction — see
       // Sketches.foreachShingleHash); a document shorter than n tokens
       // contributes its single whole-text shingle
-      Sketches.foreachShingleHash(arr, shingleN, seed)(h => update(h & Mask))
+      Sketches.foreachShingleHash(arr, shingleN, seed, portable)(h =>
+        update(h & Mask))
     }
     new GenericArrayData(mins)
   }
@@ -278,12 +320,32 @@ case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+object MinHashSig {
+  private val Mask = 0xffffffffL
+
+  /** The universal-hash coefficients (a odd, b) derived from `seed` via
+    * splitmix64 — PUBLIC so the oracle-SQL generator can embed the exact
+    * values as literals: `h_j(x) = (a_j·x + b_j) mod 2^32` is plain
+    * integer arithmetic DuckDB reproduces with HUGEINT intermediates.
+    */
+  def coefficients(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    var st = seed
+    Array.fill(numHashes) {
+      val (s1, a) = Sketches.splitmix(st)
+      val (s2, b) = Sketches.splitmix(s1)
+      st = s2
+      ((a & Mask) | 1L, b & Mask)
+    }
+  }
+}
+
 /** Token array → sorted distinct xxhash64 hashes of its word n-gram
   * shingles (space-joined, same construction as [[MinHashSig]] with
   * `shingleN > 0`): the exact-verification counterpart of the minhash
   * candidates, in the representation [[SortedIntersectCount]] consumes.
   */
-case class ShingleSet(child: Expression, shingleN: Int = 3, seed: Long = 42L)
+case class ShingleSet(child: Expression, shingleN: Int = 3, seed: Long = 42L,
+    portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -299,7 +361,7 @@ case class ShingleSet(child: Expression, shingleN: Int = 3, seed: Long = 42L)
     val count = math.max(1, n - shingleN + 1)
     val hs = new Array[Long](count)
     var w0 = 0
-    Sketches.foreachShingleHash(arr, shingleN, seed) { h => hs(w0) = h; w0 += 1 }
+    Sketches.foreachShingleHash(arr, shingleN, seed, portable) { h => hs(w0) = h; w0 += 1 }
     java.util.Arrays.sort(hs)
     // dedupe in place on the sorted array
     var w = 0
@@ -314,9 +376,20 @@ case class ShingleSet(child: Expression, shingleN: Int = 3, seed: Long = 42L)
   override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
 }
 
-/** 64-bit SimHash: bit b set iff ≥ half the token hashes have bit b set. */
-case class SimHash64(child: Expression, seed: Long = 42L)
+/** SimHash: bit b set iff ≥ half the token hashes have bit b set. Default
+  * = 64 bits over xxhash64 token hashes; `portable = true` = 60 bits over
+  * the md5-derived [[Sketches.hashTokenPortable]] (60 because the portable
+  * hash IS 60 bits — first 15 md5 hex digits), making the sketch
+  * bit-reproducible in DuckDB SQL and the query oracle-hash-gatable.
+  * Hamming-≤3 blocking stays lossless either way: 4 chunks of 16 bits
+  * cover 60- and 64-bit sketches alike (the top chunk just carries fewer
+  * live bits).
+  */
+case class SimHash64(child: Expression, seed: Long = 42L,
+    portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
+
+  private val nBits = if (portable) 60 else 64
 
   override def dataType: DataType = LongType
 
@@ -328,12 +401,14 @@ case class SimHash64(child: Expression, seed: Long = 42L)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](nBits)
     var i = 0
     while (i < n) {
-      val h = Sketches.hashToken(arr.getUTF8String(i), seed)
+      val h =
+        if (portable) Sketches.hashTokenPortable(arr.getUTF8String(i))
+        else Sketches.hashToken(arr.getUTF8String(i), seed)
       var b = 0
-      while (b < 64) {
+      while (b < nBits) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1
         b += 1
       }
@@ -341,7 +416,7 @@ case class SimHash64(child: Expression, seed: Long = 42L)
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < nBits) {
       if (counts(b) * 2 >= n) out |= (1L << b)
       b += 1
     }

@@ -16,6 +16,65 @@ import graft.dedup.Dedup
   */
 object DedupQueries extends QueryModule {
 
+  /** DuckDB mirror of the PORTABLE MinHash+LSH pipeline (q31): md5-hashed
+    * 60-bit shingles, the engine's exact splitmix-derived affine
+    * permutation coefficients embedded as literals (HUGEINT intermediates
+    * — DuckDB BIGINT errors on multiply overflow rather than wrapping),
+    * identical-set star-collapse, per-band signature keys, banded
+    * candidate join, exact hashed-set Jaccard verification. Engine band/
+    * group keys are xxhash64 of the same strings — equal strings group
+    * equally on both sides, so only the (negligible) 64-bit collision
+    * class could diverge.
+    */
+  private lazy val minhashOracleSql: String = {
+    val values = graft.functions.MinHashSig.coefficients(32, 42L).zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), sets AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    range(1, greatest(len(toks) - 2, 1) + 1),
+       |    i -> ('0x' || substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+       |          1, 15))::BIGINT))) AS sset
+       |  FROM d
+       |), grp AS (
+       |  SELECT sset, min(doc_id) AS rep FROM sets GROUP BY sset
+       |), stars AS (
+       |  SELECT g.rep AS id_a, s.doc_id AS id_b, cast(1.0 AS double) AS jaccard
+       |  FROM sets s JOIN grp g ON s.sset = g.sset
+       |  WHERE s.doc_id <> g.rep
+       |), coeff(j, a, b) AS (VALUES $values
+       |), hs AS (
+       |  SELECT rep, unnest(sset) AS h FROM grp
+       |), sig AS (
+       |  SELECT hs.rep, c.j,
+       |    min(((c.a::HUGEINT * (hs.h % 4294967296) + c.b) % 4294967296)::BIGINT) AS mv
+       |  FROM hs CROSS JOIN coeff c
+       |  GROUP BY hs.rep, c.j
+       |), bands AS (
+       |  SELECT rep, j // 4 AS band, string_agg(mv::VARCHAR, '_' ORDER BY j) AS bkey
+       |  FROM sig GROUP BY rep, j // 4
+       |), cand AS (
+       |  SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.rep < y.rep
+       |), ver AS (
+       |  SELECT c.id_a, c.id_b,
+       |    cast(len(list_intersect(gx.sset, gy.sset)) AS double) /
+       |    cast(len(gx.sset) + len(gy.sset)
+       |         - len(list_intersect(gx.sset, gy.sset)) AS double) AS jaccard
+       |  FROM cand c
+       |  JOIN grp gx ON c.id_a = gx.rep
+       |  JOIN grp gy ON c.id_b = gy.rep
+       |)
+       |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.35
+       |UNION ALL
+       |SELECT id_a, id_b, jaccard FROM stars
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def queries: Map[String, QueryDef] = Map(
 
     // Exact dedup: normalized-fingerprint groupBy; survivor = min doc_id.
@@ -74,20 +133,55 @@ object DedupQueries extends QueryModule {
              |WHERE fp NOT IN (SELECT fp FROM seen)
              |ORDER BY fp""".stripMargin)),
 
-    // MinHash + LSH near-dup candidates, exact-Jaccard verified (rows-only:
-    // xxhash64-seeded signatures are not reproducible in the oracle engine).
+    // MinHash + LSH near-dup candidates, exact-Jaccard verified — ORACLE-
+    // HASH-GATED via the PORTABLE hash form: shingles hash through md5
+    // (the one hash both engines share; 60-bit = first 15 hex digits) and
+    // the 32 universal-hash permutations are plain mod-2^32 affine
+    // arithmetic whose exact coefficients (splitmix64 from seed 42,
+    // MinHashSig.coefficients) embed below as literals. The oracle
+    // re-derives the identical-set star-collapse, per-band signature
+    // groups, the banded candidate join, and the exact hashed-shingle
+    // Jaccard verification — so a hash PASS proves candidates AND
+    // verification end to end, not just row counts.
     "q31_dedup_minhash" -> QueryDef(
       (s, dir) =>
         Dedup.MinHashLsh.nearDupPairs(Tables.documents(s, dir),
-            "text", "doc_id", threshold = 0.35)
-          .orderBy("id_a", "id_b")),
+            "text", "doc_id", threshold = 0.35, portable = true)
+          .orderBy("id_a", "id_b"),
+      Some(minhashOracleSql)),
 
-    // SimHash Hamming-distance near-dup pairs (rows-only, same reason).
-    // maxHamming=3 keeps the chunk blocking lossless (pigeonhole).
+    // SimHash Hamming-distance near-dup pairs — ORACLE-HASH-GATED via the
+    // portable 60-bit md5 sketch. The chunk blocking is lossless
+    // (pigeonhole, maxHamming=3 < 4 chunks), so the output is the EXACT
+    // hamming<=3 pair relation and the oracle can verify it brute-force:
+    // same sketch, all pairs, bit_count(xor) filter.
     "q32_dedup_simhash" -> QueryDef(
       (s, dir) =>
-        Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id")
-          .orderBy("id_a", "id_b")),
+        Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
+            portable = true)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents
+             |), th AS (
+             |  SELECT doc_id, len(toks) AS n,
+             |    unnest(list_transform(toks,
+             |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS h
+             |  FROM d
+             |), bt AS (
+             |  SELECT doc_id, bb.b AS b, any_value(n) AS n, sum((h >> bb.b) & 1) AS c
+             |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+             |  GROUP BY doc_id, bb.b
+             |), sh AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN 2 * c >= n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+             |  FROM bt GROUP BY doc_id
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  cast(bit_count(xor(a.sh, b.sh)) AS int) AS hamming
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // Exact blocked n-gram Jaccard — the oracle-verifiable near-dup path.
     "q33_dedup_jaccard" -> QueryDef(

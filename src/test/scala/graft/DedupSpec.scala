@@ -81,6 +81,50 @@ class DedupSpec extends AnyFunSuite {
       "output volume ∝ distinct sets: n−1 stars + 1 verified rep pair")
   }
 
+  test("portable md5 hash: pinned value, matches DuckDB's " +
+      "('0x' || substr(md5(s),1,15))::BIGINT") {
+    // int(md5('hello world').hexdigest()[:15], 16) — cross-checked against
+    // python hashlib and DuckDB v1.0.0; the whole portable-sketch oracle
+    // story (q31/q32) rests on this equality
+    val h = spark.sql(
+      "SELECT conv(substring(md5('hello world'), 1, 15), 16, 10)")
+      .head().getString(0).toLong
+    assert(h == 426544247714475757L, "Spark md5-60 parity")
+    val df = Seq(Tuple1(Seq("hello world"))).toDF("toks")
+    val native = df.select(
+      graft.functions.Sketches.shingleSetPortable(col("toks"))).head()
+      .getSeq[Long](0)
+    assert(native == Seq(426544247714475757L),
+      "native portable shingle hash equals the SQL-expressible md5-60 form")
+  }
+
+  test("portable minhash pipeline: same planted structure as the xxhash path") {
+    val pairs = Dedup.MinHashLsh.nearDupPairs(docs, "text", "doc_id",
+        threshold = 0.5, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "planted near-dup must surface")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "unrelated doc must not pair above threshold")
+    assert(pairs.contains((3L, 4L)),
+      "whitespace twins share the shingle set → star edge")
+  }
+
+  test("portable simhash: exact hamming pair relation equals brute force") {
+    val sh = docs.select(col("doc_id"),
+      graft.functions.Sketches.simhashPortable(
+        graft.text.TextFunctions.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)),
+      "portable sketch stays inside 60 bits")
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"blocked pair set must equal brute force: $got vs $brute")
+  }
+
   test("simhash: near-dups at small hamming distance, unrelated far") {
     val sh = docs.select(col("doc_id"),
       Dedup.simhash(graft.text.TextFunctions.tokens(col("text"))).as("sh"))
