@@ -12,7 +12,87 @@ import graft.similarity.Ann
   */
 object SimilarityQueries extends QueryModule {
 
+  /** DuckDB mirror of the exact-arithmetic k-means fit (q103,
+    * [[graft.similarity.KMeans]]): stride-drawn init, argmax-cosine
+    * assignment with the kernel's (sim DESC, cell DESC) tie order,
+    * integer-micro means (`floor(x·10⁶ + 0.5)` longs — exact sums, one
+    * division, one float round-trip), empty cells carrying forward. The
+    * iteration structure is generated, one assign/mean CTE pair per Lloyd
+    * step, so engine `iters` and oracle depth cannot drift apart.
+    */
+  private def kmeansOracleSql(iters: Int): String = {
+    def selfDot(v: String) =
+      s"list_reduce(list_transform($v, x -> x::double * x::double), (x, y) -> x + y)"
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_transform(range(1, len($a) + 1),
+         |        i -> $a[i]::double * $b[i]::double), (x, y) -> x + y)""".stripMargin
+    def simExpr = // vector b against centroid c (norms re-derived from floats)
+      s"""(${dot("b.embedding", "c.cvec")}
+         |       / (sqrt(b.n2) * sqrt(${selfDot("c.cvec")})))""".stripMargin
+    def assignCte(name: String, ct: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        $simExpr DESC, c.cell DESC) AS arn
+         |    FROM base b CROSS JOIN $ct c
+         |  ) WHERE arn = 1
+         |)""".stripMargin
+    def meanCtes(k: Int, prev: String) =
+      s"""px$k AS (
+         |  SELECT a$k.cell, b.embedding, unnest(range(1, len(b.embedding) + 1)) AS i
+         |  FROM a$k JOIN base b USING (vec_id)
+         |), q$k AS (
+         |  SELECT cell, i - 1 AS dim,
+         |    cast(floor(embedding[i]::double * 1e6 + 0.5) AS bigint) AS q
+         |  FROM px$k
+         |), m$k AS (
+         |  SELECT cell, dim,
+         |    cast(cast(sum(q) AS double) / cast(count(*) AS double) / 1e6 AS float) AS m
+         |  FROM q$k GROUP BY cell, dim
+         |), cv$k AS (
+         |  SELECT cell, list(m ORDER BY dim) AS cvec FROM m$k GROUP BY cell
+         |), c$k AS (
+         |  SELECT $prev.cell, coalesce(cv$k.cvec, $prev.cvec) AS cvec
+         |  FROM $prev LEFT JOIN cv$k ON $prev.cell = cv$k.cell
+         |)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      assignCte(s"a$k", s"c${k - 1}") + ", " + meanCtes(k, s"c${k - 1}")
+    }.mkString(", ")
+    s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+       |s AS (
+       |  SELECT greatest(1, cast(floor(cnt / ceil(sqrt(cnt))) AS bigint)) AS stride
+       |  FROM n
+       |), c0 AS (
+       |  SELECT cast(row_number() OVER (ORDER BY vec_id) AS int) AS cell,
+       |    embedding AS cvec
+       |  FROM embeddings WHERE vec_id % (SELECT stride FROM s) = 0
+       |), base AS (
+       |  SELECT vec_id, embedding, ${selfDot("embedding")} AS n2
+       |  FROM embeddings
+       |), $steps, fin AS (
+       |  SELECT b.vec_id, c.cell, $simExpr AS sim,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |      $simExpr DESC, c.cell DESC) AS arn
+       |  FROM base b CROSS JOIN c$iters c
+       |)
+       |SELECT vec_id, cell, sim, count(*) OVER (PARTITION BY cell) AS csize
+       |FROM fin WHERE arn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, QueryDef] = quantizedQueries ++ Map(
+
+    // Exact-arithmetic distributed k-means (Lloyd over the stride init,
+    // integer-micro means) — ORACLE-HASH-GATED end to end: the oracle
+    // re-runs both Lloyd iterations and the final assignment, so a hash
+    // PASS proves the kernel assignment (incl. tie order), the
+    // order-independent exact means, AND the empty-cell carry-forward.
+    "q103_kmeans" -> QueryDef(
+      (s, dir) =>
+        graft.similarity.KMeans.kmeans(Tables.embeddings(s, dir), iters = 2)
+          .orderBy("vec_id"),
+      Some(kmeansOracleSql(2))),
 
     // Exact ANN baseline: every 10th vector queries the full corpus.
     "q40_cosine_topk" -> QueryDef(

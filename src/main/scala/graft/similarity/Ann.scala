@@ -322,7 +322,7 @@ object Ann {
     * Lloyd iteration's plan starts from collected data instead of replaying
     * the whole chain that produced it.
     */
-  private def materialize(cent: DataFrame): DataFrame = {
+  private[similarity] def materialize(cent: DataFrame): DataFrame = {
     val spark = cent.sparkSession
     import spark.implicits._
     cent.select(col("cell"), col("cvec")).collect()

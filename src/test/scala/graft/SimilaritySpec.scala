@@ -238,4 +238,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(search) == oneShot,
       "index round-trip must be bit-identical to the one-shot path")
   }
+
+  test("kmeans: planted tight clusters separate, sizes exact, sim near 1") {
+    import graft.similarity.KMeans
+    // three well-separated directions in 4-d; ids chosen so the stride
+    // draw (stride = n/ceil(sqrt(n)) = 18/(5... -> every 4th id) seeds at
+    // least one centroid near each direction is NOT required — Lloyd must
+    // still converge assignments to direction-pure cells in 2 iterations
+    def jitter(base: Array[Float], eps: Float, i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, j) => x + (if ((i + j) % 2 == 0) eps else -eps) }
+    val dirs = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = (0 until 18).map { i =>
+      (i.toLong, jitter(dirs(i % 3), 0.01f, i).toSeq, i % 3)
+    }
+    val df = rows.toDF("vec_id", "embedding", "truth")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("truth"))
+    val got = KMeans.kmeans(df.select("vec_id", "embedding"), iters = 2)
+      .collect()
+    // k-means can over-segment (the stride init may seed several cells
+    // inside one planted direction — it never merges cells), so the
+    // correctness invariant is CELL PURITY: no cell mixes directions,
+    // every direction is covered, and members sit tight on their centroid
+    val byCell = got.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2 % 3).toSet).toMap
+    assert(byCell.values.forall(_.size == 1),
+      s"near-orthogonal planted directions must not share a cell: $byCell")
+    assert(byCell.values.flatten.toSet == Set(0L, 1L, 2L),
+      s"every planted direction must be covered: $byCell")
+    assert(got.forall(_.getAs[Double]("sim") > 0.99),
+      "members sit within ~1 degree of their centroid")
+    val sizes = got.groupBy(_.getAs[Int]("cell"))
+      .map { case (_, rs) => rs.head.getAs[Long]("csize") -> rs.length }
+    assert(sizes.forall { case (csize, n) => csize == n.toLong },
+      s"csize must equal the actual member count per cell: $sizes")
+  }
+
+  test("kmeans: deterministic across partitionings (exact integer means)") {
+    import graft.similarity.KMeans
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
+    def run(parts: Int) =
+      KMeans.kmeans(emb.repartition(parts), iters = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+          r.getAs[Double]("sim")))
+        .sortBy(_._1).toSeq
+    assert(run(3) == run(17),
+      "integer-micro means are partition-order-independent — any drift " +
+        "here would also break the DuckDB oracle hash")
+  }
 }
