@@ -173,6 +173,86 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .unionByName(stars)
     }
+
+    /** Incremental near-dup ADMISSION — the near-dup analog of
+      * [[Dedup.exactIncremental]], closing the production gap between
+      * "exact dedup scales incrementally" (q100) and "near-dup runs as a
+      * batch job" (q31): a continuously-ingested corpus must answer "is
+      * this arriving document a near-duplicate of anything already
+      * admitted?" without re-banding the corpus per batch.
+      *
+      * Semantics (one-pass, order-free, SQL-expressible): a batch doc is
+      * REJECTED iff it verifies `jaccard >= threshold` against ANY corpus
+      * doc or ANY smaller-id batch doc — not only against admitted ones
+      * (the greedy admit-in-order alternative chains decisions through the
+      * whole batch and is inherently sequential; this one-pass rule is
+      * deterministic, parallelizes, and over-rejects only docs whose match
+      * was itself rejected — conservative in the right direction for a
+      * training corpus). Output: one row per batch doc with its verdict
+      * and the smallest matching id.
+      *
+      * Scale shape: candidates come from the banded LSH join — the batch
+      * side bands are O(batch); the corpus side bands are the SAME
+      * (band, bkey, id) rows [[nearDupPairs]] produces, so production
+      * persists them once, bucketed on (band, bkey), and each arriving
+      * batch pays one bucket-pruned join against them plus the batch's
+      * internal self-join — nothing re-scales with corpus × batch. The
+      * shingle-set ledger joins in only for the verified-candidate ids.
+      * Here both sides derive from the fixture split (even ids = admitted
+      * corpus, odd = batch), mirroring q100's shape.
+      */
+    def nearDupIncremental(batch: DataFrame, corpus: DataFrame,
+        textCol: String, idCol: String, threshold: Double = 0.5,
+        portable: Boolean = false): DataFrame = {
+      def prep(df: DataFrame): DataFrame = {
+        val toks = TextFunctions.tokens(col(textCol))
+        graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
+          .select(col(idCol).as("id"),
+            (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
+             else graft.functions.Sketches.minhashTokens(toks)).as("sig"),
+            (if (portable) graft.functions.Sketches.shingleSetPortable(toks)
+             else graft.functions.Sketches.shingleSet(toks)).as("sset"))
+      }
+      def bands(base: DataFrame): DataFrame =
+        base.select(col("id"), posexplode(array((0 until Bands).map { b =>
+          xxhash64(concat_ws("_",
+            (0 until RowsPerBand).map(r =>
+              element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
+        }: _*)).as(Seq("band", "bkey")))
+      val corpusPrep = prep(corpus)
+      val batchPrep = prep(batch)
+      val cb = bands(corpusPrep)
+      val bb = bands(batchPrep)
+      // candidate (batch id, match id): shared band vs corpus, or vs a
+      // smaller batch id — the two classes are disjoint (parity of mid
+      // here; distinct sources in production), union keeps them deduped
+      val candCorpus = bb.select(col("band"), col("bkey"), col("id").as("bid"))
+        .join(cb.select(col("band"), col("bkey"), col("id").as("mid")),
+          Seq("band", "bkey"))
+        .select("bid", "mid")
+      val candBatch = bb.select(col("band"), col("bkey"), col("id").as("bid"))
+        .join(bb.select(col("band"), col("bkey"), col("id").as("mid")),
+          Seq("band", "bkey"))
+        .filter(col("mid") < col("bid"))
+        .select("bid", "mid")
+      val cand = candCorpus.unionByName(candBatch).distinct()
+      val sets = batchPrep.select(col("id"), col("sset"))
+        .unionByName(corpusPrep.select(col("id"), col("sset")))
+      val inter = graft.functions.Sketches
+        .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+      val verified = cand
+        .join(sets.select(col("id").as("bid"), col("sset").as("set_a")), Seq("bid"))
+        .join(sets.select(col("id").as("mid"), col("sset").as("set_b")), Seq("mid"))
+        .filter(
+          (inter / (size(col("set_a")) + size(col("set_b")) - inter))
+            >= threshold)
+        .select("bid", "mid")
+      batch.select(col(idCol).as("doc_id"))
+        .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg((count(col("mid")) === 0).as("admitted"),
+          min(col("mid")).as("first_match"))
+    }
   }
 
   // --- SimHash --------------------------------------------------------------

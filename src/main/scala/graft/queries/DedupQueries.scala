@@ -26,11 +26,16 @@ object DedupQueries extends QueryModule {
     * equally on both sides, so only the (negligible) 64-bit collision
     * class could diverge.
     */
-  private lazy val minhashOracleSql: String = {
-    val values = graft.functions.MinHashSig.coefficients(32, 42L).zipWithIndex
+  /** Shared CTE fragments of the portable-MinHash oracles (q31, q104):
+    * md5-60 shingle sets and the embedded permutation coefficients.
+    */
+  private lazy val coeffValues: String =
+    graft.functions.MinHashSig.coefficients(32, 42L).zipWithIndex
       .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
-    s"""WITH d AS (
+
+  private val portableSetsSql: String =
+    s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
        |), sets AS (
@@ -39,24 +44,34 @@ object DedupQueries extends QueryModule {
        |    i -> ('0x' || substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
        |          1, 15))::BIGINT))) AS sset
        |  FROM d
-       |), grp AS (
+       |)""".stripMargin
+
+  /** sig+bands CTE pair over `src(key, sset)` rows — the SQL mirror of the
+    * engine's 32-min signature + 8×4 banding, parameterized on the id
+    * column so q31 (per-rep) and q104 (per-doc) share it verbatim.
+    */
+  private def sigBandsSql(src: String, key: String): String =
+    s"""hs AS (
+       |  SELECT $key, unnest(sset) AS h FROM $src
+       |), sig AS (
+       |  SELECT hs.$key, c.j,
+       |    min(((c.a::HUGEINT * (hs.h % 4294967296) + c.b) % 4294967296)::BIGINT) AS mv
+       |  FROM hs CROSS JOIN coeff c
+       |  GROUP BY hs.$key, c.j
+       |), bands AS (
+       |  SELECT $key, j // 4 AS band, string_agg(mv::VARCHAR, '_' ORDER BY j) AS bkey
+       |  FROM sig GROUP BY $key, j // 4
+       |)""".stripMargin
+
+  private lazy val minhashOracleSql: String = {
+    s"""WITH $portableSetsSql, grp AS (
        |  SELECT sset, min(doc_id) AS rep FROM sets GROUP BY sset
        |), stars AS (
        |  SELECT g.rep AS id_a, s.doc_id AS id_b, cast(1.0 AS double) AS jaccard
        |  FROM sets s JOIN grp g ON s.sset = g.sset
        |  WHERE s.doc_id <> g.rep
-       |), coeff(j, a, b) AS (VALUES $values
-       |), hs AS (
-       |  SELECT rep, unnest(sset) AS h FROM grp
-       |), sig AS (
-       |  SELECT hs.rep, c.j,
-       |    min(((c.a::HUGEINT * (hs.h % 4294967296) + c.b) % 4294967296)::BIGINT) AS mv
-       |  FROM hs CROSS JOIN coeff c
-       |  GROUP BY hs.rep, c.j
-       |), bands AS (
-       |  SELECT rep, j // 4 AS band, string_agg(mv::VARCHAR, '_' ORDER BY j) AS bkey
-       |  FROM sig GROUP BY rep, j // 4
-       |), cand AS (
+       |), coeff(j, a, b) AS (VALUES $coeffValues
+       |), ${sigBandsSql("grp", "rep")}, cand AS (
        |  SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.rep < y.rep
@@ -74,6 +89,40 @@ object DedupQueries extends QueryModule {
        |SELECT id_a, id_b, jaccard FROM stars
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** DuckDB mirror of q104: per-doc portable signatures/bands (no
+    * star-collapse — the admission verdict is per BATCH DOC, so every doc
+    * bands for itself), candidates vs the even-id corpus and vs smaller
+    * odd ids, exact-Jaccard verification, and the one-pass verdict
+    * aggregate.
+    */
+  private lazy val incrementalNearDupOracleSql: String =
+    s"""WITH $portableSetsSql, coeff(j, a, b) AS (VALUES $coeffValues
+       |), ${sigBandsSql("sets", "doc_id")}, bb AS (
+       |  SELECT * FROM bands WHERE doc_id % 2 = 1
+       |), cb AS (
+       |  SELECT * FROM bands WHERE doc_id % 2 = 0
+       |), cand AS (
+       |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS mid
+       |  FROM bb b JOIN cb c ON b.band = c.band AND b.bkey = c.bkey
+       |  UNION
+       |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS mid
+       |  FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND y.doc_id < x.doc_id
+       |), ver AS (
+       |  SELECT c.bid, c.mid
+       |  FROM cand c
+       |  JOIN sets sa ON c.bid = sa.doc_id
+       |  JOIN sets sb ON c.mid = sb.doc_id
+       |  WHERE cast(len(list_intersect(sa.sset, sb.sset)) AS double) /
+       |        cast(len(sa.sset) + len(sb.sset)
+       |             - len(list_intersect(sa.sset, sb.sset)) AS double) >= 0.35
+       |)
+       |SELECT b.doc_id, count(v.mid) = 0 AS admitted, min(v.mid) AS first_match
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+       |LEFT JOIN ver v ON b.doc_id = v.bid
+       |GROUP BY b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 
   def queries: Map[String, QueryDef] = Map(
 
@@ -149,6 +198,24 @@ object DedupQueries extends QueryModule {
             "text", "doc_id", threshold = 0.35, portable = true)
           .orderBy("id_a", "id_b"),
       Some(minhashOracleSql)),
+
+    // Incremental near-dup ADMISSION (the near-dup analog of q100's
+    // incremental exact dedup): odd-id docs are the arriving batch, even
+    // ids the admitted corpus; a batch doc is rejected iff it verifies
+    // jaccard >= threshold against any corpus doc or smaller batch id.
+    // Portable signatures end to end — the oracle re-derives bands,
+    // candidates, verification, and the verdict aggregate, so the hash
+    // gates the whole admission decision, not just the pair machinery.
+    "q104_incremental_neardup" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.MinHashLsh.nearDupIncremental(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "text", "doc_id", threshold = 0.35, portable = true)
+          .orderBy("doc_id")
+      },
+      Some(incrementalNearDupOracleSql)),
 
     // SimHash Hamming-distance near-dup pairs — ORACLE-HASH-GATED via the
     // portable 60-bit md5 sketch. The chunk blocking is lossless

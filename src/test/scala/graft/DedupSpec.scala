@@ -109,6 +109,24 @@ class DedupSpec extends AnyFunSuite {
       "whitespace twins share the shingle set → star edge")
   }
 
+  test("incremental near-dup admission: corpus hit, batch-internal hit, clean doc") {
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, nearDup),     // near-dup of corpus doc 0 → rejected, match 0
+      (13L, unrelated),   // nothing like it → admitted
+      (15L, unrelated))   // same as 13 (smaller batch id) → rejected, match 13
+      .toDF("doc_id", "text")
+    val got = Dedup.MinHashLsh.nearDupIncremental(batch, corpus,
+        "text", "doc_id", threshold = 0.5, portable = true)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("admitted"), Option(r.getAs[java.lang.Long]("first_match")))))
+      .toMap
+    assert(got(11L) == ((false, Some(0L))), s"corpus near-dup rejected: $got")
+    assert(got(13L) == ((true, None)), s"novel doc admitted: $got")
+    assert(got(15L) == ((false, Some(13L))), s"batch-internal dup rejected: $got")
+  }
+
   test("portable simhash: exact hamming pair relation equals brute force") {
     val sh = docs.select(col("doc_id"),
       graft.functions.Sketches.simhashPortable(
