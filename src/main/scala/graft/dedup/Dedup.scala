@@ -864,13 +864,11 @@ object Dedup {
       .map(_.getSeq[Float](0).toArray)
     require(planeVecs.length == nP,
       s"plane draw came up short: ${planeVecs.length} of $nP")
-    def keys(v: Column) = array((0 until nTables).map { t =>
-      (0 until bitsPerTable).map { i =>
-        val p = typedLit(planeVecs(t * bitsPerTable + i).toSeq)
-        when(graft.functions.FloatVecDot.dot(v, p) >= 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _) + lit(t.toLong * (1L << bitsPerTable))
-    }: _*)
+    // native banded-key kernel — see graft.functions.LshBandKeys: the
+    // declarative 60-wide when(float_vec_dot…) expansion fell out of
+    // codegen and the interpreted key stage dominated the sf10 wall
+    def keys(v: Column) = call_function("lsh_band_keys", v,
+      typedLit(planeVecs.map(_.toSeq).toSeq), lit(bitsPerTable))
     val base = grouped.filter(col("id") === col("rep"))
       .select(col("id"), col("v"),
         graft.functions.FloatVecDot.norm2(col("v")).as("n2"))

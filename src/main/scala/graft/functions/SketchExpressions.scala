@@ -20,9 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle), so cross-engine hash parity is not required; determinism is —
   * seeds are fixed, and results are identical at any parallelism.
   *
-  * Token hashing uses the same XXH64 core as Spark's `xxhash64` (seed 42).
-  * Null elements hash like empty strings rather than being skipped, keeping
-  * the loop branch-light; fixture corpora carry no null tokens.
+  * Token hashing defaults to the same XXH64 core as Spark's `xxhash64`
+  * (seed 42); each sketch also has a PORTABLE form over the md5-derived
+  * [[Sketches.hashTokenPortable]] so the MinHash/SimHash queries carry
+  * full DuckDB oracles (q31/q32/q104). Null elements hash like empty
+  * strings rather than being skipped, keeping the loop branch-light;
+  * fixture corpora carry no null tokens.
   */
 object Sketches {
 
@@ -164,6 +167,14 @@ object Sketches {
           IvfProbeCells(es.head, es(1), es(2), n)
         case other => throw new IllegalArgumentException(
           s"ivf_probe_cells: nProbe must be an int literal, got $other")
+      }),
+    ("lsh_band_keys",
+      "_FUNC_(v, planes, bits) - banded sign-projection bucket keys",
+      3, es => es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Int, IntegerType) =>
+          LshBandKeys(es.head, es(1), b)
+        case other => throw new IllegalArgumentException(
+          s"lsh_band_keys: bits must be an int literal, got $other")
       }),
     ("bpe_encode", "_FUNC_(text, merges) - byte-level BPE token ids",
       2, es => BpeEncode(es.head, es(1))),

@@ -7,12 +7,13 @@ import graft.dedup.Dedup
 
 /** Deduplication operator inventory over `documents`/`embeddings`.
   *
-  * Exact-math variants (exact dedup, blocked n-gram Jaccard, embedding
-  * cosine pairs) carry DuckDB oracles. The sketch-based variants
-  * (MinHash+LSH, SimHash) are seeded with engine-specific xxhash64, which
-  * DuckDB cannot reproduce — they get the driver's rows-only check here and
-  * exact recall/correctness assertions in DedupSpec (candidate sets are
-  * verified against the oracle-checked exact-Jaccard query).
+  * Every query here carries a DuckDB oracle: the exact-math variants
+  * (exact dedup, blocked n-gram Jaccard, embedding cosine pairs)
+  * directly, and the sketch-based variants (MinHash+LSH, SimHash,
+  * incremental near-dup admission) through their PORTABLE forms — md5-60
+  * token/shingle hashing plus affine permutations in exact integer
+  * arithmetic, which DuckDB re-derives literally (the xxhash64-seeded
+  * library forms remain the default hot path for non-gated callers).
   */
 object DedupQueries extends QueryModule {
 

@@ -445,12 +445,12 @@ object Ann {
       s"plane draw came up short: ${planeVecs.length} of $nP — id space too " +
         "sparse for the stride rule at this corpus size")
     // bucket key for table t: t·2^bits + Σ_i [dot(v, plane_{t·bits+i}) ≥ 0]·2^i
-    def keys(v: Column) = array((0 until nTables).map { t =>
-      (0 until bits).map { i =>
-        val p = typedLit(planeVecs(t * bits + i).toSeq)
-        when(FloatVecDot.dot(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _) + lit(t.toLong * (1L << bits))
-    }: _*)
+    // — computed by the native LshBandKeys kernel (one loop per row; the
+    // previous 60-wide when(float_vec_dot…) expansion dropped the stage
+    // out of codegen into interpreted eval: 68 s of key computation alone
+    // at the 100× tier, spec-pinned bit-identical to this kernel)
+    def keys(v: Column) = call_function("lsh_band_keys", v,
+      typedLit(planeVecs.map(_.toSeq).toSeq), lit(bits))
     val ck = corpus.select(col("vec_id").as("nid"),
       explode(keys(col("embedding"))).as("bkt"))
     val qk = queries.select(col("vec_id").as("qid"),

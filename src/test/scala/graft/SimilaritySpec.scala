@@ -239,6 +239,31 @@ class SimilaritySpec extends AnyFunSuite {
       "index round-trip must be bit-identical to the one-shot path")
   }
 
+  test("native lsh_band_keys kernel bit-identical to the declarative form") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(300)
+    val n = emb.count()
+    val bits = 5
+    val nTables = 3
+    val planeVecs = emb.filter(col("vec_id") % 7 === 0)
+      .orderBy("vec_id").limit(nTables * bits)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    assert(planeVecs.length == nTables * bits)
+    val declarative = array((0 until nTables).map { t =>
+      (0 until bits).map { i =>
+        val p = typedLit(planeVecs(t * bits + i).toSeq)
+        when(graft.functions.FloatVecDot.dot(col("embedding"), p) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(t.toLong * (1L << bits))
+    }: _*)
+    val native = call_function("lsh_band_keys", col("embedding"),
+      typedLit(planeVecs.map(_.toSeq).toSeq), lit(bits))
+    val diff = emb.select(col("vec_id"), declarative.as("d"), native.as("k"))
+      .filter(col("d") =!= col("k")).count()
+    assert(diff == 0,
+      "kernel keys must equal the when/float_vec_dot expansion bit-for-bit " +
+        "— the q41/q35 oracles restate exactly that arithmetic")
+  }
+
   test("kmeans: planted tight clusters separate, sizes exact, sim near 1") {
     import graft.similarity.KMeans
     // three well-separated directions in 4-d; ids chosen so the stride
