@@ -293,6 +293,13 @@ object Dedup {
     val sketch =
       if (portable) graft.functions.Sketches.simhashPortable _
       else simhash _
+    // NOTE deliberately totalBits = 64 even for the 60-bit portable
+    // sketch: chunking the live width (4×15) looked strictly better on
+    // paper (equal bucket spaces), but measured WORSE at sf10 (Σ
+    // occupancy² 1.51·10⁹ vs 1.20·10⁹, wall +40%) — simhash bits are
+    // correlated, so which bits share a chunk dominates occupancy, not
+    // the chunk's key-space size, and the 4×16 boundaries happen to
+    // split the hot correlated groups better on text sketches.
     hammingPairs(
       src.select(col(idCol).as("id"),
         sketch(TextFunctions.tokens(col(textCol))).as("sh")),
@@ -329,12 +336,23 @@ object Dedup {
     */
   def hammingPairs(sketches: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, nChunks: Int = 4,
-      collapseIdentical: Boolean = false): DataFrame = {
-    require(64 % nChunks == 0, s"nChunks must divide 64, got $nChunks")
+      collapseIdentical: Boolean = false, totalBits: Int = 64): DataFrame = {
+    // `totalBits` bounds the bit range the chunks cover (pigeonhole is
+    // width-agnostic: hamming < nChunks ⇒ ≥ 1 chunk agrees, whatever the
+    // chunk widths) — the knob exists for narrower sketches (e.g. 32-bit
+    // fingerprints, where 4×16 would waste two chunks on constant zero
+    // bits and halve the effective blocking). Counter-intuitively it is
+    // NOT worth "fixing" the 60-bit portable simhash to 4×15: measured
+    // at sf10, live-width chunking was ~25% MORE candidate volume —
+    // sketch bits are correlated, so which bits share a chunk dominates
+    // bucket occupancy, not each chunk's key-space size (see
+    // [[simhashPairs]]).
+    require(totalBits % nChunks == 0,
+      s"nChunks must divide totalBits=$totalBits, got $nChunks")
     require(maxHamming < nChunks,
       s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
         s"$nChunks chunks — need maxHamming < nChunks")
-    val bits = 64 / nChunks
+    val bits = totalBits / nChunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sh = sketches.select(col(idCol).as("id"), col(hashCol).as("sh"))
     def blocked(src: DataFrame, aCol: String, bCol: String,
