@@ -204,12 +204,23 @@ object Dedup {
     def nearDupIncremental(batch: DataFrame, corpus: DataFrame,
         textCol: String, idCol: String, threshold: Double = 0.5,
         portable: Boolean = false): DataFrame = {
-      def prep(df: DataFrame): DataFrame = {
+      // sig and sset are built by SEPARATE projections (unlike
+      // nearDupPairs' shared base): the band tables consume only sig and
+      // the verification ledger only sset, and Spark re-executes a shared
+      // projection once per consumer — computing both sketches in one
+      // select would double every hash pass at 100 TB for values the
+      // consumer drops
+      def prepSig(df: DataFrame): DataFrame = {
         val toks = TextFunctions.tokens(col(textCol))
         graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
           .select(col(idCol).as("id"),
             (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
-             else graft.functions.Sketches.minhashTokens(toks)).as("sig"),
+             else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
+      }
+      def prepSet(df: DataFrame): DataFrame = {
+        val toks = TextFunctions.tokens(col(textCol))
+        graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
+          .select(col(idCol).as("id"),
             (if (portable) graft.functions.Sketches.shingleSetPortable(toks)
              else graft.functions.Sketches.shingleSet(toks)).as("sset"))
       }
@@ -219,10 +230,8 @@ object Dedup {
             (0 until RowsPerBand).map(r =>
               element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
         }: _*)).as(Seq("band", "bkey")))
-      val corpusPrep = prep(corpus)
-      val batchPrep = prep(batch)
-      val cb = bands(corpusPrep)
-      val bb = bands(batchPrep)
+      val cb = bands(prepSig(corpus))
+      val bb = bands(prepSig(batch))
       // candidate (batch id, match id): shared band vs corpus, or vs a
       // smaller batch id — the two classes are disjoint (parity of mid
       // here; distinct sources in production), union keeps them deduped
@@ -236,8 +245,7 @@ object Dedup {
         .filter(col("mid") < col("bid"))
         .select("bid", "mid")
       val cand = candCorpus.unionByName(candBatch).distinct()
-      val sets = batchPrep.select(col("id"), col("sset"))
-        .unionByName(corpusPrep.select(col("id"), col("sset")))
+      val sets = prepSet(batch).unionByName(prepSet(corpus))
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
       val verified = cand

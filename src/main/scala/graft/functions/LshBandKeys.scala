@@ -76,8 +76,12 @@ case class LshBandKeys(first: Expression, second: Expression, bits: Int)
     LshBandKeys.compute(v.asInstanceOf[ArrayData], planes, bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // getCanonicalName, NOT getName: the class name becomes a Java-source
+    // cast in the generated code, and an array's getName ("[[F") is not
+    // valid source — Janino would fail and the stage would silently fall
+    // back to interpreted eval, the exact regression this kernel removes
     val mat = ctx.addReferenceObj("lshPlanes", planes,
-      classOf[Array[Array[Float]]].getName)
+      classOf[Array[Array[Float]]].getCanonicalName)
     nullSafeCodeGen(ctx, ev, (v, _) =>
       s"${ev.value} = graft.functions.LshBandKeys.compute($v, $mat, $bits);")
   }
