@@ -74,7 +74,7 @@ object Multimodal {
     * collapsed to a few thousand values, and frame-posting joins went
     * quadratic at sf1 (measured: q89 at 237 s).
     */
-  private[multimodal] def seededBytes(md: java.security.MessageDigest,
+  private[graft] def seededBytes(md: java.security.MessageDigest,
       text: String, salt: Long, n: Int): Array[Byte] = {
     val key = text.trim.toLowerCase.split("\\s+").take(8).mkString(" ")
     val d = md.digest(key.getBytes("UTF-8"))

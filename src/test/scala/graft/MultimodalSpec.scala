@@ -379,4 +379,47 @@ class MultimodalSpec extends AnyFunSuite {
         "cluster label is the min member id")
     }
   }
+
+  test("GIF round-trip is pixel-lossless — q88/q89's oracle precondition") {
+    // the video oracles predict decoded stats from the generation stream,
+    // valid ONLY while the ≤256-color grayscale GIF encode → decode loop
+    // is exact; a JDK writer that started quantizing/dithering must fail
+    // here loudly rather than silently breaking the closed forms
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (t <- Seq("hello world foo bar", "the quick brown fox", "zz")) {
+      val frames = (0 until 4).map { f =>
+        val src = Multimodal.seededBytes(md, t, f.toLong, 256)
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 256).foreach { i =>
+          val v = src(i) & 0xff
+          img.setRGB(i % 16, i / 16, (v << 16) | (v << 8) | v)
+        }
+        (src, img)
+      }
+      val bytes = Multimodal.writeGif(frames.map(_._2))
+      val back = Multimodal.readGifFrames(bytes)
+      assert(back.length == 4)
+      frames.zip(back).foreach { case ((src, _), dec) =>
+        (0 until 256).foreach { i =>
+          val exp = src(i) & 0xff
+          val p = dec.getRGB(i % 16, i / 16)
+          assert(((p >> 16) & 0xff) == exp && ((p >> 8) & 0xff) == exp &&
+            (p & 0xff) == exp, s"GIF round-trip lost pixel $i of '$t'")
+        }
+      }
+    }
+  }
+
+  test("fixture corpus is ASCII — q51's byte-stat oracle precondition") {
+    // q51's oracle reconstructs UTF-8 byte sums via per-character ascii()
+    // codepoints, valid ONLY while every character is single-byte; a
+    // regenerated fixture with non-ASCII text must fail here loudly
+    // rather than silently shifting the oracle's arithmetic
+    val nonAscii = Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents carry non-ASCII text — q51's ascii()-based " +
+        "oracle no longer equals the byte statistics")
+  }
 }
