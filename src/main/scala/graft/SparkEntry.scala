@@ -8,9 +8,11 @@ import graft.queries._
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
   * Every implemented operator from SURVEY §2 gets a `queries` entry
-  * (Spark-side) and, when SQL-expressible, an `oracleSql` entry (DuckDB
-  * side); approximate/hash-seeded operators declare no oracle and get the
-  * driver's rows-only check. Parity rules applied throughout (SURVEY
+  * (Spark-side) and an `oracleSql` entry (DuckDB side) — ALL 104 queries
+  * are oracle-hash-gated: hash-seeded sketches run portable (md5-60)
+  * variants and the codec queries gate through lossless-round-trip
+  * closed forms; `oracle = None` remains supported for future operators
+  * but is currently unused. Parity rules applied throughout (SURVEY
   * H1-H7):
   *  - deterministic output order: every query ends in an ORDER BY over a
   *    unique key, mirrored in the oracle;

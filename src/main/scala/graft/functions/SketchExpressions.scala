@@ -16,9 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order-function interpreter (HOFs are CodegenFallback), costing
   * tens of millions of boxed lambda steps per million tokens. Each
   * expression below is ONE primitive JVM loop per row over the token/
-  * shingle array. Both are engine-internal sketches (rows-only at the
-  * oracle), so cross-engine hash parity is not required; determinism is —
-  * seeds are fixed, and results are identical at any parallelism.
+  * shingle array. The xxhash64-seeded defaults are engine-internal (their
+  * gated queries use the portable md5 forms instead); determinism is
+  * required everywhere — seeds are fixed, and results are identical at
+  * any parallelism.
   *
   * Token hashing defaults to the same XXH64 core as Spark's `xxhash64`
   * (seed 42); each sketch also has a PORTABLE form over the md5-derived

@@ -7,8 +7,10 @@ import graft.similarity.Ann
 
 /** Similarity-search inventory over the `embeddings` fixture: exact
   * brute-force top-k cosine (oracle-verified to the last bit via explicit
-  * double-fold SQL) and the hyperplane-LSH scale path (rows-only — its
-  * recall against the exact query is asserted in SimilaritySpec).
+  * double-fold SQL) and the LSH/IVF scale paths in their
+  * engine-independent forms (stride-drawn planes/centroids) — every
+  * query oracle-hash-gated; recall floors additionally asserted in
+  * SimilaritySpec.
   */
 object SimilarityQueries extends QueryModule {
 

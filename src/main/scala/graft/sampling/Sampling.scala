@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Sampling operators for training-data curation — the standard knobs for
   * carving corpora at 100 TB, all seed-deterministic so a pipeline rerun
   * reproduces the same sample (replayability is the property that matters;
-  * the exact row set is engine-specific, so these verify rows-only at the
-  * driver and by property in ScalaTest).
+  * the exact row set was engine-specific until the portable-hash draws —
+  * the gated queries (q63/q64/q65) are oracle-hash-exact, with property
+  * coverage in ScalaTest).
   */
 object Sampling {
 
