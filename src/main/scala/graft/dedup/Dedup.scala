@@ -203,40 +203,64 @@ object Dedup {
       */
     def nearDupIncremental(batch: DataFrame, corpus: DataFrame,
         textCol: String, idCol: String, threshold: Double = 0.5,
+        portable: Boolean = false): DataFrame =
+      nearDupIncrementalLedger(batch, textCol, idCol,
+        bandsFor(corpus, textCol, idCol, portable),
+        setsFor(corpus, textCol, idCol, portable), threshold, portable)
+
+    /** The (band, bkey, id) rows of a document frame — what production
+      * PERSISTS (bucketed on (band, bkey)) as the near-dup band ledger.
+      * sig and sset are built by SEPARATE projections (unlike
+      * nearDupPairs' shared base): the band tables consume only sig and
+      * the verification ledger only sset, and Spark re-executes a shared
+      * projection once per consumer — computing both sketches in one
+      * select would double every hash pass at 100 TB for values the
+      * consumer drops.
+      */
+    def bandsFor(df: DataFrame, textCol: String, idCol: String,
         portable: Boolean = false): DataFrame = {
-      // sig and sset are built by SEPARATE projections (unlike
-      // nearDupPairs' shared base): the band tables consume only sig and
-      // the verification ledger only sset, and Spark re-executes a shared
-      // projection once per consumer — computing both sketches in one
-      // select would double every hash pass at 100 TB for values the
-      // consumer drops
-      def prepSig(df: DataFrame): DataFrame = {
-        val toks = TextFunctions.tokens(col(textCol))
-        graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
-          .select(col(idCol).as("id"),
-            (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
-             else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
-      }
-      def prepSet(df: DataFrame): DataFrame = {
-        val toks = TextFunctions.tokens(col(textCol))
-        graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
-          .select(col(idCol).as("id"),
-            (if (portable) graft.functions.Sketches.shingleSetPortable(toks)
-             else graft.functions.Sketches.shingleSet(toks)).as("sset"))
-      }
-      def bands(base: DataFrame): DataFrame =
-        base.select(col("id"), posexplode(array((0 until Bands).map { b =>
-          xxhash64(concat_ws("_",
-            (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
-        }: _*)).as(Seq("band", "bkey")))
-      val cb = bands(prepSig(corpus))
-      val bb = bands(prepSig(batch))
+      val toks = TextFunctions.tokens(col(textCol))
+      val base = graft.core.Parallelism.ensure(
+          df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
+           else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
+      base.select(col("id"), posexplode(array((0 until Bands).map { b =>
+        xxhash64(concat_ws("_",
+          (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
+      }: _*)).as(Seq("band", "bkey")))
+    }
+
+    /** The (id, sset) verification rows — the shingle-set ledger. */
+    def setsFor(df: DataFrame, textCol: String, idCol: String,
+        portable: Boolean = false): DataFrame = {
+      val toks = TextFunctions.tokens(col(textCol))
+      graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.shingleSetPortable(toks)
+           else graft.functions.Sketches.shingleSet(toks)).as("sset"))
+    }
+
+    /** [[nearDupIncremental]] against PERSISTED ledgers: `corpusBands` =
+      * (band, bkey, id) rows and `corpusSets` = (id, sset) rows of the
+      * already-admitted corpus (what [[bandsFor]]/[[setsFor]] produce and
+      * [[graft.streaming.NearDupStream]] maintains per micro-batch) — the
+      * corpus is never re-tokenized, re-hashed, or re-banded; per-batch
+      * cost is the batch's own sketching plus a bucket-prunable join
+      * against the band ledger, with the sset ledger consulted only for
+      * verified-candidate ids.
+      */
+    def nearDupIncrementalLedger(batch: DataFrame, textCol: String,
+        idCol: String, corpusBands: DataFrame, corpusSets: DataFrame,
+        threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+      val bb = bandsFor(batch, textCol, idCol, portable)
       // candidate (batch id, match id): shared band vs corpus, or vs a
-      // smaller batch id — the two classes are disjoint (parity of mid
-      // here; distinct sources in production), union keeps them deduped
+      // smaller batch id — a pair can only appear in one class (a doc id
+      // is either in the ledger or in this batch), union keeps them
+      // deduped either way
       val candCorpus = bb.select(col("band"), col("bkey"), col("id").as("bid"))
-        .join(cb.select(col("band"), col("bkey"), col("id").as("mid")),
+        .join(corpusBands.select(col("band"), col("bkey"), col("id").as("mid")),
           Seq("band", "bkey"))
         .select("bid", "mid")
       val candBatch = bb.select(col("band"), col("bkey"), col("id").as("bid"))
@@ -245,7 +269,8 @@ object Dedup {
         .filter(col("mid") < col("bid"))
         .select("bid", "mid")
       val cand = candCorpus.unionByName(candBatch).distinct()
-      val sets = prepSet(batch).unionByName(prepSet(corpus))
+      val sets = setsFor(batch, textCol, idCol, portable)
+        .unionByName(corpusSets.select(col("id"), col("sset")))
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
       val verified = cand

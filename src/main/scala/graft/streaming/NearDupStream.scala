@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, BooleanType, LongType, StructField, StructType}
+
+import graft.dedup.Dedup
+
+/** Streaming near-dup ADMISSION: the streaming form of
+  * [[graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedger]] (q104), as
+  * [[DedupStream]] is of exact incremental dedup (q100) — each
+  * micro-batch's documents are admitted unless they verify
+  * `jaccard >= threshold` against anything ALREADY ADMITTED or a
+  * smaller id in the same batch, with exactly-once output.
+  *
+  * Note the semantics are STRONGER than q104's one-pass batch rule
+  * against a raw corpus: the persisted ledgers hold only ADMITTED
+  * documents, so the cross-batch check is the true "near-dup of anything
+  * admitted" — only the within-batch tie-break keeps the order-free
+  * smaller-id rule (documented in `nearDupIncrementalLedger`).
+  *
+  * State = two persisted ledgers on the sink filesystem, not a state
+  * store (the [[DedupStream]] argument — unbounded sketch state cannot
+  * live in executor checkpoints at corpus scale):
+  *
+  *  - `bandsDir`: (band, bkey, id) rows of admitted docs — the LSH
+  *    candidate index; bucketable on (band, bkey) at rest so the
+  *    per-batch candidate join bucket-prunes;
+  *  - `setsDir`:  (id, sset) rows — exact-verification shingle sets,
+  *    consulted only for verified-candidate ids.
+  *
+  * Exactly-once across crash/replay with NO cross-write transaction,
+  * by [[DedupStream]]'s argument extended to three sinks: admission is a
+  * pure function of (batch data, COMMITTED ledgers), and the verdict
+  * commits FIRST, the ledgers LAST. At any kill point a replay
+  * recomputes the identical verdict (committed ledgers unchanged —
+  * foreachBatch replays batch N before N+1 ever runs) and rebuilds
+  * whichever ledger batches lack markers; the reverse order would let a
+  * committed ledger without its verdict reject the replay's own
+  * documents.
+  */
+object NearDupStream {
+
+  private val BandsSchema = StructType(Seq(
+    StructField("band", org.apache.spark.sql.types.IntegerType),
+    StructField("bkey", LongType),
+    StructField("id", LongType)))
+  private val SetsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sset", ArrayType(LongType, containsNull = false))))
+  private val VerdictSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("admitted", BooleanType),
+    StructField("first_match", LongType)))
+
+  /** Committed band ledger (typed-empty on cold start). */
+  def ledgerBands(spark: SparkSession, bandsDir: String): DataFrame =
+    IdempotentSink.readCommitted(spark, bandsDir, Some(BandsSchema))
+
+  /** Committed shingle-set ledger (typed-empty on cold start). */
+  def ledgerSets(spark: SparkSession, setsDir: String): DataFrame =
+    IdempotentSink.readCommitted(spark, setsDir, Some(SetsSchema))
+
+  /** Committed verdicts across all batches. */
+  def verdicts(spark: SparkSession, verdictDir: String): DataFrame =
+    IdempotentSink.readCommitted(spark, verdictDir, Some(VerdictSchema))
+
+  /** The `foreachBatch` function:
+    * {{{
+    * stream.writeStream.foreachBatch(
+    *   NearDupStream.writer(out, bands, sets, "text", "doc_id", 0.5))
+    * }}}
+    * Emits one (doc_id, admitted, first_match) verdict row per batch doc
+    * under `verdictDir/batch=<id>`, and the band/sset rows of ADMITTED
+    * docs under the two ledger dirs.
+    */
+  def writer(verdictDir: String, bandsDir: String, setsDir: String,
+      textCol: String, idCol: String, threshold: Double = 0.5,
+      portable: Boolean = false): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val verdict = Dedup.MinHashLsh.nearDupIncrementalLedger(
+        batch, textCol, idCol,
+        ledgerBands(spark, bandsDir), ledgerSets(spark, setsDir),
+        threshold, portable).persist()
+      try {
+        // admitted docs re-sketch from the batch (batch-sized work; the
+        // verdict plan carries only ids, so joining back is cheaper than
+        // threading sig/sset through the admission aggregate)
+        val admittedDocs = batch.join(
+          verdict.filter(col("admitted"))
+            .select(col("doc_id").as(idCol)), Seq(idCol))
+        IdempotentSink.writer(verdictDir)(verdict, batchId)
+        IdempotentSink.writer(bandsDir)(
+          Dedup.MinHashLsh.bandsFor(admittedDocs, textCol, idCol, portable),
+          batchId)
+        IdempotentSink.writer(setsDir)(
+          Dedup.MinHashLsh.setsFor(admittedDocs, textCol, idCol, portable),
+          batchId)
+      } finally verdict.unpersist()
+      ()
+    }
+}
