@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{DedupStream, HeadwaysStream, IdempotentSink}
+import graft.streaming.{DedupStream, HeadwaysStream, IdempotentSink, NearDupStream}
 
 /** Scale-tier driver for the two streaming paths — the committed evidence
   * behind BENCH_STREAM.json: `runMain graft.tools.BenchStream [sfDir] [outJson]`.
@@ -185,6 +185,82 @@ object BenchStream {
       batchGaps.exceptAll(streamedGaps).isEmpty
     val martRows = streamedGaps.count()
 
+    // ---- C: streaming near-dup admission --------------------------------
+    // same wave protocol as A over the near-dup operator: per-wave
+    // kill/restart cycles, a forced replay, and streamed verdicts ≡ the
+    // batch-sequential ledger recompute (the determinism gate — any drift
+    // in sketching, banding, or commit ordering breaks row equality)
+    val inC = s"$root/inC"; val outC = s"$root/outC"; val ckptC = s"$root/ckptC"
+    val bandsC = s"$root/bandsC"; val setsC = s"$root/setsC"
+    def runNearDup(tag: String): Double = timed {
+      val q = spark.readStream.schema("doc_id long, text string")
+        .parquet(s"$inC/*")
+        .writeStream
+        .option("checkpointLocation", ckptC)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(NearDupStream.writer(outC, bandsC, setsC,
+          "text", "doc_id", threshold = 0.5))
+        .start()
+      require(q.awaitTermination(600000), s"$tag: query did not terminate")
+      require(q.exception.isEmpty, s"$tag failed: ${q.exception}")
+    }
+    val ndWaves = 6
+    val ndWalls = (0 until ndWaves).map { b =>
+      docs.filter(col("doc_id") >= b * maxId / ndWaves &&
+          col("doc_id") < (b + 1) * maxId / ndWaves)
+        .coalesce(4).write.parquet(s"$inC/w$b")
+      runNearDup(s"neardup wave $b")
+    }
+    val ndIdsBefore = IdempotentSink.committedBatches(spark, outC)
+    val ndNewest = new java.io.File(s"$ckptC/commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    require(new java.io.File(s"$ckptC/commits/$ndNewest").delete())
+    new java.io.File(s"$ckptC/commits/.$ndNewest.crc").delete()
+    val ndReplay = runNearDup("neardup forced replay")
+    require(IdempotentSink.committedBatches(spark, outC) == ndIdsBefore,
+      "neardup replay must commit no new batch")
+    // batch-sequential recompute over accumulating ledgers. The ledgers
+    // accumulate THROUGH PARQUET per wave, exactly like the stream's own
+    // ledgers — chaining unionByName of six full sketch-pipeline plans
+    // instead grows one enormous plan tree whose cache canonicalization
+    // alone OOMs the driver (measured: heap death inside cacheQuery's
+    // plan-string builder)
+    import graft.dedup.Dedup.MinHashLsh
+    val accBandsDir = s"$root/accBands"; val accSetsDir = s"$root/accSets"
+    NearDupStream.ledgerBands(spark, s"$root/_empty_bands")
+      .write.parquet(accBandsDir)
+    NearDupStream.ledgerSets(spark, s"$root/_empty_sets")
+      .write.parquet(accSetsDir)
+    val batchVerdicts = (0 until ndWaves).map { b =>
+      val wave = docs.filter(col("doc_id") >= b * maxId / ndWaves &&
+        col("doc_id") < (b + 1) * maxId / ndWaves)
+      // each wave's verdict MATERIALIZES TO PARQUET before the ledger
+      // appends: a persist() is not enough — appending to a path a
+      // cached plan reads triggers CacheManager.recacheByPath, which
+      // re-executes the verdict against the fully-grown ledgers and
+      // every doc then "rejects" against itself (measured: exactly that
+      // false-negative wave)
+      val vDir = s"$root/probeV_$b"
+      MinHashLsh.nearDupIncrementalLedger(
+        wave, "text", "doc_id",
+        spark.read.parquet(accBandsDir), spark.read.parquet(accSetsDir),
+        threshold = 0.5).write.parquet(vDir)
+      val v = spark.read.parquet(vDir)
+      val admitted = wave.join(
+        v.filter(col("admitted")).select(col("doc_id")), Seq("doc_id"))
+      MinHashLsh.bandsFor(admitted, "text", "doc_id")
+        .write.mode("append").parquet(accBandsDir)
+      MinHashLsh.setsFor(admitted, "text", "doc_id")
+        .write.mode("append").parquet(accSetsDir)
+      v
+    }.reduce(_ unionByName _)
+    val streamedVerdicts = NearDupStream.verdicts(spark, outC)
+      .select("doc_id", "admitted", "first_match")
+    val ndEqual = streamedVerdicts.exceptAll(batchVerdicts).isEmpty &&
+      batchVerdicts.exceptAll(streamedVerdicts).isEmpty
+    val ndAdmitted = streamedVerdicts.filter(col("admitted")).count()
+    val ndTotal = streamedVerdicts.count()
+
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
       s"""{"sf":"$sfDir","docs":$nDocs,"events":$nEvents,""" +
@@ -195,11 +271,14 @@ object BenchStream {
       s""""ledger_bytes":${dirBytes(ledger)}},""" +
       s""""mart":{"wave_walls":${arr(martWalls)},"replay_s":${f"$martReplay%.3f"},""" +
       s""""rows":$martRows,"batch_equal":$martEqual,""" +
-      s""""state_ckpt_bytes":${dirBytes(s"$ckptB/state")}}}"""
+      s""""state_ckpt_bytes":${dirBytes(s"$ckptB/state")}},""" +
+      s""""neardup":{"wave_walls":${arr(ndWalls)},"replay_s":${f"$ndReplay%.3f"},""" +
+      s""""verdicts":$ndTotal,"admitted":$ndAdmitted,"batch_equal":$ndEqual,""" +
+      s""""bands_bytes":${dirBytes(bandsC)},"sets_bytes":${dirBytes(setsC)}}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
-    require(dedupEqual && martEqual && !ledgerShuffled,
+    require(dedupEqual && martEqual && ndEqual && !ledgerShuffled,
       "scale-tier streaming gates must hold")
     spark.stop()
   }
