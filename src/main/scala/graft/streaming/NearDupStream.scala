@@ -84,13 +84,24 @@ object NearDupStream {
         ledgerBands(spark, bandsDir), ledgerSets(spark, setsDir),
         threshold, portable).persist()
       try {
-        // admitted docs re-sketch from the batch (batch-sized work; the
-        // verdict plan carries only ids, so joining back is cheaper than
-        // threading sig/sset through the admission aggregate)
-        val admittedDocs = batch.join(
-          verdict.filter(col("admitted"))
-            .select(col("doc_id").as(idCol)), Seq(idCol))
         IdempotentSink.writer(verdictDir)(verdict, batchId)
+        // the ledger writes re-derive the admitted set from the
+        // JUST-COMMITTED verdict parquet, not from the in-memory verdict
+        // plan: that plan's lineage reads the very ledger dirs the next
+        // two writes append to, and any cache invalidation
+        // (CacheManager.recacheByPath fires when a written path overlaps
+        // a cached scan's roots) would re-derive the verdict against
+        // ledgers that already contain this batch — every doc then
+        // rejects against itself. Reading the durable verdict severs
+        // that lineage entirely; on a replay whose verdict marker
+        // already exists the batch dir is present and identical, so the
+        // read is the same either way. Admitted docs then re-sketch from
+        // the batch — batch-sized work, cheaper than threading sig/sset
+        // through the admission aggregate.
+        val admittedDocs = batch.join(
+          spark.read.parquet(s"$verdictDir/batch=$batchId")
+            .filter(col("admitted"))
+            .select(col("doc_id").as(idCol)), Seq(idCol))
         IdempotentSink.writer(bandsDir)(
           Dedup.MinHashLsh.bandsFor(admittedDocs, textCol, idCol, portable),
           batchId)
