@@ -18,10 +18,21 @@ object Layout {
 
   /** Write `df` as a bucketed managed table (overwrite). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int, sortCol: Option[String] = None): Unit = {
+      buckets: Int, sortCol: Option[String] = None): Unit =
+    writeBucketedMulti(df, table, Seq(bucketCol), buckets, sortCol.toSeq)
+
+  /** Multi-key form: bucket (and optionally sort) on a composite key, so a
+    * recurring equi-join on ALL bucket columns plans with zero Exchange on
+    * this side — e.g. the near-dup band ledger bucketed on (band, bkey).
+    */
+  def writeBucketedMulti(df: DataFrame, table: String,
+      bucketCols: Seq[String], buckets: Int,
+      sortCols: Seq[String] = Seq.empty): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketedMulti: need >= 1 bucket column")
     val w = df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketCol)
-    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))
+      .saveAsTable(table)
   }
 
   /** Range-sorted layout: global range partition + in-partition sort on

@@ -269,13 +269,28 @@ object Dedup {
         .filter(col("mid") < col("bid"))
         .select("bid", "mid")
       val cand = candCorpus.unionByName(candBatch).distinct()
-      val sets = setsFor(batch, textCol, idCol, portable)
-        .unionByName(corpusSets.select(col("id"), col("sset")))
+      val batchSets = setsFor(batch, textCol, idCol, portable)
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
-      val verified = cand
-        .join(sets.select(col("id").as("bid"), col("sset").as("set_a")), Seq("bid"))
-        .join(sets.select(col("id").as("mid"), col("sset").as("set_b")), Seq("mid"))
+      // attach the match side's sset PER SOURCE, not through a batch∪corpus
+      // union: a union node discards the corpus ledger's output
+      // partitioning, forcing a full exchange of every corpus sset array
+      // on every micro-batch. Joined directly, a ledger compacted to an
+      // id-bucketed table ([[graft.streaming.NearDupStream.compactLedgers]])
+      // ships NOTHING — only the candidate side (batch-bounded) exchanges
+      // (spec-pinned in StreamingNearDupSpec). A mid resolves on exactly
+      // one side (ledger ids and batch ids are disjoint — a doc is either
+      // admitted history or arriving), so the union of the two inner joins
+      // is the same relation as the joined union.
+      val withB = cand
+        .join(corpusSets.select(col("id").as("mid"), col("sset").as("set_b")),
+          Seq("mid"))
+        .unionByName(cand.join(
+          batchSets.select(col("id").as("mid"), col("sset").as("set_b")),
+          Seq("mid")))
+      val verified = withB
+        .join(batchSets.select(col("id").as("bid"), col("sset").as("set_a")),
+          Seq("bid"))
         .filter(
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             >= threshold)

@@ -56,176 +56,36 @@ object DedupStream {
     * so the incremental-dedup anti-join's ledger side plans with zero
     * Exchange (spec-pinned in StreamingDedupSpec).
     *
-    * Read ordering vs a completing compaction: the marker is resolved
-    * FIRST, and only batch dirs STRICTLY NEWER than the marked generation
-    * are then listed and read — every id ≤ the generation is already in
-    * the table (absorbed, or a replayed rewrite of an absorbed batch), so
-    * a compactor deleting those dirs after our marker read cannot fail or
-    * skew this read. The one remaining window — a SECOND compaction
-    * completing and deleting `(v, v']` dirs between our listing and the
-    * parquet read — is excluded by contract, not code: compaction is a
-    * maintenance job run by the ledger's single writer between
-    * micro-batches (see [[compactLedger]]), never concurrently with the
-    * stream that reads this.
+    * Safe against a compaction completing concurrently with the stream's
+    * micro-batch that calls this: see [[LedgerCompaction]]'s deferred-
+    * cleanup contract (nothing one new generation deletes is a path this
+    * read planned over; spec-pinned by compacting between plan build and
+    * action).
     */
   def ledgerFps(spark: SparkSession, ledgerDir: String): DataFrame =
-    currentCompaction(spark, ledgerDir) match {
-      case None =>
-        IdempotentSink.readCommitted(spark, ledgerDir, Some(FpSchema))
-          .select("fp")
-      case Some((version, table)) =>
-        val compacted = spark.table(table).select("fp")
-        val fresh = IdempotentSink.committedBatches(spark, ledgerDir)
-          .filter(_ > version)
-        if (fresh.isEmpty)
-          compacted // preserve the bucketed partitioning — no union node
-        else compacted.unionByName(
-          spark.read.option("basePath", ledgerDir)
-            .parquet(fresh.map(id => s"$ledgerDir/batch=$id"): _*)
-            .select("fp"))
-    }
+    LedgerCompaction.read(spark, ledgerDir, FpSchema)
 
-  // --- ledger compaction ----------------------------------------------------
-
-  private val CompactedPrefix = "_compactedtable-"
-
-  /** Delete a table's DEFAULT warehouse directory if it exists without a
-    * catalog entry — the orphan a crash leaves when the JVM dies after
-    * `saveAsTable` but before its marker, and a restart's non-durable
-    * metastore has forgotten the table (so `DROP TABLE IF EXISTS` no-ops
-    * while the location blocks every re-create with
-    * LOCATION_ALREADY_EXISTS). Resolved through the catalog so the
-    * current database's `<db>.db/<table>` path is honored.
-    */
-  private def deleteDefaultLocation(spark: SparkSession, table: String): Unit = {
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-  }
-
-  /** The current compaction generation: (version, metastore table name),
-    * read from the HIGHEST-versioned `_compactedtable-<v>` marker. Marker
-    * files are tiny (they hold the table name) and written via
-    * tmp + rename, so a reader never sees a half-written name; `_`-prefixed
-    * names keep them out of Spark's file listings like the batch markers.
-    */
+  /** The current compaction generation — see
+    * [[LedgerCompaction.currentCompaction]]. */
   def currentCompaction(spark: SparkSession,
-      ledgerDir: String): Option[(Long, String)] = {
-    val root = new org.apache.hadoop.fs.Path(ledgerDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith(CompactedPrefix))
-      .map(p => p.getName.stripPrefix(CompactedPrefix).toLong -> p)
-      .sortBy(_._1).lastOption
-      .map { case (v, p) =>
-        val in = fs.open(p)
-        val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        (v, name)
-      }
-  }
+      ledgerDir: String): Option[(Long, String)] =
+    LedgerCompaction.currentCompaction(spark, ledgerDir)
 
   /** Compact every committed `batch=` dir (plus any previous compaction)
     * into ONE fp-bucketed metastore table — the ledger maintenance job the
     * scale story depends on: an anti-join against years of per-batch
     * slivers pays per-file opens and a full ledger exchange every
     * micro-batch, while the bucketed table arrives pre-partitioned on
-    * `fp` and joins with zero Exchange on the ledger side.
-    *
-    * Crash-safe by the same marker discipline as the sink — at every
-    * kill point the READ ([[ledgerFps]]) stays complete and correct:
-    *
-    *  1. the union (previous compacted table + committed batch fps) is
-    *     written to a NEW versioned table `…_v<maxBatchId>` — readers
-    *     still resolve the old marker;
-    *  2. the new `_compactedtable-<v>` marker is renamed into place
-    *     (tmp + rename, atomic on the sink's filesystem) — readers now
-    *     resolve the new table; fps are temporarily duplicated between
-    *     the table and the not-yet-deleted batch dirs, which dedup
-    *     semantics tolerate (the anti-join ignores duplicate rows);
-    *  3. older compaction markers + their tables are dropped, then each
-    *     compacted batch's MARKER then its dir (marker-first: a dir
-    *     without a marker is invisible to committed reads).
-    *
-    * A batch REPLAYED by the stream after its dirs were compacted away
-    * (restart from an old checkpoint) recomputes the identical survivor
-    * set — its fps are still in the ledger via the table, and the
-    * computation is a pure function of (batch, committed fps) — and
-    * rewrites its ledger dir: harmless duplication until the next
-    * compaction sweeps it. Single concurrent compactor per ledger, like
-    * [[graft.similarity.Ann.writeIvfIndex]]'s single-writer contract —
-    * and compaction must not run CONCURRENTLY with the stream's
-    * micro-batches either: [[ledgerFps]] reads marker-then-dirs in two
-    * steps, so run this between batches (e.g. from the stream's own
-    * `foreachBatch` cadence check, or with the query stopped).
+    * `fp` and joins with zero Exchange on the ledger side. Crash-safety,
+    * replay interaction, and the stream-concurrency contract live on the
+    * shared engine, [[LedgerCompaction.compact]].
     *
     * Returns the active compacted table name, or None when the ledger has
     * never committed anything.
     */
   def compactLedger(spark: SparkSession, ledgerDir: String,
-      buckets: Int = 8): Option[String] = {
-    val root = new org.apache.hadoop.fs.Path(ledgerDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = IdempotentSink.committedBatches(spark, ledgerDir)
-    val current = currentCompaction(spark, ledgerDir)
-    if (ids.isEmpty) return current.map(_._2)
-
-    val version = math.max(ids.max, current.map(_._1 + 1).getOrElse(0L))
-    val marker = new org.apache.hadoop.fs.Path(root, s"$CompactedPrefix$version")
-    if (!fs.exists(marker)) {
-      // deterministic per-ledger table family; the dir hash keys the
-      // family so two ledgers in one warehouse never collide
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(ledgerDir.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
-      val table = s"graft_ledger_${digest}_v$version"
-      val batchFps = IdempotentSink
-        .readCommitted(spark, ledgerDir, Some(FpSchema)).select("fp")
-      val all = current
-        .map { case (_, t) => spark.table(t).select("fp").unionByName(batchFps) }
-        .getOrElse(batchFps)
-        .distinct()
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      // a crash between writeBucketed and the marker rename, followed by a
-      // JVM restart with a non-durable metastore, leaves the table's
-      // warehouse DIRECTORY behind while the catalog forgot the table —
-      // the DROP above is then a no-op and saveAsTable would refuse with
-      // LOCATION_ALREADY_EXISTS forever, wedging compaction. Clear the
-      // stale location first (same defense, and same single-writer
-      // contract, as [[graft.similarity.Ann.writeIvfIndex]]).
-      deleteDefaultLocation(spark, table)
-      graft.core.Layout.writeBucketed(all, table, "fp", buckets)
-      val tmp = new org.apache.hadoop.fs.Path(root, s".$CompactedPrefix$version.tmp")
-      val o = fs.create(tmp, true)
-      try o.write(table.getBytes("UTF-8")) finally o.close()
-      if (!fs.rename(tmp, marker))
-        throw new java.io.IOException(
-          s"compactLedger: rename $tmp -> $marker failed")
-    }
-    // cleanup (idempotent — a crashed run resumes here on re-invoke):
-    // older compaction generations first, then the absorbed batch dirs
-    fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith(CompactedPrefix) &&
-        p.getName.stripPrefix(CompactedPrefix).toLong < version)
-      .foreach { p =>
-        val in = fs.open(p)
-        val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        fs.delete(p, false)
-        spark.sql(s"DROP TABLE IF EXISTS `$old`")
-        // across a restart the metastore may have forgotten `old` while
-        // its directory survives — don't leak superseded generations
-        deleteDefaultLocation(spark, old)
-      }
-    ids.foreach { id =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_committed-$id"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true)
-    }
-    currentCompaction(spark, ledgerDir).map(_._2)
-  }
+      buckets: Int = 8): Option[String] =
+    LedgerCompaction.compact(spark, ledgerDir, FpSchema, Seq("fp"), buckets)
 
   /** The `foreachBatch` function:
     * `stream.writeStream.foreachBatch(DedupStream.writer(out, ledger, "text", "doc_id"))`.
@@ -244,8 +104,15 @@ object DedupStream {
     // anti-join from running twice (and pins one consistent result even
     // if it were nondeterministic — it is not, but cheap insurance)
     try {
-      IdempotentSink.writer(survivorsDir)(survivors, batchId)
-      IdempotentSink.writer(ledgerDir)(survivors.select("fp"), batchId)
+      // marker-hit replays evaluate only the source batch (first sink) or
+      // nothing (second — the first already covered the source): no state
+      // store sits between the file source and these sinks, so the
+      // default full evaluation would re-run the dedup + anti-join for a
+      // discarded result
+      IdempotentSink.writer(survivorsDir,
+        onReplay = _ => batch.foreach(_ => ()))(survivors, batchId)
+      IdempotentSink.writer(ledgerDir, onReplay = _ => ())(
+        survivors.select("fp"), batchId)
     } finally survivors.unpersist()
     ()
   }

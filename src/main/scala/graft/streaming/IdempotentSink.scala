@@ -39,8 +39,20 @@ object IdempotentSink {
   private def markerPath(root: Path, batchId: Long) =
     new Path(root, s"_committed-$batchId")
 
-  /** The `foreachBatch` function: `stream.writeStream.foreachBatch(writer(dir))`. */
-  def writer(outDir: String): (DataFrame, Long) => Unit = (df, batchId) => {
+  /** The `foreachBatch` function: `stream.writeStream.foreachBatch(writer(dir))`.
+    *
+    * `onReplay` runs INSTEAD of the write when the batch's marker already
+    * exists (a replayed batch whose data is durable). The default fully
+    * evaluates the frame — see step 5's rationale in the class doc — which
+    * for an expensive stateless plan pays the whole computation again for
+    * a discarded result. Callers whose frame has NO upstream state store
+    * below the expensive part (e.g. [[NearDupStream]]'s admission plan
+    * over a file source) pass a cheaper action that still evaluates the
+    * upstream source (`batch.foreach`) or nothing at all.
+    */
+  def writer(outDir: String,
+      onReplay: DataFrame => Unit = _.foreach(_ => ())): (DataFrame, Long) => Unit =
+    (df, batchId) => {
     val spark = df.sparkSession
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -59,13 +71,14 @@ object IdempotentSink {
       fs.create(marker, true).close()
     } else {
       // marker hit (replayed batch): the DATA is already committed, but
-      // the batch must still be fully evaluated — an upstream STATEFUL
-      // operator (flatMapGroupsWithState, windowed agg) re-computes this
-      // batch's state updates during replay, and Spark refuses to commit
-      // the batch unless every partition's state store committed
-      // (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise). A zero-effect
-      // action runs all partitions without writing a byte.
-      df.foreach(_ => ())
+      // by default the batch is still fully evaluated — an upstream
+      // STATEFUL operator (flatMapGroupsWithState, windowed agg)
+      // re-computes this batch's state updates during replay, and Spark
+      // refuses to commit the batch unless every partition's state store
+      // committed (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise). A
+      // zero-effect action runs all partitions without writing a byte;
+      // `onReplay` lets stateless pipelines substitute a cheaper one.
+      onReplay(df)
     }
     ()
   }

@@ -24,10 +24,19 @@ import graft.dedup.Dedup
   * live in executor checkpoints at corpus scale):
   *
   *  - `bandsDir`: (band, bkey, id) rows of admitted docs — the LSH
-  *    candidate index; bucketable on (band, bkey) at rest so the
-  *    per-batch candidate join bucket-prunes;
+  *    candidate index; [[compactLedgers]] absorbs the per-batch dirs into
+  *    ONE table bucketed on (band, bkey), so the per-batch candidate
+  *    join's ledger side plans with zero Exchange (spec-pinned);
   *  - `setsDir`:  (id, sset) rows — exact-verification shingle sets,
-  *    consulted only for verified-candidate ids.
+  *    consulted only for verified-candidate ids; compacted to an
+  *    id-bucketed table the verification join reads exchange-free.
+  *
+  * Run [[compactLedgers]] on the same maintenance cadence as
+  * [[DedupStream.compactLedger]] (it shares [[LedgerCompaction]]'s
+  * crash-safety and deferred-cleanup contract): without it a long-running
+  * stream accumulates one `batch=` dir per micro-batch and every batch
+  * re-lists and re-reads all of them — per-batch cost growing with
+  * stream age, the exact small-file pathology compaction kills.
   *
   * Exactly-once across crash/replay with NO cross-write transaction,
   * by [[DedupStream]]'s argument extended to three sinks: admission is a
@@ -53,13 +62,33 @@ object NearDupStream {
     StructField("admitted", BooleanType),
     StructField("first_match", LongType)))
 
-  /** Committed band ledger (typed-empty on cold start). */
+  /** Committed band ledger (typed-empty on cold start): the (band,bkey)-
+    * bucketed compacted table unioned with dirs committed since — the
+    * table alone, partitioning intact, once fully compacted. */
   def ledgerBands(spark: SparkSession, bandsDir: String): DataFrame =
-    IdempotentSink.readCommitted(spark, bandsDir, Some(BandsSchema))
+    LedgerCompaction.read(spark, bandsDir, BandsSchema)
 
-  /** Committed shingle-set ledger (typed-empty on cold start). */
+  /** Committed shingle-set ledger (typed-empty on cold start); id-bucketed
+    * at rest after [[compactLedgers]]. */
   def ledgerSets(spark: SparkSession, setsDir: String): DataFrame =
-    IdempotentSink.readCommitted(spark, setsDir, Some(SetsSchema))
+    LedgerCompaction.read(spark, setsDir, SetsSchema)
+
+  /** Absorb both ledgers' `batch=` dirs into their bucketed tables —
+    * bands on (band, bkey) (the candidate join's exact key), ssets on id
+    * (the verification join's key) — via [[LedgerCompaction.compact]],
+    * whose marker discipline makes each ledger's switch individually
+    * atomic to readers. The two ledgers compact INDEPENDENTLY: admission
+    * only needs each read to be complete for its committed batches, and a
+    * crash between the two calls just leaves one ledger compacted and the
+    * other absorbed on the next invocation (rows, not generations, carry
+    * the semantics). Returns the active (bands, sets) table names.
+    */
+  def compactLedgers(spark: SparkSession, bandsDir: String, setsDir: String,
+      buckets: Int = 8): (Option[String], Option[String]) =
+    (LedgerCompaction.compact(spark, bandsDir, BandsSchema,
+        Seq("band", "bkey"), buckets),
+      LedgerCompaction.compact(spark, setsDir, SetsSchema,
+        Seq("id"), buckets))
 
   /** Committed verdicts across all batches. */
   def verdicts(spark: SparkSession, verdictDir: String): DataFrame =
@@ -84,7 +113,17 @@ object NearDupStream {
         ledgerBands(spark, bandsDir), ledgerSets(spark, setsDir),
         threshold, portable).persist()
       try {
-        IdempotentSink.writer(verdictDir)(verdict, batchId)
+        // on a marker-hit replay evaluate only the SOURCE batch, not the
+        // discarded admission plan: there is no state store between the
+        // file source and this sink (the admission joins are stateless),
+        // so the default full evaluation would pay the pipeline's most
+        // expensive plan twice per replayed batch for nothing — and in
+        // the crash window where this batch's ledger rows are already
+        // committed, pay it against ledgers containing the batch's own
+        // rows (result discarded either way; verdicts stay correct via
+        // the durable parquet read below)
+        IdempotentSink.writer(verdictDir,
+          onReplay = _ => batch.foreach(_ => ()))(verdict, batchId)
         // the ledger writes re-derive the admitted set from the
         // JUST-COMMITTED verdict parquet, not from the in-memory verdict
         // plan: that plan's lineage reads the very ledger dirs the next
@@ -102,10 +141,13 @@ object NearDupStream {
           spark.read.parquet(s"$verdictDir/batch=$batchId")
             .filter(col("admitted"))
             .select(col("doc_id").as(idCol)), Seq(idCol))
-        IdempotentSink.writer(bandsDir)(
+        // ledger sinks: a marker-hit replay needs no evaluation at all —
+        // the verdict sink above already evaluated the batch source, and
+        // these frames are stateless re-sketches of the durable verdict
+        IdempotentSink.writer(bandsDir, onReplay = _ => ())(
           Dedup.MinHashLsh.bandsFor(admittedDocs, textCol, idCol, portable),
           batchId)
-        IdempotentSink.writer(setsDir)(
+        IdempotentSink.writer(setsDir, onReplay = _ => ())(
           Dedup.MinHashLsh.setsFor(admittedDocs, textCol, idCol, portable),
           batchId)
       } finally verdict.unpersist()

@@ -113,4 +113,117 @@ class StreamingNearDupSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("doc_id") === 3L).head()
     assert(!v3.getAs[Boolean]("admitted") && v3.getAs[Long]("first_match") == 1L)
   }
+
+  private def verdictMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Boolean]("admitted"),
+        Option(r.getAs[java.lang.Long]("first_match")).map(_.toLong)))).toMap
+
+  test("ledger compaction: identical verdicts, exchange-free ledger joins, second-generation sweep") {
+    val root = freshDir("graft-neardup-compact")
+    val out = s"$root/out"; val bands = s"$root/bands"; val sets = s"$root/sets"
+    val w = NearDupStream.writer(out, bands, sets, "text", "doc_id", 0.5)
+    w(Seq((0L, base), (1L, other)).toDF("doc_id", "text"), 0L)
+    val fresh = "entirely novel content mentioning trains stations and " +
+      "platforms arriving every few minutes across the network tonight"
+    w(Seq((2L, fresh)).toDF("doc_id", "text"), 1L)
+
+    // probe admission computed against raw per-batch dirs, then against
+    // the compacted tables — verdicts must be identical
+    val probe = Seq((10L, nearDup), (11L, otherNear),
+      (12L, "wholly new words on ledgers buckets and generations")
+    ).toDF("doc_id", "text")
+    def admit() = graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedger(
+      probe, "text", "doc_id",
+      NearDupStream.ledgerBands(spark, bands),
+      NearDupStream.ledgerSets(spark, sets), 0.5)
+    val before = verdictMap(admit())
+    assert(before(10L) == ((false, Some(0L))) && before(11L) == ((false, Some(1L)))
+      && before(12L) == ((true, None)), s"probe sanity: $before")
+
+    val (tb1, ts1) = NearDupStream.compactLedgers(spark, bands, sets)
+    assert(tb1.isDefined && ts1.isDefined)
+    val after = admit()
+    assert(verdictMap(after) == before,
+      "compaction must not change admission verdicts")
+
+    // the 100 TB contract: with both ledgers fully compacted, the
+    // candidate join (bucketed on (band, bkey) — its exact join key) and
+    // the sset verification join (bucketed on id) plan with NO
+    // ShuffleExchange above either ledger's table scan; only the
+    // batch-bounded sides exchange
+    after.write.format("noop").mode("overwrite").save()
+    val ledgerShuffled = after.queryExecution.executedPlan.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.toString.contains("graft_ledger_")
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(!ledgerShuffled,
+      s"compacted ledgers must join exchange-free:\n${after.queryExecution.executedPlan}")
+
+    // the stream continues against the table-resident ledgers
+    w(probe, 2L)
+    val got = verdictMap(NearDupStream.verdicts(spark, out))
+    assert(got(10L) == ((false, Some(0L))) && got(11L) == ((false, Some(1L)))
+      && got(12L) == ((true, None)), s"post-compaction wave: $got")
+
+    // second generation absorbs the post-compaction batch; the first
+    // generation's tables are deferred one sweep, then dropped
+    w(Seq((20L, "completely fresh sentence about signals depots and " +
+      "overnight maintenance windows rolling through")).toDF("doc_id", "text"), 3L)
+    val (tb2, ts2) = NearDupStream.compactLedgers(spark, bands, sets)
+    assert(tb2 != tb1 && ts2 != ts1, "new generation, new tables")
+    assert(spark.catalog.tableExists(tb1.get) && spark.catalog.tableExists(ts1.get),
+      "previous generation deferred until the next lands")
+    // doc 12 was ADMITTED by the wave above, so re-probing it now rejects
+    // it against its own ledger entry — the generation switch must serve
+    // exactly that updated state
+    assert(verdictMap(admit()) == Map(10L -> ((false, Some(0L))),
+      11L -> ((false, Some(1L))), 12L -> ((false, Some(12L)))),
+      "admission reflects the post-wave ledger across generations")
+    w(Seq((30L, "yet another unrelated paragraph describing timetables " +
+      "junctions and river crossings after midnight")).toDF("doc_id", "text"), 4L)
+    val (tb3, ts3) = NearDupStream.compactLedgers(spark, bands, sets)
+    assert(tb3 != tb2 && ts3 != ts2)
+    assert(!spark.catalog.tableExists(tb1.get) && !spark.catalog.tableExists(ts1.get),
+      "two-generations-old tables swept")
+    // ledgers still hold exactly the admitted ids
+    assert(NearDupStream.ledgerSets(spark, sets)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 12L, 20L, 30L))
+  }
+
+  test("compaction completing between admission plan build and action changes nothing") {
+    val root = freshDir("graft-neardup-concurrent")
+    val out = s"$root/out"; val bands = s"$root/bands"; val sets = s"$root/sets"
+    val w = NearDupStream.writer(out, bands, sets, "text", "doc_id", 0.5)
+    w(Seq((0L, base), (1L, other)).toDF("doc_id", "text"), 0L)
+    val probe = Seq((10L, nearDup), (11L, "fully unrelated payload about " +
+      "compaction generations markers and sweeps")).toDF("doc_id", "text")
+    // the admission plan resolves both ledgers' markers + dir listings NOW;
+    // a compaction (and, for the second reader, the sweep of the dirs the
+    // previous generation absorbed) completes before the action — the
+    // deferred-cleanup contract keeps every planned path readable
+    val r1 = graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedger(
+      probe, "text", "doc_id",
+      NearDupStream.ledgerBands(spark, bands),
+      NearDupStream.ledgerSets(spark, sets), 0.5)
+    NearDupStream.compactLedgers(spark, bands, sets)
+    val expected = Map(10L -> ((false, Some(0L))), 11L -> ((true, None)))
+    assert(verdictMap(r1) == expected, "reader over raw dirs survives generation 1")
+
+    w(probe, 1L) // admits 11 against the compacted ledgers, adds a fresh dir
+    val r2 = graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedger(
+      Seq((20L, otherNear), (21L, "never seen sentence naming rivers " +
+        "bridges and tunnels at dawn")).toDF("doc_id", "text"),
+      "text", "doc_id",
+      NearDupStream.ledgerBands(spark, bands),
+      NearDupStream.ledgerSets(spark, sets), 0.5)
+    NearDupStream.compactLedgers(spark, bands, sets) // generation 2 + sweep
+    assert(verdictMap(r2) == Map(20L -> ((false, Some(1L))), 21L -> ((true, None))),
+      "reader holding generation 1 + fresh dirs survives generation 2's sweep")
+  }
 }
