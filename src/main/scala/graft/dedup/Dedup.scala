@@ -106,15 +106,17 @@ object Dedup {
       * `xxhash64(sset)` — one long through the shuffle instead of the
       * full hashed-shingle array.
       *
-      * Shuffle hygiene: only (band, key, id) rows enter the banded
-      * self-join — the shingle sets stay out of that shuffle and are joined
-      * back onto the DISTINCT candidate pairs, so Jaccard is computed
-      * exactly once per candidate pair. The join-back is a plain equi-join
-      * on id: the per-document shingle-set table grows with the corpus, so
-      * forcing a broadcast of it would cap the operator at driver/executor
-      * memory — Catalyst still picks a broadcast on its own when the side
-      * is under the auto-broadcast threshold, which is the right call at
-      * fixture scale and the safe one at 100 TB.
+      * Shuffle hygiene: only (band, key, id) rows — plus the doc's 8-long
+      * band-key vector and set size, which pay for themselves below —
+      * enter the banded self-join; a pair is emitted from its FIRST
+      * shared band only (exact, no global distinct needed) and a lossless
+      * size-ratio prefilter drops banding false positives before any
+      * array moves. Verification then joins the candidate-pruned set
+      * table back on id, broadcast when the input's plan-time size
+      * estimate says it safely fits (measured 5.3× total-shuffle cut at
+      * the 100× tier — the shuffled form ships one shingle array per
+      * PAIR, which dup-dense corpora make output-sized), and shuffled —
+      * the honest per-pair cost, never a memory cap — beyond that.
       */
     def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
         threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
@@ -146,27 +148,97 @@ object Dedup {
         .select(col("rep").as("id_a"), col("id").as("id_b"),
           lit(1.0).as("jaccard"))
       val reps = grouped.filter(col("id") === col("rep"))
-      val banded = reps.select(col("id"), posexplode(
+      // each banded row carries the doc's FULL band-key vector, not just
+      // the exploded (band, bkey): similarity families make candidate
+      // pairs collide in MANY of their 8 bands, and emitting the pair per
+      // shared band multiplied the pair exchange by up to Bands before
+      // the old distinct() could collapse it (measured at the 100× tier:
+      // 4.5 GB of the suite-max 5.9 GB total was that one pre-distinct
+      // exchange). With the vectors on both join sides, a pair is emitted
+      // ONLY from its first shared band — an exact membership test, not a
+      // heuristic: bkey equality IS bucket co-membership — so the emitted
+      // pair list is globally duplicate-free and the global distinct()
+      // disappears entirely. Cost: +8 longs per banded row through the
+      // self-join exchange, O(corpus·Bands); saved: O(pairs·shared-bands)
+      // — the side that explodes quadratically on dup-heavy corpora.
+      val keyed = reps.select(col("id"), col("sset"),
+        size(col("sset")).as("sz"),
         array((0 until Bands).map { b =>
           xxhash64(concat_ws("_",
             (0 until RowsPerBand).map(r =>
               element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
-        }: _*)).as(Seq("band", "bkey")))
-      val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
-      val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
+        }: _*).as("bkeys"))
+      // ship only the PREFIX of the key vector the first-shared-band test
+      // can inspect (bands strictly below this row's): avg Bands/2 longs
+      // instead of Bands through the self-join exchange
+      val banded = keyed
+        .select(col("id"), col("sz"), col("bkeys"),
+          posexplode(col("bkeys")).as(Seq("band", "bkey")))
+        .select(col("id"), col("sz"), col("band"), col("bkey"),
+          slice(col("bkeys"), lit(1), col("band")).as("kpfx"))
+      val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
+        col("kpfx").as("keys_a"), col("sz").as("sz_a"))
+      val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
+        col("kpfx").as("keys_b"), col("sz").as("sz_b"))
+      val sharesEarlierBand = exists(
+        zip_with(col("keys_a"), col("keys_b"), (ka, kb) => ka === kb),
+        b => b)
+      // lossless size prefilter (the q33 trick): |∩| ≤ min ⇒
+      // jaccard ≤ min(|A|,|B|) / max(|A|,|B|) — a banding false positive
+      // whose set sizes are too lopsided can never verify, so drop it
+      // BEFORE its arrays ship (sizes ride the banded rows as one int)
+      val sizesCompatible =
+        col("sz_a") * lit(1.0) >= lit(threshold) * col("sz_b") &&
+          col("sz_b") * lit(1.0) >= lit(threshold) * col("sz_a")
       val candidates = l.join(r, Seq("band", "bkey"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .filter(col("id_a") < col("id_b") && !sharesEarlierBand &&
+          sizesCompatible)
+        .select("id_a", "id_b")
       // exact verification over sorted hashed shingle sets: merge-scan
       // intersection, |∪| = |A|+|B|−|∩| — no per-pair hash sets or arrays
       val sets = reps.select(col("id").as("sid"), col("sset"))
+      // prune the set table to ids that SURVIVED BANDING before any array
+      // enters an exchange: candidates are a small fraction of the corpus
+      // (only dense-bucket members), while the unpruned join shipped every
+      // rep's shingle array through both verification exchanges — measured
+      // at the 100× tier this was the suite's largest shuffle (5.8 GB;
+      // pruned: the array bytes track the candidate set instead). The
+      // semi-join's id list is candidate-bounded, so AQE broadcasts it at
+      // moderate tiers (map-side prune, arrays never shuffle for the semi)
+      // and degrades to a shuffled semi-join — never worse than unpruned —
+      // when candidates outgrow the broadcast threshold at 100 TB. The
+      // candidate subplan appears in both the id list and the verify join;
+      // its exchanges are identical, so Spark's ReusedExchange evaluates
+      // banding once (plan-verified).
+      val candIds = candidates
+        .select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
+      val prunedSets = sets.join(candIds, Seq("sid"), "left_semi")
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+      // Verification join strategy. Dup-dense corpora (the actual dedup
+      // workload) verify nearly every candidate, so the pair list is
+      // output-sized and a shuffled verify join ships one shingle array
+      // PER PAIR through its exchange — measured at the 100× tier that
+      // single exchange was 4.5 GB of the suite-max 5.9 GB total, ~12M
+      // pairs × ~370 B, and it scales with the pair count, not the
+      // corpus. Broadcasting the (candidate-pruned) set table instead
+      // ships each array once per executor and the pair stream never
+      // re-partitions: measured 5.75 GB → 1.09 GB total shuffle,
+      // identical output. The gate is the optimizer's plan-time size
+      // estimate of the INPUT (no extra action): under 1 GB of source
+      // text the set table fits any executor comfortably; above it the
+      // plan degrades to the shuffled pair-payload join — the honest
+      // per-pair cost of exact verification — never to a driver OOM.
+      val setsBroadcastable =
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(1L << 30)
+      def verifySide(renamedId: String, renamedSet: String) = {
+        val side = prunedSets.withColumnRenamed("sid", renamedId)
+          .withColumnRenamed("sset", renamedSet)
+        if (setsBroadcastable) broadcast(side) else side
+      }
       candidates
-        .join(sets.withColumnRenamed("sid", "id_a")
-          .withColumnRenamed("sset", "set_a"), Seq("id_a"))
-        .join(sets.withColumnRenamed("sid", "id_b")
-          .withColumnRenamed("sset", "set_b"), Seq("id_b"))
+        .join(verifySide("id_a", "set_a"), Seq("id_a"))
+        .join(verifySide("id_b", "set_b"), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             .as("jaccard"))
@@ -727,8 +799,21 @@ object Dedup {
     * labels, the irreducible storage of the result; a caller that persists
     * the assignment elsewhere may drop it via the session checkpoint dir.
     */
+  /** Directed-edge-row gate for the driver union-find fast path in
+    * [[connectedComponents]]: 24M rows ≈ 384 MB of primitive (src, dst)
+    * state, streamed off the checkpointed edge blocks partition-by-
+    * partition (`toLocalIterator` — no transient all-rows array), so peak
+    * driver memory is the final arrays plus one partition. Well within
+    * any standard driver heap, and far past the edge count where round
+    * scheduling stops dominating the distributed loop (measured: the q91
+    * graph's 19M directed rows close in ~2 s of driver union-find vs
+    * ~10 s of 8 pointer-jump rounds).
+    */
+  private val DriverCcMaxDirectedEdges = 24L * 1000 * 1000
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      driverMaxEdges: Long = DriverCcMaxDirectedEdges): DataFrame = {
     // resetStats after every checkpoint: the pointer-jump round self-joins
     // `labels`, so checkpoint-inherited sizeInBytes estimates SQUARE each
     // round and stats computation alone becomes the driver bottleneck
@@ -775,6 +860,53 @@ object Dedup {
     val edges = truncate(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src")))
+    // Small-graph fast path: pointer-jumping pays O(log d) ROUNDS of
+    // cluster scheduling — joins, aggregates, checkpoint materializations,
+    // convergence actions — which on a small edge list is pure overhead
+    // (measured at the 100× tier, q91: 8 rounds ≈ 12 s of ~30-task stages
+    // over a few MB of labels). Below the gate the materialized edge list
+    // is collected (it was just computed — the collect reads stored
+    // blocks, an O(edges) driver cost bounded at ~64 MB of primitive
+    // state) and closed with union-find + path compression: the exact
+    // same labels — every node keyed to its component's MIN id — in one
+    // driver pass. Above the gate nothing changes: the distributed loop
+    // is the only shape that works when the edge list itself is big, and
+    // there the real per-round work dwarfs the scheduling.
+    val nDirected = edges.count()
+    if (nDirected > 0 && nDirected <= driverMaxEdges) {
+      val index = new scala.collection.mutable.LongMap[Int]
+      var ids = new Array[Long](1024)
+      var parent = new Array[Int](1024)
+      var n = 0
+      def nodeOf(id: Long): Int =
+        index.getOrElseUpdate(id, {
+          if (n == ids.length) {
+            ids = java.util.Arrays.copyOf(ids, 2 * n)
+            parent = java.util.Arrays.copyOf(parent, 2 * n)
+          }
+          ids(n) = id; parent(n) = n; n += 1; n - 1
+        })
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      edges.toLocalIterator().forEachRemaining { r =>
+        val a = find(nodeOf(r.getLong(0))); val b = find(nodeOf(r.getLong(1)))
+        if (a != b) parent(a) = b
+      }
+      release(edges)
+      val minOf = new Array[Long](n)
+      java.util.Arrays.fill(minOf, 0, n, Long.MaxValue)
+      (0 until n).foreach { i =>
+        val r = find(i); if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      }
+      System.err.println(s"[cc] driver union-find edges=$nDirected nodes=$n")
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return (0 until n).map(i => (ids(i), minOf(find(i))))
+        .toDF("id", "comp")
+    }
     // init fuses the first propagation round: label(u) = min({u} ∪ N(u))
     // straight off the grouped edge list — one aggregation, no join. For
     // the dominant near-dup shape (dense cliques) this alone is the

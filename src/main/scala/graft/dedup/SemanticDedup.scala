@@ -59,13 +59,28 @@ object SemanticDedup {
   def fromIndex(idx: Ann.IvfIndex, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"semantic-dup cosine threshold must lie in (0, 1], got $threshold")
-    // centroid similarity per member — broadcast the tiny centroid table
-    val members = idx.assigned
+    // centroid similarity per member — broadcast the tiny centroid table.
+    // The member table feeds SIX consumers downstream (the star collapse's
+    // group-by and join-back, both sides of the within-cell self-join, the
+    // label join, the exemplar pick), and each would otherwise replay the
+    // whole O(n·√n) assignment-kernel pipeline: measured at the 100× tier
+    // the un-materialized form ran ~80 stages / 2,567 tasks with the same
+    // ~140 MB assignment exchange executed once PER consumer. One eager
+    // truncation (same checkpoint discipline as
+    // [[Dedup.connectedComponents]]) computes the kernel once and every
+    // consumer starts from stored blocks — the standard shape for
+    // iterative/multi-consumer frames, and strictly cheaper than k
+    // kernel replays at any tier.
+    val spark = idx.assigned.sparkSession
+    val membersPlan = idx.assigned
       .join(broadcast(idx.centroids), Seq("cell"))
       .select(col("nid"), col("cell"), col("ce"), col("cn2"),
         VectorFunctions.cosinePrenormed(
           FloatVecDot.dot(col("ce"), col("cvec")), col("cn2"), col("cvn2"))
           .as("centroid_sim"))
+    val members = org.apache.spark.sql.GraftShim.resetStats(
+      if (spark.sparkContext.getCheckpointDir.isDefined) membersPlan.checkpoint()
+      else membersPlan.localCheckpoint())
 
     val edges = dupEdges(members, threshold)
 

@@ -229,6 +229,15 @@ object Ann {
     * side shuffles. This is the artifact that amortizes the index build
     * across query batches and JVM restarts.
     *
+    * `buckets = 0` (default) sizes the bucket count to the session's
+    * default parallelism (floor 8): a bucketed join runs AT the bucket
+    * count — the probe side is exchanged into exactly that many
+    * partitions — so a fixed 8 capped every search stage at 8 tasks
+    * regardless of cores (measured: 51-task total, 8-task join stages on
+    * 32 cores at the 100× tier). Writers on a cluster inherit its
+    * parallelism; pass an explicit count to pin layouts across sessions
+    * of different sizes.
+    *
     * Concurrency contract: SINGLE WRITER per index name. The drop/delete/
     * recreate sequence below is not atomic, so two sessions building the
     * same `name` against a shared warehouse can race (one deletes the
@@ -237,8 +246,11 @@ object Ann {
     * snapshot); concurrent READERS of a previously-committed index are
     * fine.
     */
-  def writeIvfIndex(idx: IvfIndex, name: String, buckets: Int = 8): Unit = {
+  def writeIvfIndex(idx: IvfIndex, name: String, buckets: Int = 0): Unit = {
     val spark = idx.assigned.sparkSession
+    val nBuckets =
+      if (buckets > 0) buckets
+      else math.max(8, spark.sparkContext.defaultParallelism)
     Seq(s"${name}_centroids", s"${name}_assigned").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       // without a durable metastore the catalog forgets tables across JVMs
@@ -257,7 +269,7 @@ object Ann {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_centroids")
     graft.core.Layout.writeBucketed(
-      idx.assigned, s"${name}_assigned", "cell", buckets)
+      idx.assigned, s"${name}_assigned", "cell", nBuckets)
   }
 
   /** Load an index persisted by [[writeIvfIndex]]. */
@@ -288,7 +300,12 @@ object Ann {
     // Θ(|queries|·√n) exchange rows at auto-sized cell counts. Rank
     // semantics (psim desc, cell asc, NaN greatest) are unchanged and
     // spec-pinned against the window formulation.
-    val q = queries
+    // the probe-key kernel is O(nCells·dim) flops PER QUERY ROW — at
+    // auto-sized √n cells that is the CPU-dense shape Parallelism.ensure
+    // exists for, and the query table otherwise arrives on its few
+    // parquet splits and serializes the kernel stage
+    val q = graft.core.Parallelism.ensure(
+        queries.select(col("vec_id"), col("embedding")))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         FloatVecDot.norm2(col("embedding")).as("qn2"),
         explode(probeCells(col("embedding"), idx.centroids, nProbe))

@@ -19,16 +19,46 @@ object TimeQ {
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val explain = args.contains("explain")
-    val names = args.filterNot(_ == "explain")
+    val stats = args.contains("stats")
+    val names = args.filterNot(a => a == "explain" || a == "stats")
+    // per-run shuffle-bytes / task-count probe for plan audits: totals are
+    // accumulated across all stages of the timed action
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]
+    if (stats) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          shuffleBytes.addAndGet(w)
+          taskCount.addAndGet(sc.stageInfo.numTasks)
+          stages.add((sc.stageInfo.name.takeWhile(_ != '\n').take(70), w,
+            sc.stageInfo.numTasks))
+        }
+      })
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       fn(spark, "/root/testdata/sf0.001").count() // warm
-      val ts = (1 to 3).map { _ =>
+      var rows = 0L
+      val ts = (1 to 3).map { i =>
+        if (stats && i == 3) { // report the warmed final run only
+          Thread.sleep(1000)   // let the listener bus drain prior stages
+          shuffleBytes.set(0); taskCount.set(0); stages.clear()
+        }
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        rows = fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[timeq] $n%-24s ${ts.map(t => f"$t%.3f").mkString(" ")} min=${ts.min}%.3f")
+      println(f"[timeq] $n%-24s ${ts.map(t => f"$t%.3f").mkString(" ")} min=${ts.min}%.3f rows=$rows")
+      if (stats) {
+        Thread.sleep(1000) // let the listener bus drain the final stages
+        println(f"[timeq] $n%-24s shuffleMB=${shuffleBytes.get / 1e6}%.1f tasks=${taskCount.get}")
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (nm, w, t) =>
+          println(f"[timeq]   stage ${w / 1e6}%8.1fMB tasks=$t%-5d $nm")
+        }
+      }
       if (explain) fn(spark, sfDir).explain("formatted")
     }
     spark.stop()

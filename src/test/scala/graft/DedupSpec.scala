@@ -234,7 +234,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connected components: chain closes transitively, islands stay apart") {
-    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), island 10-11
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), island 10-11;
+    // small edge list → exercises the driver union-find fast path
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -243,23 +244,38 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: driver and distributed paths agree") {
+    // the gate is a pure performance switch — same labels either side of it
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)) ++
+      (20L until 40L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    def labels(gate: Long) =
+      Dedup.connectedComponents(pairs, "id_a", "id_b", driverMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(gate = Long.MaxValue) == labels(gate = 0),
+      "union-find fast path must produce the distributed loop's exact labels")
+  }
+
   test("connected components: empty pair list → empty assignment, no crash") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
   }
 
   test("connected components: refuses to return partial labels at maxIter") {
+    // driverMaxEdges = 0 forces the distributed loop — the refusal contract
+    // only exists there (union-find always converges)
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2).count()
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2,
+        driverMaxEdges = 0).count()
     }
   }
 
   test("connected components: long path converges within maxIter") {
     // a 30-node path is the adversarial diameter case for label propagation;
-    // every node must still reach the global min label
+    // every node must still reach the global min label (distributed path)
     val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40,
+        driverMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 30 && cc.values.forall(_ == 0L))
   }
@@ -271,18 +287,29 @@ class DedupSpec extends AnyFunSuite {
     val before = TestSpark.checkpointRddDirs
     // 30-node path → multiple rounds → multiple intermediate checkpoints
     val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40,
+      driverMaxEdges = 0)
     assert(cc.count() == 30) // result usable off its surviving checkpoint
     val added = TestSpark.checkpointRddDirs -- before
     assert(added.size == 1,
       s"expected only the final labels checkpoint, found: ${added.mkString(", ")}")
   }
 
+  test("connected components: driver fast path leaves no checkpoints behind") {
+    val before = TestSpark.checkpointRddDirs
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs, "id_a", "id_b").count() == 30)
+    val added = TestSpark.checkpointRddDirs -- before
+    assert(added.isEmpty,
+      s"the union-find path must release the edge checkpoint: ${added.mkString(", ")}")
+  }
+
   test("connected components: non-convergence releases every checkpoint") {
     val before = TestSpark.checkpointRddDirs
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2)
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2,
+        driverMaxEdges = 0)
     }
     val added = TestSpark.checkpointRddDirs -- before
     assert(added.isEmpty,
