@@ -401,6 +401,21 @@ object Dedup {
     * the crossover sits between 50k and 500k, consistent with the 131k
     * saturation gate. The `count()` that drives the gate is a
     * parquet-metadata read, not a data scan.
+    *
+    * The same gate turns on two-level sub-chunk blocking (`subSplit` —
+    * composite (chunk, sub-chunk) keys, still lossless; see
+    * [[hammingPairs]]): past saturation the 2¹⁶-bucket space can't get
+    * sparser by re-chunking a fixed 64 bits — 4×16 is the optimum of the
+    * single-level family, since pigeonhole needs ≥ maxHamming+1 chunks
+    * and fewer/wider chunks are strictly sparser — so the adaptive move
+    * is a second pigeonhole level, not a different width. Measured at
+    * the 100× tier (same host, back-to-back): single-level 12.1 s /
+    * 325 MB shuffle vs two-level 10.4 s / 653 MB (16 keys per sketch buy
+    * a 2¹²-fold finer bucket space). The residual wall ratio vs the 10×
+    * tier (~10×) is OUTPUT-driven, not a blocking defect: the fixture's
+    * duplication density makes the exact hamming ≤ 3 pair relation grow
+    * 9.5 k → 13.1 M rows (1374×) across that same step — per output row
+    * the 100× tier is ~100× cheaper.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
@@ -420,11 +435,12 @@ object Dedup {
     // correlated, so which bits share a chunk dominates occupancy, not
     // the chunk's key-space size, and the 4×16 boundaries happen to
     // split the hot correlated groups better on text sketches.
+    val saturated = df.count() > 2L * 65536
     hammingPairs(
       src.select(col(idCol).as("id"),
         sketch(TextFunctions.tokens(col(textCol))).as("sh")),
       "id", "sh", maxHamming,
-      collapseIdentical = df.count() > 2L * 65536)
+      collapseIdentical = saturated, subSplit = saturated)
   }
 
   /** Near-dup pairs over ANY precomputed 64-bit sketch column (simhash,
@@ -456,7 +472,8 @@ object Dedup {
     */
   def hammingPairs(sketches: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, nChunks: Int = 4,
-      collapseIdentical: Boolean = false, totalBits: Int = 64): DataFrame = {
+      collapseIdentical: Boolean = false, totalBits: Int = 64,
+      subSplit: Boolean = false): DataFrame = {
     // `totalBits` bounds the bit range the chunks cover (pigeonhole is
     // width-agnostic: hamming < nChunks ⇒ ≥ 1 chunk agrees, whatever the
     // chunk widths) — the knob exists for narrower sketches (e.g. 32-bit
@@ -472,16 +489,49 @@ object Dedup {
     require(maxHamming < nChunks,
       s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
         s"$nChunks chunks — need maxHamming < nChunks")
+    require(!subSplit || (totalBits - totalBits / nChunks) % nChunks == 0,
+      s"subSplit needs nChunks=$nChunks to divide the remaining " +
+        s"${totalBits - totalBits / nChunks} bits evenly")
     val bits = totalBits / nChunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sh = sketches.select(col(idCol).as("id"), col(hashCol).as("sh"))
+    // one blocking key per chunk — or, with `subSplit`, per (chunk,
+    // sub-chunk): for each candidate clean chunk c the REMAINING bits are
+    // repacked into one word and pigeonholed AGAIN into nChunks
+    // sub-chunks. Lossless by the same argument applied twice: a pair
+    // within maxHamming has a clean chunk c (≤ maxHamming < nChunks
+    // diffs over nChunks chunks), and its remaining diffs — all of them,
+    // since c is clean — leave one of the nChunks sub-chunks of the
+    // repacked word clean, so the pair shares the composite key
+    // (c, chunk value, j, sub value). nChunks² keys per sketch instead
+    // of nChunks, but the effective bucket key grows from `bits` to
+    // `bits + subBits` bits — the occupancy move that turns a saturated
+    // bucket space back into a sparse one (see [[simhashPairs]] for the
+    // measured crossover and gate).
+    val subBits = (totalBits - bits) / nChunks
+    val subMask = (1L << subBits) - 1
+    def keysFor: Column =
+      if (!subSplit)
+        array((0 until nChunks).map(c => struct(
+          lit(c).as("k"),
+          shiftright(col("sh"), c * bits).bitwiseAND(lit(mask)).as("v"))): _*)
+      else array((for { c <- 0 until nChunks; j <- 0 until nChunks } yield {
+        // remaining word: bits above chunk c shifted down over the bits
+        // below it — position-consistent for both pair members
+        val lowMask = if (c == 0) 0L else (1L << (c * bits)) - 1
+        val rem = shiftleft(shiftright(col("sh"), (c + 1) * bits), c * bits)
+          .bitwiseOR(col("sh").bitwiseAND(lit(lowMask)))
+        val ckey = shiftright(col("sh"), c * bits).bitwiseAND(lit(mask))
+        val skey = shiftright(rem, j * subBits).bitwiseAND(lit(subMask))
+        struct(lit(c * nChunks + j).as("k"),
+          shiftleft(ckey, subBits).bitwiseOR(skey).as("v"))
+      }): _*)
     def blocked(src: DataFrame, aCol: String, bCol: String,
         carry: Seq[String] = Nil): DataFrame = {
       val chunked = src.select(Seq(col("id"), col("sh")) ++ carry.map(col) ++
-        Seq(posexplode(array(
-          (0 until nChunks).map(c =>
-            shiftright(col("sh"), c * bits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("chunk", "ckey"))): _*)
+        Seq(explode(keysFor).as("kv")): _*)
+        .select(Seq(col("id"), col("sh"), col("kv.k").as("chunk"),
+          col("kv.v").as("ckey")) ++ carry.map(col): _*)
       def side(tag: String, idAs: String) = chunked.select(
         Seq(col("chunk"), col("ckey"), col("id").as(idAs),
           col("sh").as(s"sh_$tag")) ++
@@ -1064,7 +1114,12 @@ object Dedup {
       s"plane draw came up short: ${planeVecs.length} of $nP")
     // native banded-key kernel — see graft.functions.LshBandKeys: the
     // declarative 60-wide when(float_vec_dot…) expansion fell out of
-    // codegen and the interpreted key stage dominated the sf10 wall
+    // codegen and the interpreted key stage dominated the sf10 wall.
+    // NULL-vector contract: the kernel null-propagates and the explode
+    // below then DROPS the row from candidate generation — intentional
+    // (a null embedding has no direction to hash; the old declarative
+    // form's when(...).otherwise(0) silently banded it at key 0). The
+    // bit-identical parity claim vs the expansion is for non-null rows.
     def keys(v: Column) = call_function("lsh_band_keys", v,
       typedLit(planeVecs.map(_.toSeq).toSeq), lit(bitsPerTable))
     val base = grouped.filter(col("id") === col("rep"))

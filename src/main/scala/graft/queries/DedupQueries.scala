@@ -17,16 +17,6 @@ import graft.dedup.Dedup
   */
 object DedupQueries extends QueryModule {
 
-  /** DuckDB mirror of the PORTABLE MinHash+LSH pipeline (q31): md5-hashed
-    * 60-bit shingles, the engine's exact splitmix-derived affine
-    * permutation coefficients embedded as literals (HUGEINT intermediates
-    * — DuckDB BIGINT errors on multiply overflow rather than wrapping),
-    * identical-set star-collapse, per-band signature keys, banded
-    * candidate join, exact hashed-set Jaccard verification. Engine band/
-    * group keys are xxhash64 of the same strings — equal strings group
-    * equally on both sides, so only the (negligible) 64-bit collision
-    * class could diverge.
-    */
   /** Shared CTE fragments of the portable-MinHash oracles (q31, q104):
     * md5-60 shingle sets and the embedded permutation coefficients.
     */
@@ -64,6 +54,16 @@ object DedupQueries extends QueryModule {
        |  FROM sig GROUP BY $key, j // 4
        |)""".stripMargin
 
+  /** DuckDB mirror of the PORTABLE MinHash+LSH pipeline (q31): md5-hashed
+    * 60-bit shingles, the engine's exact splitmix-derived affine
+    * permutation coefficients embedded as literals (HUGEINT intermediates
+    * — DuckDB BIGINT errors on multiply overflow rather than wrapping),
+    * identical-set star-collapse, per-band signature keys, banded
+    * candidate join, exact hashed-set Jaccard verification. Engine band/
+    * group keys are xxhash64 of the same strings — equal strings group
+    * equally on both sides, so only the (negligible) 64-bit collision
+    * class could diverge.
+    */
   private lazy val minhashOracleSql: String = {
     s"""WITH $portableSetsSql, grp AS (
        |  SELECT sset, min(doc_id) AS rep FROM sets GROUP BY sset

@@ -465,7 +465,12 @@ object Ann {
     // — computed by the native LshBandKeys kernel (one loop per row; the
     // previous 60-wide when(float_vec_dot…) expansion dropped the stage
     // out of codegen into interpreted eval: 68 s of key computation alone
-    // at the 100× tier, spec-pinned bit-identical to this kernel)
+    // at the 100× tier, spec-pinned bit-identical to this kernel).
+    // NULL-vector contract: the kernel null-propagates, so the explode
+    // drops null embeddings from candidate generation — intentional (no
+    // direction to hash; the old expansion's when(...).otherwise(0)
+    // silently banded them at key 0). Parity vs the expansion is for
+    // non-null rows.
     def keys(v: Column) = call_function("lsh_band_keys", v,
       typedLit(planeVecs.map(_.toSeq).toSeq), lit(bits))
     val ck = corpus.select(col("vec_id").as("nid"),

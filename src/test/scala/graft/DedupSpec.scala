@@ -353,6 +353,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(true) == raw)
     assert(raw.contains((9L, 10L, 1)) && raw.contains((1L, 2L, 0)) &&
       raw.contains((4L, 8L, 1)) && !raw.exists(p => p._1 == 6L || p._2 == 6L))
+    // two-level sub-chunk blocking is candidates-only machinery: the
+    // exact pair list survives it, alone and combined with the collapse
+    assert(Dedup.hammingPairs(sk, "id", "sh", subSplit = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == raw)
+    assert(Dedup.hammingPairs(sk, "id", "sh", collapseIdentical = true,
+        subSplit = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == raw)
+  }
+
+  test("hammingPairs: subSplit stays lossless at the maxHamming boundary") {
+    // pairs at hamming exactly maxHamming are the adversarial case for a
+    // second pigeonhole level: diffs spread so only ONE chunk is clean
+    // and, within the repacked remainder, only one sub-chunk. Bits 0, 16,
+    // 32 differ (one per chunk 0-2) → chunk 3 clean; remainder diffs land
+    // in distinct sub-chunks.
+    val sk = Seq(
+      (1L, 0x0000000000000000L),
+      (2L, 0x0000000100010001L), // hamming 3, spread across chunks 0..2
+      (3L, 0x000000000000000fL), // hamming 4 from id 1 — must NOT pair
+      (4L, 0x8000100000000000L)) // hamming 2 vs id 1, within chunks 2,3
+      .toDF("id", "sh")
+    val got = Dedup.hammingPairs(sk, "id", "sh", subSplit = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Dedup.hammingPairs(sk, "id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 3)) && !got.exists(p => p._1 == 1L && p._2 == 3L))
   }
 
   test("embedding near-dup LSH path: finds same-direction pair (same bucket)") {
@@ -445,6 +472,55 @@ class DedupSpec extends AnyFunSuite {
       s"gram histogram regressed to a window partition:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("merge_count"),
       s"expected a partial/final aggregate pair for the gram histogram:\n$plan")
+  }
+
+  test("crossDocShared: hot gram in 90% of docs — task metrics show no straggler") {
+    // the round-7 pathology, pinned at the TASK level: a gram planted in
+    // 90% of a 2,000-doc corpus must never land its full occurrence list
+    // on one reduce task. With the partial-agg pipeline each map task
+    // emits ONE row per gram, so the hottest reduce task reads O(#map
+    // tasks + its share of distinct grams); the regressed window plan
+    // shipped all ~1,800 hot-gram rows to a single task.
+    val boiler = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val docs = (1L to 2000L).map { i =>
+      val priv = s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f p${i}g p${i}h"
+      (i, if (i % 10 != 0) s"$boiler $priv" else priv)
+    }.toDF("doc_id", "text").repartition(16)
+    val maxRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          maxRead.getAndUpdate(m => math.max(m,
+            te.taskMetrics.shuffleReadMetrics.recordsRead))
+    }
+    // AQE's small-partition coalescing merges this tiny fixture into one
+    // reduce task regardless of plan shape (drowning the skew signal),
+    // and the shared test session runs 4 shuffle partitions (too coarse
+    // for a sharp per-task bound) — pin both for the measurement
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val coalesceWas = spark.conf.get(coalesceKey)
+    val partsWas = spark.conf.get(partsKey)
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set(partsKey, "32")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Dedup.crossDocShared(docs, "text", "doc_id").collect()
+      Thread.sleep(1000) // let the listener bus drain task-end events
+      assert(r.length == 2000)
+      // ~16.4k gram rows hash-spread over 32 partitions put the fair
+      // per-task read near 512; the partial agg caps the hot gram's
+      // contribution at one row per map partition, while the window
+      // regression lands its full ~1,800-row occurrence list on ONE task
+      // on top of that share — a sharp threshold between the two plans
+      assert(maxRead.get < 1200,
+        s"a single task read ${maxRead.get} shuffle rows — hot-gram straggle")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set(coalesceKey, coalesceWas)
+      spark.conf.set(partsKey, partsWas)
+    }
   }
 
   test("span dedup: cross-doc and within-doc duplicate spans rewrite correctly") {
