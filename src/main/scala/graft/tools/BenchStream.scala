@@ -205,11 +205,22 @@ object BenchStream {
       require(q.exception.isEmpty, s"$tag failed: ${q.exception}")
     }
     val ndWaves = 6
+    var ndCompact1 = 0.0
     val ndWalls = (0 until ndWaves).map { b =>
       docs.filter(col("doc_id") >= b * maxId / ndWaves &&
           col("doc_id") < (b + 1) * maxId / ndWaves)
         .coalesce(4).write.parquet(s"$inC/w$b")
-      runNearDup(s"neardup wave $b")
+      val w = runNearDup(s"neardup wave $b")
+      // band+sset ledger compaction generation 1 midway (between cycles,
+      // same cadence contract as section A): waves 4-6 then admit
+      // against the bucketed tables ∪ fresh batch dirs, and the verdict
+      // byte-equality gate below proves the generation switch changed
+      // nothing
+      if (b == 2) ndCompact1 = timed {
+        val (tb, ts) = NearDupStream.compactLedgers(spark, bandsC, setsC)
+        require(tb.isDefined && ts.isDefined)
+      }
+      w
     }
     val ndIdsBefore = IdempotentSink.committedBatches(spark, outC)
     val ndNewest = new java.io.File(s"$ckptC/commits").listFiles()
@@ -219,6 +230,28 @@ object BenchStream {
     val ndReplay = runNearDup("neardup forced replay")
     require(IdempotentSink.committedBatches(spark, outC) == ndIdsBefore,
       "neardup replay must commit no new batch")
+    // second compaction generation, then the 100 TB plan gate: with both
+    // ledgers fully absorbed, a probe admission's candidate join (bands
+    // bucketed on (band, bkey)) and sset verification join (bucketed on
+    // id) plan with no ShuffleExchange above either ledger scan
+    val ndCompact2 = timed {
+      val (tb, ts) = NearDupStream.compactLedgers(spark, bandsC, setsC)
+      require(tb.isDefined && ts.isDefined)
+    }
+    val ndProbe = graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedger(
+      docs.limit(1000), "text", "doc_id",
+      NearDupStream.ledgerBands(spark, bandsC),
+      NearDupStream.ledgerSets(spark, setsC), threshold = 0.5)
+    ndProbe.write.format("noop").mode("overwrite").save()
+    val ndLedgerShuffled = ndProbe.queryExecution.executedPlan.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.toString.contains("graft_ledger_")
+          case _ => false
+        }
+      case _ => false
+    }
     // batch-sequential recompute over accumulating ledgers. The ledgers
     // accumulate THROUGH PARQUET per wave, exactly like the stream's own
     // ledgers — chaining unionByName of six full sketch-pipeline plans
@@ -273,12 +306,15 @@ object BenchStream {
       s""""rows":$martRows,"batch_equal":$martEqual,""" +
       s""""state_ckpt_bytes":${dirBytes(s"$ckptB/state")}},""" +
       s""""neardup":{"wave_walls":${arr(ndWalls)},"replay_s":${f"$ndReplay%.3f"},""" +
+      s""""compact1_s":${f"$ndCompact1%.3f"},"compact2_s":${f"$ndCompact2%.3f"},""" +
       s""""verdicts":$ndTotal,"admitted":$ndAdmitted,"batch_equal":$ndEqual,""" +
+      s""""ledgers_exchange_free":${!ndLedgerShuffled},""" +
       s""""bands_bytes":${dirBytes(bandsC)},"sets_bytes":${dirBytes(setsC)}}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
-    require(dedupEqual && martEqual && ndEqual && !ledgerShuffled,
+    require(dedupEqual && martEqual && ndEqual && !ledgerShuffled &&
+      !ndLedgerShuffled,
       "scale-tier streaming gates must hold")
     spark.stop()
   }
