@@ -94,9 +94,18 @@ object DedupStream {
     * [[graft.dedup.Dedup.exact]] survivor contract — under
     * `survivorsDir/batch=<id>`, and the admitted fingerprints under
     * `ledgerDir/batch=<id>`.
+    *
+    * `compactEvery > 0` runs [[compactLedger]] from INSIDE the batch
+    * function once per that many batches (after the batch's own commits)
+    * — the built-in form of the maintenance cadence, satisfying the
+    * single-writer/between-micro-batches contract by construction:
+    * foreachBatch IS the micro-batch, so nothing else reads the ledger
+    * while it runs. A replayed batch may re-trigger a compaction — pure
+    * idempotent re-invocation (typically just the deferred sweep).
     */
   def writer(survivorsDir: String, ledgerDir: String, textCol: String,
-      idCol: String): (DataFrame, Long) => Unit = (batch, batchId) => {
+      idCol: String, compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
     val spark = batch.sparkSession
     val survivors = Dedup.exactIncremental(
       batch, textCol, idCol, ledgerFps(spark, ledgerDir)).persist()
@@ -114,6 +123,8 @@ object DedupStream {
       IdempotentSink.writer(ledgerDir, onReplay = _ => ())(
         survivors.select("fp"), batchId)
     } finally survivors.unpersist()
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      compactLedger(spark, ledgerDir)
     ()
   }
 }

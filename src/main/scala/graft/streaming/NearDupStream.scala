@@ -102,10 +102,16 @@ object NearDupStream {
     * Emits one (doc_id, admitted, first_match) verdict row per batch doc
     * under `verdictDir/batch=<id>`, and the band/sset rows of ADMITTED
     * docs under the two ledger dirs.
+    *
+    * `compactEvery > 0` runs [[compactLedgers]] from inside the batch
+    * function once per that many batches — the built-in maintenance
+    * cadence, single-writer-safe by construction (foreachBatch IS the
+    * micro-batch); see [[DedupStream.writer]] for the contract.
     */
   def writer(verdictDir: String, bandsDir: String, setsDir: String,
       textCol: String, idCol: String, threshold: Double = 0.5,
-      portable: Boolean = false): (DataFrame, Long) => Unit =
+      portable: Boolean = false,
+      compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
       val verdict = Dedup.MinHashLsh.nearDupIncrementalLedger(
@@ -151,6 +157,8 @@ object NearDupStream {
           Dedup.MinHashLsh.setsFor(admittedDocs, textCol, idCol, portable),
           batchId)
       } finally verdict.unpersist()
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactLedgers(spark, bandsDir, setsDir)
       ()
     }
 }

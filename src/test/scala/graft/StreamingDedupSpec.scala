@@ -255,6 +255,28 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(IdempotentSink.committedBatches(spark, ledger) == Seq(0L, 1L))
   }
 
+  test("compactEvery: the writer self-compacts on cadence, results unchanged") {
+    val root = freshDir("graft-dedup-autocompact")
+    val out = s"$root/out"; val ledger = s"$root/ledger"
+    val w = DedupStream.writer(out, ledger, "text", "doc_id", compactEvery = 2)
+    w(Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), 0L)
+    assert(DedupStream.currentCompaction(spark, ledger).isEmpty,
+      "no compaction before the cadence point")
+    w(Seq((2L, "b"), (3L, "c")).toDF("doc_id", "text"), 1L) // batch 1 → compact
+    val g1 = DedupStream.currentCompaction(spark, ledger)
+    assert(g1.isDefined, "cadence point reached → generation 1")
+    w(Seq((4L, "c"), (5L, "d")).toDF("doc_id", "text"), 2L)
+    w(Seq((6L, "a"), (7L, "e")).toDF("doc_id", "text"), 3L) // batch 3 → compact
+    val g2 = DedupStream.currentCompaction(spark, ledger)
+    assert(g2.isDefined && g2.get._1 > g1.get._1, "generation 2 landed")
+    // survivors across the self-compacting stream equal the all-at-once
+    // batch dedup (first occurrence wins)
+    val survivors = IdempotentSink.readCommitted(spark, out)
+      .select("keep_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 1L, 3L, 5L, 7L), s"got $survivors")
+    assert(DedupStream.ledgerFps(spark, ledger).count() == 5)
+  }
+
   test("crash between survivor commit and ledger commit replays identically") {
     val root = freshDir("graft-dedup-crash")
     val out = s"$root/out"; val ledger = s"$root/ledger"

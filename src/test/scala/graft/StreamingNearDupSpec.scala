@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{IdempotentSink, NearDupStream}
+import graft.streaming.{IdempotentSink, LedgerCompaction, NearDupStream}
 
 /** Streaming near-dup admission: cross-wave rejection against the
   * admitted ledgers, within-batch smaller-id tie-break, kill/restart
@@ -194,6 +194,27 @@ class StreamingNearDupSpec extends AnyFunSuite {
     // ledgers still hold exactly the admitted ids
     assert(NearDupStream.ledgerSets(spark, sets)
       .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 12L, 20L, 30L))
+  }
+
+  test("compactEvery: the writer self-compacts both ledgers on cadence") {
+    val root = freshDir("graft-neardup-autocompact")
+    val out = s"$root/out"; val bands = s"$root/bands"; val sets = s"$root/sets"
+    val w = NearDupStream.writer(out, bands, sets, "text", "doc_id", 0.5,
+      compactEvery = 2)
+    w(Seq((0L, base)).toDF("doc_id", "text"), 0L)
+    assert(LedgerCompaction.currentCompaction(spark, bands).isEmpty)
+    w(Seq((1L, other)).toDF("doc_id", "text"), 1L) // cadence → generation 1
+    assert(LedgerCompaction.currentCompaction(spark, bands).isDefined &&
+      LedgerCompaction.currentCompaction(spark, sets).isDefined,
+      "both ledgers compacted at the cadence point")
+    // admission vs the table-resident ledgers still rejects near-dups
+    w(Seq((2L, nearDup), (3L, otherNear)).toDF("doc_id", "text"), 2L)
+    val got = NearDupStream.verdicts(spark, out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")).toMap
+    assert(got == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false),
+      s"got $got")
+    assert(NearDupStream.ledgerSets(spark, sets)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L))
   }
 
   test("compaction completing between admission plan build and action changes nothing") {
