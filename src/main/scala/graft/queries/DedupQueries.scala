@@ -193,11 +193,15 @@ object DedupQueries extends QueryModule {
     // groups, the banded candidate join, and the exact hashed-shingle
     // Jaccard verification — so a hash PASS proves candidates AND
     // verification end to end, not just row counts.
+    // no trailing orderBy: at the 100× tier the pair list is 20.5M rows
+    // and a global sort of it is the single most expensive node under
+    // the bench's noop sink (~4 s — range exchange + sort), while both
+    // correctness gates (driver compare and dev/check.py) sort rows
+    // themselves before hashing. Same decision on q32.
     "q31_dedup_minhash" -> QueryDef(
       (s, dir) =>
         Dedup.MinHashLsh.nearDupPairs(Tables.documents(s, dir),
-            "text", "doc_id", threshold = 0.35, portable = true)
-          .orderBy("id_a", "id_b"),
+            "text", "doc_id", threshold = 0.35, portable = true),
       Some(minhashOracleSql)),
 
     // Incremental near-dup ADMISSION (the near-dup analog of q100's
@@ -226,8 +230,7 @@ object DedupQueries extends QueryModule {
     "q32_dedup_simhash" -> QueryDef(
       (s, dir) =>
         Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
-            portable = true)
-          .orderBy("id_a", "id_b"),
+            portable = true),
       Some("""WITH d AS (
              |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
              |  FROM documents
