@@ -105,6 +105,24 @@ object LedgerCompaction {
       .map { case (v, p) => (v, markerTable(fs, p)) }
   }
 
+  /** A generation's rows. The durable commit is the MARKER + the table's
+    * warehouse DIRECTORY; the catalog entry is convenience that a
+    * non-durable metastore forgets across a JVM restart (the local/test
+    * deployment — a production Hive metastore keeps it). With the entry
+    * present this is the bucketed table scan, partitioning and all;
+    * without it, a plain path read of the same files — identical rows,
+    * but bucket metadata is catalog-resident, so ledger joins pay an
+    * exchange again until the next [[compact]] registers a generation in
+    * the restarted JVM's catalog (which it always does: its union reads
+    * THROUGH this same fallback).
+    */
+  private def generationFrame(spark: SparkSession, table: String): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else spark.read.parquet(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase))
+        .toString)
+
   /** The committed ledger rows, projected to `schema`'s columns: the
     * bucketed table of the newest generation (if any) unioned with every
     * `batch=` dir committed SINCE that generation; a typed empty frame
@@ -126,7 +144,7 @@ object LedgerCompaction {
         IdempotentSink.readCommitted(spark, ledgerDir, Some(schema))
           .select(fields: _*)
       case Some((version, table)) =>
-        val compacted = spark.table(table).select(fields: _*)
+        val compacted = generationFrame(spark, table).select(fields: _*)
         val fresh = IdempotentSink.committedBatches(spark, ledgerDir)
           .filter(_ > version)
         if (fresh.isEmpty)
@@ -186,7 +204,7 @@ object LedgerCompaction {
           .readCommitted(spark, ledgerDir, Some(schema)).select(fields: _*)
         val all = current
           .map { case (_, t) =>
-            spark.table(t).select(fields: _*).unionByName(batchRows) }
+            generationFrame(spark, t).select(fields: _*).unionByName(batchRows) }
           .getOrElse(batchRows)
           .distinct()
         spark.sql(s"DROP TABLE IF EXISTS `$table`")

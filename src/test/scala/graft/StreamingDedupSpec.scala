@@ -255,6 +255,51 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(IdempotentSink.committedBatches(spark, ledger) == Seq(0L, 1L))
   }
 
+  test("catalog amnesia across a restart: marker + table files survive, reads fall back") {
+    // the durable commit is the marker + the warehouse directory; the
+    // catalog entry is NOT durable on a non-durable metastore. Simulate a
+    // JVM restart that forgot the table (files intact): stash the files,
+    // DROP the managed table (removes catalog entry AND files), restore
+    // the files. Reads must fall back to the path; the next compaction
+    // must union through the same fallback and re-register a fresh
+    // generation in the "restarted" catalog.
+    val root = freshDir("graft-ledger-amnesia")
+    val out = s"$root/out"; val ledger = s"$root/ledger"
+    val w = DedupStream.writer(out, ledger, "text", "doc_id")
+    w(Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), 0L)
+    w(Seq((2L, "c")).toDF("doc_id", "text"), 1L)
+    val t1 = DedupStream.compactLedger(spark, ledger).get
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t1)).toString))
+    val stash = loc.resolveSibling(loc.getFileName.toString + ".stash")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(from)
+      try s.forEach(p => java.nio.file.Files.copy(p, to.resolve(from.relativize(p)),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES))
+      finally s.close()
+    }
+    copyTree(loc, { java.nio.file.Files.createDirectories(stash.getParent); stash })
+    spark.sql(s"DROP TABLE `$t1`")
+    assert(!java.nio.file.Files.exists(loc), "managed DROP removes the files")
+    assert(java.nio.file.Files.move(stash, loc) == loc)
+    assert(!spark.catalog.tableExists(t1), "catalog has forgotten the table")
+
+    assert(DedupStream.ledgerFps(spark, ledger).count() == 3,
+      "read falls back to the generation's files")
+    val survivors = graft.dedup.Dedup.exactIncremental(
+      Seq((9L, "c"), (10L, "d")).toDF("doc_id", "text"),
+      "text", "doc_id", DedupStream.ledgerFps(spark, ledger))
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(survivors == Set(10L), "dedup correct against the fallback read")
+
+    w(Seq((5L, "e")).toDF("doc_id", "text"), 2L)
+    val t2 = DedupStream.compactLedger(spark, ledger).get
+    assert(t2 != t1 && spark.catalog.tableExists(t2),
+      "next compaction unions through the fallback and re-registers")
+    assert(DedupStream.ledgerFps(spark, ledger).count() == 4) // a b c e
+  }
+
   test("compactEvery: the writer self-compacts on cadence, results unchanged") {
     val root = freshDir("graft-dedup-autocompact")
     val out = s"$root/out"; val ledger = s"$root/ledger"
