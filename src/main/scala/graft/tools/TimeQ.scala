@@ -33,8 +33,10 @@ object TimeQ {
           val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
           shuffleBytes.addAndGet(w)
           taskCount.addAndGet(sc.stageInfo.numTasks)
-          stages.add((sc.stageInfo.name.takeWhile(_ != '\n').take(70), w,
-            sc.stageInfo.numTasks))
+          // executorRunTime = Σ task wall (ms) — the stage's work volume;
+          // divide by cores for its lower-bound contribution to query wall
+          stages.add((f"run=${sc.stageInfo.taskMetrics.executorRunTime / 1e3}%.1fs",
+            w, sc.stageInfo.numTasks))
         }
       })
     names.foreach { n =>
