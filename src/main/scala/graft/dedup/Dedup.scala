@@ -77,6 +77,18 @@ object Dedup {
     val Bands = 8
     val RowsPerBand: Int = NumHashes / Bands
 
+    /** Upper bound (bytes, plan-time estimate) under which a verification
+      * side table is broadcast instead of shuffled, settable per session
+      * via `spark.graft.dedup.verifyBroadcastMaxBytes`. Plan-time parquet
+      * estimates understate in-memory size (fileCompressionFactor
+      * defaults to 1.0), so the 256 MB default leaves several-fold
+      * headroom before a broadcast relation would pressure a modest
+      * executor heap; deployments with fat executors can raise it.
+      */
+    def verifyBroadcastMaxBytes(spark: org.apache.spark.sql.SparkSession): BigInt =
+      BigInt(spark.conf.getOption("spark.graft.dedup.verifyBroadcastMaxBytes")
+        .map(_.toLong).getOrElse(256L << 20))
+
     /** Near-dup EDGES from banded signatures, verified with exact Jaccard
       * over distinct shingle sets. Contract: the CONNECTED COMPONENTS of
       * the returned edge set equal the connected components of the full
@@ -225,20 +237,28 @@ object Dedup {
       // ships each array once per executor and the pair stream never
       // re-partitions: measured 5.75 GB → 1.09 GB total shuffle,
       // identical output. The gate is the optimizer's plan-time size
-      // estimate of the INPUT (no extra action): under 1 GB of source
-      // text the set table fits any executor comfortably; above it the
-      // plan degrades to the shuffled pair-payload join — the honest
-      // per-pair cost of exact verification — never to a driver OOM.
+      // estimate of the INPUT (no extra action; the semi-join output's
+      // own estimate is no better — computed array columns get default
+      // per-type widths, fiction either way — while input bytes bound
+      // total sset bytes honestly: ~8 B of shingle hash per input word).
+      // Past the gate the plan degrades to the shuffled pair-payload
+      // join — the honest per-pair cost of exact verification — never a
+      // driver OOM. The default (256 MB on-disk estimate,
+      // `spark.graft.dedup.verifyBroadcastMaxBytes`) keeps the worst-case
+      // in-memory relation ~1 GB even at several-fold parquet
+      // decompression, and BOTH verify sides reference ONE un-projected
+      // broadcast relation through aliases, so the exchanges canonicalize
+      // equal and Spark plans a single BroadcastExchange + ReusedExchange
+      // — half the former two-renamed-copies footprint.
       val setsBroadcastable =
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(1L << 30)
-      def verifySide(renamedId: String, renamedSet: String) = {
-        val side = prunedSets.withColumnRenamed("sid", renamedId)
-          .withColumnRenamed("sset", renamedSet)
-        if (setsBroadcastable) broadcast(side) else side
-      }
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          verifyBroadcastMaxBytes(df.sparkSession)
+      val vs = if (setsBroadcastable) broadcast(prunedSets) else prunedSets
       candidates
-        .join(verifySide("id_a", "set_a"), Seq("id_a"))
-        .join(verifySide("id_b", "set_b"), Seq("id_b"))
+        .join(vs.as("va"), col("id_a") === col("va.sid"))
+        .join(vs.as("vb"), col("id_b") === col("vb.sid"))
+        .withColumn("set_a", col("va.sset"))
+        .withColumn("set_b", col("vb.sset"))
         .select(col("id_a"), col("id_b"),
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             .as("jaccard"))
@@ -280,14 +300,32 @@ object Dedup {
         bandsFor(corpus, textCol, idCol, portable),
         setsFor(corpus, textCol, idCol, portable), threshold, portable)
 
-    /** The (band, bkey, id) rows of a document frame — what production
-      * PERSISTS (bucketed on (band, bkey)) as the near-dup band ledger.
-      * sig and sset are built by SEPARATE projections (unlike
-      * nearDupPairs' shared base): the band tables consume only sig and
-      * the verification ledger only sset, and Spark re-executes a shared
-      * projection once per consumer — computing both sketches in one
-      * select would double every hash pass at 100 TB for values the
-      * consumer drops.
+    /** The (band, bkey, id, kpfx, sz) rows of a document frame — what
+      * production PERSISTS (bucketed on (band, bkey)) as the near-dup
+      * band ledger. Besides the banding triple, each row carries the two
+      * columns [[nearDupIncrementalLedger]]'s q31-shape candidate join
+      * needs on BOTH sides:
+      *
+      *  - `kpfx`: the doc's band keys for bands strictly below this
+      *    row's — the first-shared-band test's inspection window (avg
+      *    Bands/2 longs per row; it deletes the pair exchange's per-
+      *    shared-band duplication AND the global distinct, the side that
+      *    explodes on dup-dense corpora);
+      *  - `sz`: the doc's shingle-SET size, one int — the lossless
+      *    size-ratio prefilter's input, dropping banding false positives
+      *    before any sset array moves.
+      *
+      * Cost of `sz` at write time: one extra shingle pass (the set must
+      * be built to be counted) on TOP of the minhash pass — paid ONCE per
+      * document over its ledger life, vs the per-batch verify shuffle it
+      * prunes forever after. sset VALUES still live only in the
+      * [[setsFor]] ledger; this table stays band-key-shaped.
+      *
+      * Ledgers written before these columns existed read with them null —
+      * [[graft.streaming.LedgerCompaction.read]] null-fills missing
+      * columns — and every consumer below is null-safe (the prefilter
+      * passes unknown sizes; the first-band test falls back to per-band
+      * emission, which admission's count/min aggregate tolerates).
       */
     def bandsFor(df: DataFrame, textCol: String, idCol: String,
         portable: Boolean = false): DataFrame = {
@@ -296,12 +334,18 @@ object Dedup {
           df.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"),
           (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
-           else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
-      base.select(col("id"), posexplode(array((0 until Bands).map { b =>
-        xxhash64(concat_ws("_",
-          (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
-      }: _*)).as(Seq("band", "bkey")))
+           else graft.functions.Sketches.minhashTokens(toks)).as("sig"),
+          size(if (portable) graft.functions.Sketches.shingleSetPortable(toks)
+               else graft.functions.Sketches.shingleSet(toks)).as("sz"))
+      base.select(col("id"), col("sz"), array((0 until Bands).map { b =>
+          xxhash64(concat_ws("_",
+            (0 until RowsPerBand).map(r =>
+              element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
+        }: _*).as("bkeys"))
+        .select(col("id"), col("bkeys"), col("sz"),
+          posexplode(col("bkeys")).as(Seq("band", "bkey")))
+        .select(col("band"), col("bkey"), col("id"),
+          slice(col("bkeys"), lit(1), col("band")).as("kpfx"), col("sz"))
     }
 
     /** The (id, sset) verification rows — the shingle-set ledger. */
@@ -326,24 +370,81 @@ object Dedup {
     def nearDupIncrementalLedger(batch: DataFrame, textCol: String,
         idCol: String, corpusBands: DataFrame, corpusSets: DataFrame,
         threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+      val spark = batch.sparkSession
       val bb = bandsFor(batch, textCol, idCol, portable)
+      // ledgers written before bandsFor carried kpfx/sz (schema
+      // evolution) arrive without the columns; conform with nulls — every
+      // predicate below is null-safe, and a Project on the bucketed table
+      // scan preserves its (band, bkey) output partitioning
+      val cb = Seq("kpfx" -> "array<bigint>", "sz" -> "int")
+        .foldLeft(corpusBands) { case (d, (c, t)) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, lit(null).cast(t))
+        }
       // candidate (batch id, match id): shared band vs corpus, or vs a
       // smaller batch id — a pair can only appear in one class (a doc id
-      // is either in the ledger or in this batch), union keeps them
-      // deduped either way
-      val candCorpus = bb.select(col("band"), col("bkey"), col("id").as("bid"))
-        .join(corpusBands.select(col("band"), col("bkey"), col("id").as("mid")),
+      // is either in the ledger or in this batch). Plan shape ported from
+      // [[nearDupPairs]] (measured there: 5.75 → 1.09 GB total shuffle at
+      // the 100× tier, identical output):
+      //  - a pair is emitted from its FIRST shared band only (exact —
+      //    bkey equality IS bucket co-membership), so the per-shared-band
+      //    duplication and the global distinct() both disappear;
+      //  - the lossless size-ratio prefilter (|∩| ≤ min ⇒ jaccard ≤
+      //    min/max) drops banding false positives before any sset array
+      //    is ever fetched for them.
+      // Null fallbacks for pre-upgrade ledger rows: an unknown size
+      // passes the prefilter; an unknown key prefix emits the pair from
+      // EVERY shared band — duplicate candidates, which the admission
+      // aggregate (count/min) absorbs exactly, costing only duplicate
+      // verify work until the next compaction rebuilds the columns
+      // ([[graft.streaming.NearDupStream.compactLedgers]]).
+      val sharesEarlierBand = exists(
+        zip_with(col("kpfx_b"), col("kpfx_m"), (kb, km) => kb === km),
+        x => x)
+      val firstSharedOnly =
+        col("kpfx_m").isNull || col("kpfx_b").isNull || !sharesEarlierBand
+      val sizesCompatible = col("sz_m").isNull || col("sz_b").isNull ||
+        (col("sz_b") * lit(1.0) >= lit(threshold) * col("sz_m") &&
+          col("sz_m") * lit(1.0) >= lit(threshold) * col("sz_b"))
+      val probe = bb.select(col("band"), col("bkey"), col("id").as("bid"),
+        col("kpfx").as("kpfx_b"), col("sz").as("sz_b"))
+      val candCorpus = probe
+        .join(cb.select(col("band"), col("bkey"), col("id").as("mid"),
+          col("kpfx").as("kpfx_m"), col("sz").as("sz_m")),
           Seq("band", "bkey"))
+        .filter(firstSharedOnly && sizesCompatible)
         .select("bid", "mid")
-      val candBatch = bb.select(col("band"), col("bkey"), col("id").as("bid"))
-        .join(bb.select(col("band"), col("bkey"), col("id").as("mid")),
+      val candBatch = probe
+        .join(bb.select(col("band"), col("bkey"), col("id").as("mid"),
+          col("kpfx").as("kpfx_m"), col("sz").as("sz_m")),
           Seq("band", "bkey"))
-        .filter(col("mid") < col("bid"))
+        .filter(col("mid") < col("bid") && firstSharedOnly && sizesCompatible)
         .select("bid", "mid")
-      val cand = candCorpus.unionByName(candBatch).distinct()
+      val cand = candCorpus.unionByName(candBatch)
       val batchSets = setsFor(batch, textCol, idCol, portable)
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+      // The batch's own sset table appears on BOTH verify sides (set_a
+      // for every candidate bid; set_b for within-batch mids). Pruned to
+      // candidate-involved ids and broadcast — ONE relation, so the two
+      // broadcast exchanges canonicalize equal and Spark evaluates it
+      // once (ReusedExchange) — the candidate stream never re-partitions
+      // after its corpus join: the old plan's per-PAIR sset shipping
+      // through the bid exchange (measured at the 100× tier: q104's
+      // 3.17 GB suite-max shuffle, paid again by every NearDupStream
+      // micro-batch) collapses to one batch-bounded broadcast. The gate
+      // is the batch's plan-time size estimate (the micro-batch is the
+      // small side by construction); past it the plan degrades to the
+      // honest shuffled per-pair join, never a driver OOM. Same
+      // configurable gate as [[nearDupPairs]].
+      val candIds = cand
+        .select(explode(array(col("bid"), col("mid"))).as("id")).distinct()
+      val prunedBatchSets = batchSets.join(candIds, Seq("id"), "left_semi")
+      val batchBroadcastable =
+        batch.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          verifyBroadcastMaxBytes(spark)
+      val bs = if (batchBroadcastable) broadcast(prunedBatchSets)
+        else prunedBatchSets
       // attach the match side's sset PER SOURCE, not through a batch∪corpus
       // union: a union node discards the corpus ledger's output
       // partitioning, forcing a full exchange of every corpus sset array
@@ -354,15 +455,19 @@ object Dedup {
       // one side (ledger ids and batch ids are disjoint — a doc is either
       // admitted history or arriving), so the union of the two inner joins
       // is the same relation as the joined union.
+      // both bs joins reference the SAME un-projected relation through
+      // aliases (not per-side renames): the two broadcast exchanges then
+      // canonicalize equal and plan as one BroadcastExchange + a
+      // ReusedExchange, evaluating the batch re-sketch once
       val withB = cand
         .join(corpusSets.select(col("id").as("mid"), col("sset").as("set_b")),
           Seq("mid"))
-        .unionByName(cand.join(
-          batchSets.select(col("id").as("mid"), col("sset").as("set_b")),
-          Seq("mid")))
+        .unionByName(cand
+          .join(bs.as("vbm"), col("mid") === col("vbm.id"))
+          .select(col("bid"), col("mid"), col("vbm.sset").as("set_b")))
       val verified = withB
-        .join(batchSets.select(col("id").as("bid"), col("sset").as("set_a")),
-          Seq("bid"))
+        .join(bs.as("vba"), col("bid") === col("vba.id"))
+        .withColumn("set_a", col("vba.sset"))
         .filter(
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             >= threshold)
@@ -850,14 +955,20 @@ object Dedup {
     * the assignment elsewhere may drop it via the session checkpoint dir.
     */
   /** Directed-edge-row gate for the driver union-find fast path in
-    * [[connectedComponents]]: 24M rows ≈ 384 MB of primitive (src, dst)
-    * state, streamed off the checkpointed edge blocks partition-by-
-    * partition (`toLocalIterator` — no transient all-rows array), so peak
-    * driver memory is the final arrays plus one partition. Well within
-    * any standard driver heap, and far past the edge count where round
-    * scheduling stops dominating the distributed loop (measured: the q91
-    * graph's 19M directed rows close in ~2 s of driver union-find vs
-    * ~10 s of 8 pointer-jump rounds).
+    * [[connectedComponents]]. Edges are streamed off the checkpointed
+    * edge blocks partition-by-partition (`toLocalIterator` — no
+    * transient all-rows array) and never stored: resident driver state
+    * is per-NODE, all primitive arrays — ids + parent + component-min +
+    * an open-addressed long→index table (no boxed values) — ~55 B/node
+    * typical, ≤ ~90 B/node right after a resize doubles the backing
+    * arrays. The degenerate worst case (2 fresh nodes per directed edge,
+    * all 24M edges) is therefore a few GB — sized for a standard
+    * multi-GB driver heap, never silently beyond it — while real dedup
+    * graphs (dense near-dup cliques, nodes ≪ edges) sit orders of
+    * magnitude below: the q91 graph's 19M directed rows carry ~1M nodes
+    * ≈ 55 MB, closing in ~2 s of driver union-find vs ~10 s of 8
+    * pointer-jump rounds. The gate is the caller's knob for thin-graph
+    * workloads on small drivers.
     */
   private val DriverCcMaxDirectedEdges = 24L * 1000 * 1000
 
@@ -915,27 +1026,59 @@ object Dedup {
     // convergence actions — which on a small edge list is pure overhead
     // (measured at the 100× tier, q91: 8 rounds ≈ 12 s of ~30-task stages
     // over a few MB of labels). Below the gate the materialized edge list
-    // is collected (it was just computed — the collect reads stored
-    // blocks, an O(edges) driver cost bounded at ~64 MB of primitive
-    // state) and closed with union-find + path compression: the exact
-    // same labels — every node keyed to its component's MIN id — in one
-    // driver pass. Above the gate nothing changes: the distributed loop
-    // is the only shape that works when the edge list itself is big, and
-    // there the real per-round work dwarfs the scheduling.
+    // is STREAMED to the driver (toLocalIterator over the stored blocks —
+    // edges are never resident; only per-node primitive arrays are) and
+    // closed with union-find + path compression: the exact same labels —
+    // every node keyed to its component's MIN id — in one driver pass.
+    // Above the gate nothing changes: the distributed loop is the only
+    // shape that works when the edge list itself is big, and there the
+    // real per-round work dwarfs the scheduling.
     val nDirected = edges.count()
     if (nDirected > 0 && nDirected <= driverMaxEdges) {
-      val index = new scala.collection.mutable.LongMap[Int]
+      // open-addressed long→index table over primitive arrays: a
+      // LongMap[Int] boxes every value, tripling resident bytes per node
+      // at gate-max graphs; this stays at 13 B/slot (≤ 26 B/node at the
+      // ≤ 50% load-factor resize point)
+      var cap = 1 << 11
+      var tblKey = new Array[Long](cap)
+      var tblVal = new Array[Int](cap)
+      var tblUsed = new Array[Boolean](cap)
       var ids = new Array[Long](1024)
       var parent = new Array[Int](1024)
       var n = 0
-      def nodeOf(id: Long): Int =
-        index.getOrElseUpdate(id, {
-          if (n == ids.length) {
-            ids = java.util.Arrays.copyOf(ids, 2 * n)
-            parent = java.util.Arrays.copyOf(parent, 2 * n)
+      def slotOf(id: Long, keys: Array[Long], used: Array[Boolean]): Int = {
+        val mix = id * -7046029254386353131L // fibonacci hashing
+        var s = ((mix ^ (mix >>> 32)).toInt) & (keys.length - 1)
+        while (used(s) && keys(s) != id) s = (s + 1) & (keys.length - 1)
+        s
+      }
+      def nodeOf(id: Long): Int = {
+        var s = slotOf(id, tblKey, tblUsed)
+        if (tblUsed(s)) return tblVal(s)
+        if (2 * (n + 1) > cap) { // grow at 50% load; rehash in place
+          cap *= 2
+          val nk = new Array[Long](cap)
+          val nv = new Array[Int](cap)
+          val nu = new Array[Boolean](cap)
+          var i = 0
+          while (i < tblKey.length) {
+            if (tblUsed(i)) {
+              val t = slotOf(tblKey(i), nk, nu)
+              nk(t) = tblKey(i); nv(t) = tblVal(i); nu(t) = true
+            }
+            i += 1
           }
-          ids(n) = id; parent(n) = n; n += 1; n - 1
-        })
+          tblKey = nk; tblVal = nv; tblUsed = nu
+          s = slotOf(id, tblKey, tblUsed)
+        }
+        if (n == ids.length) {
+          ids = java.util.Arrays.copyOf(ids, 2 * n)
+          parent = java.util.Arrays.copyOf(parent, 2 * n)
+        }
+        ids(n) = id; parent(n) = n
+        tblKey(s) = id; tblVal(s) = n; tblUsed(s) = true
+        n += 1; n - 1
+      }
       def find(x0: Int): Int = {
         var x = x0
         while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
@@ -951,11 +1094,25 @@ object Dedup {
       (0 until n).foreach { i =>
         val r = find(i); if (ids(i) < minOf(r)) minOf(r) = ids(i)
       }
+      val comp = new Array[Long](n)
+      (0 until n).foreach { i => comp(i) = minOf(find(i)) }
       System.err.println(s"[cc] driver union-find edges=$nDirected nodes=$n")
       val spark = pairs.sparkSession
-      import spark.implicits._
-      return (0 until n).map(i => (ids(i), minOf(find(i))))
-        .toDF("id", "comp")
+      // distribute via parallelize + task-binary broadcast, NOT Seq.toDF:
+      // a LocalRelation of n tuples is boxed on the driver AND serialized
+      // into every downstream consumer task; parallelizing a Range keys
+      // each partition to an index slice, and the two primitive arrays
+      // ride the broadcast task binary once per executor
+      val idsF = ids; val compF = comp
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, n / 65536 + 1))
+      val rdd = spark.sparkContext.parallelize(0 until n, slices)
+        .map(i => org.apache.spark.sql.Row(idsF(i), compF(i)))
+      return spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     }
     // init fuses the first propagation round: label(u) = min({u} ∪ N(u))
     // straight off the grouped edge list — one aggregation, no join. For

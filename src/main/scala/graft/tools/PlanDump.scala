@@ -15,12 +15,20 @@ object PlanDump {
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    args.foreach { q =>
+    // "exec": run the query to a noop sink first, then dump — shows the
+    // FINAL adaptive plan (runtime broadcast conversions, AQE exchange
+    // reuse), which the static initial plan cannot
+    val exec = args.contains("exec")
+    args.filterNot(_ == "exec").foreach { q =>
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, dir)
+      // drive THIS QueryExecution's physical plan (df.write/df.count would
+      // clone a fresh one, leaving this AdaptiveSparkPlan unexecuted)
+      if (exec) df.queryExecution.executedPlan.execute().count()
       df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => Seq("Join", "Exchange", "Window", "Scan parquet",
-          "HashAggregate", "Expand", "Generate").exists(l.contains))
+          "HashAggregate", "Expand", "Generate", "Reused", "QueryStage")
+          .exists(l.contains))
         .foreach(l => println("  " + l.trim.take(160)))
     }
     spark.stop()
