@@ -85,9 +85,21 @@ object Dedup {
       * headroom before a broadcast relation would pressure a modest
       * executor heap; deployments with fat executors can raise it.
       */
-    def verifyBroadcastMaxBytes(spark: org.apache.spark.sql.SparkSession): BigInt =
-      BigInt(spark.conf.getOption("spark.graft.dedup.verifyBroadcastMaxBytes")
-        .map(_.toLong).getOrElse(256L << 20))
+    def verifyBroadcastMaxBytes(spark: org.apache.spark.sql.SparkSession): BigInt = {
+      val key = "spark.graft.dedup.verifyBroadcastMaxBytes"
+      spark.conf.getOption(key).map { v =>
+        val n =
+          try v.trim.toLong
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$key must be a plain byte count (got '$v'); size suffixes " +
+                "like '256m' are not supported — write 268435456")
+          }
+        require(n > 0,
+          s"$key must be positive (got $n); to disable broadcasting set it to 1")
+        BigInt(n)
+      }.getOrElse(BigInt(256L << 20))
+    }
 
     /** Near-dup EDGES from banded signatures, verified with exact Jaccard
       * over distinct shingle sets. Contract: the CONNECTED COMPONENTS of
@@ -322,10 +334,15 @@ object Dedup {
       * [[setsFor]] ledger; this table stays band-key-shaped.
       *
       * Ledgers written before these columns existed read with them null —
-      * [[graft.streaming.LedgerCompaction.read]] null-fills missing
-      * columns — and every consumer below is null-safe (the prefilter
-      * passes unknown sizes; the first-band test falls back to per-band
-      * emission, which admission's count/min aggregate tolerates).
+      * [[graft.streaming.LedgerCompaction.read]] scans batch dirs WITH the
+      * declared schema (parquet null-fills per pre-upgrade file) and
+      * conforms old generation tables with typed nulls — and every
+      * consumer below is null-safe (the prefilter passes unknown sizes;
+      * the first-band test falls back to per-band emission, which
+      * admission's count/min aggregate tolerates). The fallback is
+      * TRANSIENT: [[graft.streaming.NearDupStream.compactLedgers]]
+      * backfills kpfx from the doc's own band rows and sz from the sset
+      * ledger at the next compaction.
       */
     def bandsFor(df: DataFrame, textCol: String, idCol: String,
         portable: Boolean = false): DataFrame = {
@@ -1098,16 +1115,25 @@ object Dedup {
       (0 until n).foreach { i => comp(i) = minOf(find(i)) }
       System.err.println(s"[cc] driver union-find edges=$nDirected nodes=$n")
       val spark = pairs.sparkSession
-      // distribute via parallelize + task-binary broadcast, NOT Seq.toDF:
-      // a LocalRelation of n tuples is boxed on the driver AND serialized
-      // into every downstream consumer task; parallelizing a Range keys
-      // each partition to an index slice, and the two primitive arrays
-      // ride the broadcast task binary once per executor
-      val idsF = ids; val compF = comp
+      // distribute via parallelize + EXPLICIT sc.broadcast of the two
+      // primitive arrays, NOT Seq.toDF and not a closure capture: a
+      // LocalRelation of n tuples is boxed on the driver AND serialized
+      // into every downstream consumer task, and a closure capturing the
+      // arrays Java-serializes them into the task binary — at the
+      // degenerate gate-max (~48M nodes) that is an extra ~770 MB driver
+      // copy on top of the live arrays. Broadcast ships each array once
+      // (torrent blocks, off the closure path); `ids` is trimmed to n
+      // first so the copyOf-doubled capacity tail never travels. The
+      // per-row boxing of Row(long, long) happens on executors.
+      val bIds = spark.sparkContext.broadcast(java.util.Arrays.copyOf(ids, n))
+      val bComp = spark.sparkContext.broadcast(comp)
       val slices = math.max(1, math.min(
         spark.sparkContext.defaultParallelism, n / 65536 + 1))
       val rdd = spark.sparkContext.parallelize(0 until n, slices)
-        .map(i => org.apache.spark.sql.Row(idsF(i), compF(i)))
+        .mapPartitions { it =>
+          val idsF = bIds.value; val compF = bComp.value
+          it.map(i => org.apache.spark.sql.Row(idsF(i), compF(i)))
+        }
       return spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = false),

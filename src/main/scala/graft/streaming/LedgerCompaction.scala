@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Generic maintenance engine for the [[IdempotentSink]]-style ledgers the
@@ -20,6 +20,17 @@ import org.apache.spark.sql.types.StructType
   * duplicates — so compaction's `distinct()` is semantics-preserving and
   * temporary table/dir overlap during a generation switch is harmless.
   *
+  * == Schema evolution ==
+  * Every row read here passes through the caller's declared `schema`:
+  * batch dirs are scanned WITH that schema (parquet null-fills columns a
+  * pre-upgrade file lacks, per file — a plain inferred read over mixed
+  * old/new dirs would instead pick one file's schema and either fail the
+  * select or silently project the new columns away), and generation
+  * tables written before a column existed are conformed with typed
+  * nulls. Compaction therefore carries new columns forward losslessly;
+  * callers that can RECONSTRUCT the missing values pass a `transform`
+  * (see [[compact]]) to backfill them at absorb time.
+  *
   * == Crash safety ==
   * Marker discipline as in [[IdempotentSink]]: the new generation's table
   * is written first, its `_compactedtable-<v>` marker renamed into place
@@ -27,49 +38,77 @@ import org.apache.spark.sql.types.StructType
   * [[read]] resolves either the old complete state or the new one.
   * Re-invoking a crashed compaction resumes it (idempotent), including
   * across a JVM restart whose non-durable metastore forgot the half-written
-  * table while its warehouse directory survived ([[deleteDefaultLocation]]).
+  * table while its warehouse directory survived. Markers store the
+  * db-QUALIFIED table name and its resolved location, so readers and
+  * sweepers in a session whose current database differs from the
+  * compactor's still resolve the right table and directory (markers
+  * written before the location line read with the legacy current-database
+  * fallback).
   *
-  * == Concurrency with the stream (one-generation deferred cleanup) ==
-  * [[read]] resolves the marker, then lists batch dirs, then lazily scans —
-  * three steps a concurrent compaction could interleave with. Rather than
-  * forbid concurrency, cleanup is DEFERRED BY ONE GENERATION: creating
-  * generation `w` deletes only generations OLDER than the previous one `v`
-  * and batch dirs `<= v` — never `v`'s table or the dirs in `(v, w]`. A
-  * reader that resolved marker `v` (or no marker, before the first
-  * generation existed) therefore still finds every path it planned over
-  * after ANY single compaction completes mid-read: the paths a new
-  * generation deletes were already invisible to that reader. Spec-pinned in
-  * StreamingDedupSpec/StreamingNearDupSpec by compacting between plan
-  * construction and action. The residual window — TWO further generations
-  * completing inside one micro-batch's read — is a cadence bound, not a
-  * locking bug: compaction is an occasional maintenance invocation
-  * (reference analogue: the raw-zone file compaction cadence of
-  * tfl-realtime-lakehouse's `airflow/dags/tfl_ingest_dag.py:80`, daily vs a
-  * 2-minute poll), two runs inside one batch is not an operating mode.
-  * Single concurrent COMPACTOR per ledger remains the writer contract, as
-  * for [[graft.similarity.Ann.writeIvfIndex]].
+  * == Concurrency with the stream ==
+  * [[read]] resolves the marker, then lists batch dirs, then lazily scans.
+  * Cleanup is DEFERRED BY ONE GENERATION: creating generation `w` deletes
+  * only generations OLDER than the previous one `v` and batch dirs
+  * `<= v` — never `v`'s table or the dirs in `(v, w]` — so a reader that
+  * resolved marker `v` still finds every path it planned over after ANY
+  * single compaction completes mid-read (spec-pinned by compacting between
+  * plan construction and action). [[read]] additionally closes the
+  * stalled-reader window INSIDE itself: after resolving it re-checks the
+  * marker and re-plans from scratch whenever ≥ 2 generations landed since
+  * the resolve (and retries on a scan resolution that raced a sweep), so
+  * a read can stall arbitrarily long before building its plan. The closed
+  * contract is therefore: a frame RETURNED by [[read]] stays fully
+  * readable until the SECOND compaction that completes after it returns —
+  * and since a compactor is single-writer per ledger (the stream's own
+  * `compactEvery` hook runs at most once per micro-batch, after the
+  * batch's reads are consumed), an in-stream reader can never see two.
+  * External compactors must keep invocations spaced wider than one
+  * micro-batch — the same single-writer contract as
+  * [[graft.similarity.Ann.writeIvfIndex]].
   */
 object LedgerCompaction {
 
   private val CompactedPrefix = "_compactedtable-"
+
+  /** Test seam: runs inside [[read]] between the marker resolution and the
+    * re-check/plan build — specs inject compactions here to force the
+    * stalled-reader window. Production never touches it. */
+  private[graft] var readRaceHook: () => Unit = () => ()
 
   private def fsOf(spark: SparkSession, dir: String) = {
     val root = new Path(dir)
     (root, root.getFileSystem(spark.sparkContext.hadoopConfiguration))
   }
 
-  /** Delete a table's DEFAULT warehouse directory if it exists without a
-    * catalog entry — the orphan a crash leaves when the JVM dies after
-    * `saveAsTable` but before its marker, and a restart's non-durable
-    * metastore has forgotten the table (so `DROP TABLE IF EXISTS` no-ops
-    * while the location blocks every re-create with
-    * LOCATION_ALREADY_EXISTS). Resolved through the catalog so the
-    * current database's `<db>.db/<table>` path is honored.
-    */
-  private def deleteDefaultLocation(spark: SparkSession, table: String): Unit = {
-    val loc = new Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase)))
+  private def tableIdentifier(name: String) = {
+    val parts = name.split('.')
+    if (parts.length == 2)
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        parts(1).toLowerCase, Some(parts(0).toLowerCase))
+    else org.apache.spark.sql.catalyst.TableIdentifier(name.toLowerCase)
+  }
+
+  private def quoted(name: String): String =
+    name.split('.').map(p => s"`$p`").mkString(".")
+
+  /** A table's resolved data directory: the marker-stored location when
+    * present (always, for markers written at this version), else the
+    * catalog-default path of the (possibly qualified) name — the legacy
+    * fallback for pre-upgrade markers, correct only when the reading
+    * session's current database matches the compactor's. */
+  private def tableLocation(spark: SparkSession, table: String,
+      location: Option[String]): String =
+    location.getOrElse(
+      spark.sessionState.catalog.defaultTablePath(tableIdentifier(table)).toString)
+
+  /** Delete a table's data directory if it exists without a catalog entry —
+    * the orphan a crash leaves when the JVM dies after `saveAsTable` but
+    * before its marker, and a restart's non-durable metastore has forgotten
+    * the table (so `DROP TABLE IF EXISTS` no-ops while the location blocks
+    * every re-create with LOCATION_ALREADY_EXISTS). */
+  private def deleteLocation(spark: SparkSession, table: String,
+      location: Option[String]): Unit = {
+    val loc = new Path(tableLocation(spark, table, location))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
@@ -85,45 +124,73 @@ object LedgerCompaction {
       .sortBy(_._1)
   }
 
-  private def markerTable(fs: org.apache.hadoop.fs.FileSystem,
-      marker: Path): String = {
+  /** Marker payload: line 1 the (db-qualified) table name, line 2 — absent
+    * in pre-upgrade markers — the table's resolved location URI. */
+  private def markerInfo(fs: org.apache.hadoop.fs.FileSystem,
+      marker: Path): (String, Option[String]) = {
     val in = fs.open(marker)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    (lines.head, lines.drop(1).headOption)
   }
 
   /** The current compaction generation: (version, metastore table name),
     * read from the HIGHEST-versioned `_compactedtable-<v>` marker. Marker
-    * files are tiny (they hold the table name) and written via
-    * tmp + rename, so a reader never sees a half-written name; `_`-prefixed
-    * names keep them out of Spark's file listings like the batch markers.
+    * files are tiny and written via tmp + rename, so a reader never sees a
+    * half-written name; `_`-prefixed names keep them out of Spark's file
+    * listings like the batch markers.
     */
   def currentCompaction(spark: SparkSession,
-      ledgerDir: String): Option[(Long, String)] = {
+      ledgerDir: String): Option[(Long, String)] =
+    resolve(spark, ledgerDir).map { case (v, t, _) => (v, t) }
+
+  private def resolve(spark: SparkSession,
+      ledgerDir: String): Option[(Long, String, Option[String])] = {
     val (_, fs) = fsOf(spark, ledgerDir)
-    generations(spark, ledgerDir).lastOption
-      .map { case (v, p) => (v, markerTable(fs, p)) }
+    generations(spark, ledgerDir).lastOption.map { case (v, p) =>
+      val (t, loc) = markerInfo(fs, p)
+      (v, t, loc)
+    }
   }
 
   /** A generation's rows. The durable commit is the MARKER + the table's
-    * warehouse DIRECTORY; the catalog entry is convenience that a
-    * non-durable metastore forgets across a JVM restart (the local/test
-    * deployment — a production Hive metastore keeps it). With the entry
-    * present this is the bucketed table scan, partitioning and all;
-    * without it, a plain path read of the same files — identical rows,
-    * but bucket metadata is catalog-resident, so ledger joins pay an
-    * exchange again until the next [[compact]] registers a generation in
-    * the restarted JVM's catalog (which it always does: its union reads
-    * THROUGH this same fallback).
+    * data DIRECTORY; the catalog entry is convenience that a non-durable
+    * metastore forgets across a JVM restart (the local/test deployment —
+    * a production Hive metastore keeps it). With the entry present this is
+    * the bucketed table scan, partitioning and all; without it, a plain
+    * path read of the marker-stored location — identical rows, but bucket
+    * metadata is catalog-resident, so ledger joins pay an exchange again
+    * until the next [[compact]] registers a generation in the restarted
+    * JVM's catalog (which it always does: its union reads THROUGH this
+    * same fallback).
     */
-  private def generationFrame(spark: SparkSession, table: String): DataFrame =
-    if (spark.catalog.tableExists(table)) spark.table(table)
-    else spark.read.parquet(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table.toLowerCase))
-        .toString)
+  private def generationFrame(spark: SparkSession, table: String,
+      location: Option[String]): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(quoted(table))
+    else spark.read.parquet(tableLocation(spark, table, location))
 
-  /** The committed ledger rows, projected to `schema`'s columns: the
+  /** Conform a frame to `schema`'s columns: typed nulls for columns the
+    * frame predates (a Project over a bucketed table scan — its output
+    * partitioning survives to the consumer join). */
+  private def conform(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.toSeq.map(col): _*)
+
+  /** The given committed batch dirs' rows, scanned WITH the declared
+    * schema so pre-upgrade files null-fill evolved columns per file; a
+    * typed empty frame when there are none. */
+  private def batchFrame(spark: SparkSession, ledgerDir: String,
+      schema: StructType, ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema)
+      .parquet(ids.map(id => s"$ledgerDir/batch=$id"): _*)
+
+  /** The committed ledger rows, conformed to `schema`'s columns: the
     * bucketed table of the newest generation (if any) unioned with every
     * `batch=` dir committed SINCE that generation; a typed empty frame
     * before the first commit. Once all batches are absorbed the read is
@@ -131,48 +198,82 @@ object LedgerCompaction {
     * output partitioning survives to the consumer join (spec-pinned:
     * ledger-side joins plan with zero Exchange).
     *
-    * Safe against one concurrent compaction completing at any point
-    * between the marker resolution here and the scan's execution, by the
-    * deferred-cleanup invariant in the object doc: nothing a single new
-    * generation deletes is a path this read planned over.
+    * Safe against concurrent compactions per the contract in the object
+    * doc: any number completing INSIDE this call (the re-check loop
+    * below re-plans), plus one more before the returned frame's action.
     */
   def read(spark: SparkSession, ledgerDir: String,
       schema: StructType): DataFrame = {
-    val fields = schema.fieldNames.toSeq.map(col)
-    currentCompaction(spark, ledgerDir) match {
-      case None =>
-        IdempotentSink.readCommitted(spark, ledgerDir, Some(schema))
-          .select(fields: _*)
-      case Some((version, table)) =>
-        val compacted = generationFrame(spark, table).select(fields: _*)
-        val fresh = IdempotentSink.committedBatches(spark, ledgerDir)
-          .filter(_ > version)
-        if (fresh.isEmpty)
-          compacted // preserve the bucketed partitioning — no union node
-        else compacted.unionByName(
-          spark.read.option("basePath", ledgerDir)
-            .parquet(fresh.map(id => s"$ledgerDir/batch=$id"): _*)
-            .select(fields: _*))
+    var tries = 0
+    while (tries < 64) {
+      val planned = resolve(spark, ledgerDir)
+      readRaceHook()
+      // stalled-reader re-check: if >= 2 generations landed since the
+      // resolve above, the planned generation's table/dirs may already be
+      // swept — re-resolve and re-plan (one newer generation is always
+      // safe: the deferred sweep never touches the second-newest's paths)
+      val newer = generations(spark, ledgerDir)
+        .count { case (v, _) => planned.forall(v > _._1) }
+      if (newer < 2) {
+        try {
+          return planned match {
+            case None =>
+              batchFrame(spark, ledgerDir, schema,
+                IdempotentSink.committedBatches(spark, ledgerDir))
+            case Some((version, table, loc)) =>
+              val compacted = conform(
+                generationFrame(spark, table, loc), schema)
+              val fresh = IdempotentSink.committedBatches(spark, ledgerDir)
+                .filter(_ > version)
+              if (fresh.isEmpty)
+                compacted // preserve the bucketed partitioning — no union node
+              else compacted.unionByName(
+                batchFrame(spark, ledgerDir, schema, fresh))
+          }
+        } catch {
+          // a sweep raced the scan resolution (dropped table / deleted
+          // dir) — possible only when a second generation landed between
+          // the re-check and here; re-plan from the fresh marker
+          case _: org.apache.spark.sql.AnalysisException
+            | _: java.io.FileNotFoundException =>
+        }
+      }
+      tries += 1
     }
+    throw new IllegalStateException(
+      s"LedgerCompaction.read($ledgerDir): could not resolve a stable " +
+        "generation after 64 attempts — is a compactor looping?")
   }
 
   /** Absorb every committed `batch=` dir (plus the previous generation's
     * table) into a NEW generation bucketed on `bucketCols`, then run the
     * deferred cleanup sweep. With nothing new to absorb only the sweep
-    * runs. Returns the active generation's table name, or None when the
-    * ledger has never committed anything.
+    * runs. Returns the active generation's (qualified) table name, or
+    * None when the ledger has never committed anything.
+    *
+    * `transform` runs over the distinct unioned rows before the write —
+    * the hook callers use to BACKFILL evolved columns for pre-upgrade rows
+    * (e.g. [[NearDupStream.compactLedgers]] reconstructing kpfx/sz). It
+    * must be pure, deterministic, and schema-preserving: a crashed run
+    * re-executes it from scratch on resume, and its output is what every
+    * subsequent read serves.
     *
     * Sequence (each step idempotent — a crashed run resumes on re-invoke):
-    *  1. distinct union (previous table + committed batch rows) written to
-    *     a NEW versioned table — readers still resolve the old marker;
+    *  1. distinct union (previous table + committed batch rows), through
+    *     `transform`, written to a NEW versioned table — readers still
+    *     resolve the old marker;
     *  2. the new marker renamed into place — readers now resolve the new
     *     table; rows temporarily duplicated between table and
     *     not-yet-swept dirs, which set semantics tolerate;
     *  3. deferred sweep: generations older than the SECOND-newest marker
-    *     are dropped, batch dirs `<=` the second-newest version deleted
-    *     (marker first — a dir without a marker is invisible to committed
-    *     reads). The second-newest generation itself survives until the
-    *     next one lands, which is what makes concurrent reads safe.
+    *     are dropped (table and data directory FIRST, marker LAST — a
+    *     crash mid-sweep then leaves a marker whose table is already
+    *     gone, which the next sweep's idempotent deletes finish, whereas
+    *     the reverse order leaked an unreferenced table forever), and
+    *     batch dirs `<=` the second-newest version deleted (their marker
+    *     first — a dir without a marker is invisible to committed reads).
+    *     The second-newest generation itself survives until the next one
+    *     lands, which is what makes concurrent reads safe.
     *
     * A batch REPLAYED by the stream after its dir was swept (restart from
     * an old checkpoint) recomputes the identical output — its rows are
@@ -182,11 +283,12 @@ object LedgerCompaction {
     * a later sweep removes.
     */
   def compact(spark: SparkSession, ledgerDir: String, schema: StructType,
-      bucketCols: Seq[String], buckets: Int): Option[String] = {
+      bucketCols: Seq[String], buckets: Int,
+      transform: DataFrame => DataFrame = identity): Option[String] = {
     val (root, fs) = fsOf(spark, ledgerDir)
     val ids = IdempotentSink.committedBatches(spark, ledgerDir)
-    val current = currentCompaction(spark, ledgerDir)
-    val fresh = current.fold(ids) { case (v, _) => ids.filter(_ > v) }
+    val current = resolve(spark, ledgerDir)
+    val fresh = current.fold(ids) { case (v, _, _) => ids.filter(_ > v) }
     if (ids.isEmpty && current.isEmpty) return None
 
     if (fresh.nonEmpty) {
@@ -199,14 +301,13 @@ object LedgerCompaction {
           .digest(ledgerDir.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
         val table = s"graft_ledger_${digest}_v$version"
-        val fields = schema.fieldNames.toSeq.map(col)
-        val batchRows = IdempotentSink
-          .readCommitted(spark, ledgerDir, Some(schema)).select(fields: _*)
-        val all = current
-          .map { case (_, t) =>
-            generationFrame(spark, t).select(fields: _*).unionByName(batchRows) }
+        val batchRows = batchFrame(spark, ledgerDir, schema, ids)
+        val all = transform(current
+          .map { case (_, t, loc) =>
+            conform(generationFrame(spark, t, loc), schema)
+              .unionByName(batchRows) }
           .getOrElse(batchRows)
-          .distinct()
+          .distinct())
         spark.sql(s"DROP TABLE IF EXISTS `$table`")
         // a crash between writeBucketedMulti and the marker rename,
         // followed by a JVM restart with a non-durable metastore, leaves
@@ -215,11 +316,18 @@ object LedgerCompaction {
         // refuse with LOCATION_ALREADY_EXISTS forever, wedging compaction.
         // Clear the stale location first (same defense, and same
         // single-writer contract, as graft.similarity.Ann.writeIvfIndex).
-        deleteDefaultLocation(spark, table)
+        deleteLocation(spark, table, None)
         graft.core.Layout.writeBucketedMulti(all, table, bucketCols, buckets)
+        // marker payload: db-qualified name + resolved location, so a
+        // reader or sweeper whose current database differs still finds
+        // both the catalog entry and the directory
+        val qualified = s"${spark.catalog.currentDatabase}.$table"
+        val location = spark.sessionState.catalog
+          .getTableMetadata(tableIdentifier(table)).location.toString
         val tmp = new Path(root, s".$CompactedPrefix$version.tmp")
         val o = fs.create(tmp, true)
-        try o.write(table.getBytes("UTF-8")) finally o.close()
+        try o.write(s"$qualified\n$location".getBytes("UTF-8"))
+        finally o.close()
         if (!fs.rename(tmp, marker))
           throw new java.io.IOException(
             s"compactLedger: rename $tmp -> $marker failed")
@@ -234,12 +342,11 @@ object LedgerCompaction {
     if (gens.size >= 2) {
       val keepFrom = gens(gens.size - 2)._1
       gens.filter(_._1 < keepFrom).foreach { case (_, p) =>
-        val old = markerTable(fs, p)
+        val (old, oldLoc) = markerInfo(fs, p)
+        // table and data dir first, marker last (see step 3 above)
+        spark.sql(s"DROP TABLE IF EXISTS ${quoted(old)}")
+        deleteLocation(spark, old, oldLoc)
         fs.delete(p, false)
-        spark.sql(s"DROP TABLE IF EXISTS `$old`")
-        // across a restart the metastore may have forgotten `old` while
-        // its directory survives — don't leak superseded generations
-        deleteDefaultLocation(spark, old)
       }
       IdempotentSink.committedBatches(spark, ledgerDir)
         .filter(_ <= keepFrom)

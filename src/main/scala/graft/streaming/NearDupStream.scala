@@ -23,10 +23,13 @@ import graft.dedup.Dedup
   * store (the [[DedupStream]] argument — unbounded sketch state cannot
   * live in executor checkpoints at corpus scale):
   *
-  *  - `bandsDir`: (band, bkey, id) rows of admitted docs — the LSH
-  *    candidate index; [[compactLedgers]] absorbs the per-batch dirs into
-  *    ONE table bucketed on (band, bkey), so the per-batch candidate
-  *    join's ledger side plans with zero Exchange (spec-pinned);
+  *  - `bandsDir`: (band, bkey, id, kpfx, sz) rows of admitted docs — the
+  *    LSH candidate index plus the first-shared-band prefix and
+  *    shingle-set size the q31-shape candidate join prunes with;
+  *    [[compactLedgers]] absorbs the per-batch dirs into ONE table
+  *    bucketed on (band, bkey), so the per-batch candidate join's ledger
+  *    side plans with zero Exchange (spec-pinned), and backfills kpfx/sz
+  *    for rows persisted before those columns existed;
   *  - `setsDir`:  (id, sset) rows — exact-verification shingle sets,
   *    consulted only for verified-candidate ids; compacted to an
   *    id-bucketed table the verification join reads exchange-free.
@@ -53,7 +56,17 @@ object NearDupStream {
   private val BandsSchema = StructType(Seq(
     StructField("band", org.apache.spark.sql.types.IntegerType),
     StructField("bkey", LongType),
-    StructField("id", LongType)))
+    StructField("id", LongType),
+    // the two columns nearDupIncrementalLedger's q31-shape candidate join
+    // needs on the LEDGER side (see Dedup.MinHashLsh.bandsFor): nullable,
+    // because rows persisted before the columns existed read as null
+    // (LedgerCompaction scans batch dirs WITH this schema, null-filling
+    // per pre-upgrade file) until [[compactLedgers]]' backfill rebuilds
+    // them — without them every micro-batch runs the admission join's
+    // null fallback: per-shared-band duplicated candidates and no size
+    // prefilter, strictly more verify work per batch forever
+    StructField("kpfx", ArrayType(LongType), nullable = true),
+    StructField("sz", org.apache.spark.sql.types.IntegerType, nullable = true)))
   private val SetsSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("sset", ArrayType(LongType, containsNull = false))))
@@ -82,13 +95,55 @@ object NearDupStream {
     * crash between the two calls just leaves one ledger compacted and the
     * other absorbed on the next invocation (rows, not generations, carry
     * the semantics). Returns the active (bands, sets) table names.
+    *
+    * Band rows persisted BEFORE the kpfx/sz columns existed are BACKFILLED
+    * here (see [[backfillBands]]), so one compaction upgrades a
+    * pre-upgrade ledger in place and the admission join's null fallback
+    * (per-shared-band duplicate candidates, no size prefilter) stops
+    * firing for absorbed history. The bands compaction reads the sset
+    * ledger's CURRENT committed rows for sz — safe, because a doc's sset
+    * row commits in the same batch as its band rows ([[writer]]) and
+    * compaction never removes rows.
     */
   def compactLedgers(spark: SparkSession, bandsDir: String, setsDir: String,
       buckets: Int = 8): (Option[String], Option[String]) =
     (LedgerCompaction.compact(spark, bandsDir, BandsSchema,
-        Seq("band", "bkey"), buckets),
+        Seq("band", "bkey"), buckets,
+        backfillBands(ledgerSets(spark, setsDir))),
       LedgerCompaction.compact(spark, setsDir, SetsSchema,
         Seq("id"), buckets))
+
+  /** Rebuild kpfx/sz for band rows written before the columns existed
+    * (read as null through [[BandsSchema]]): a doc's `kpfx` at band b is
+    * the slice of its full band-key array below b, and the ledger holds
+    * ALL of the doc's (band, bkey) rows — written atomically in one batch
+    * — so the array reconstructs exactly from the doc's own rows, sorted
+    * by band; `sz` is the doc's shingle-set size, joined from the sset
+    * ledger (left join: a row whose sset is unreachable keeps sz null,
+    * which every consumer treats as "prefilter passes"). Pure and
+    * deterministic, as [[LedgerCompaction.compact]]'s transform contract
+    * requires. Rows that already carry the columns pass through untouched;
+    * a doc can never hold a MIX of pre- and post-upgrade rows (its 8 band
+    * rows commit in one batch with one writer binary), so the group-by
+    * always sees the doc's complete band set.
+    */
+  private def backfillBands(sets: DataFrame)(bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val legacy = bands.filter(col("kpfx").isNull)
+    val ok = bands.filter(col("kpfx").isNotNull)
+    val rebuilt = legacy.select("band", "bkey", "id")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("band"), col("bkey")))).as("bb"))
+      .select(col("id"),
+        transform(col("bb"), e => e.getField("bkey")).as("bkeys"),
+        explode(col("bb")).as("e"))
+      .select(col("e.band").as("band"), col("e.bkey").as("bkey"), col("id"),
+        slice(col("bkeys"), lit(1), col("e.band")).as("kpfx"))
+      .join(sets.select(col("id"), size(col("sset")).as("sz")).distinct(),
+        Seq("id"), "left")
+      .select("band", "bkey", "id", "kpfx", "sz")
+    ok.unionByName(rebuilt)
+  }
 
   /** Committed verdicts across all batches. */
   def verdicts(spark: SparkSession, verdictDir: String): DataFrame =

@@ -127,6 +127,55 @@ class DedupSpec extends AnyFunSuite {
     assert(got(15L) == ((false, Some(13L))), s"batch-internal dup rejected: $got")
   }
 
+  test("incremental admission: pre-upgrade / mixed / duplicated ledgers " +
+      "yield identical verdicts (null-fallback branches)") {
+    val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, nearDup),  // near-dup of ledger doc 0 → rejected
+      (13L, "totally novel sentence describing depots timetables rivers " +
+        "and junctions after the last train has gone home tonight"),
+      (15L, unrelated.replace("windows", "sinks"))) // near-dup of ledger doc 2
+      .toDF("doc_id", "text")
+    val bands = Dedup.MinHashLsh.bandsFor(corpus, "text", "doc_id", portable = true)
+    val sets = Dedup.MinHashLsh.setsFor(corpus, "text", "doc_id", portable = true)
+    def run(cb: org.apache.spark.sql.DataFrame) =
+      Dedup.MinHashLsh.nearDupIncrementalLedger(batch, "text", "doc_id",
+          cb, sets, threshold = 0.5, portable = true)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("admitted"),
+            Option(r.getAs[java.lang.Long]("first_match")).map(_.toLong))))
+        .toMap
+    val expected = run(bands)
+    assert(expected == Map(11L -> ((false, Some(0L))), 13L -> ((true, None)),
+      15L -> ((false, Some(2L)))), s"new-schema baseline sanity: $expected")
+    // (a) a ledger persisted BEFORE kpfx/sz existed: the conform step
+    // null-fills, the first-band test falls back to per-band emission,
+    // the size prefilter passes unknowns — verdicts identical
+    assert(run(bands.select("band", "bkey", "id")) == expected,
+      "3-column pre-upgrade ledger must not change verdicts")
+    // (b) MIXED generations: one doc's rows pre-upgrade (nulls), the
+    // other's post-upgrade — the exact state after a schema upgrade with
+    // an uncompacted old generation
+    val mixed = bands.filter(col("id") === 0L)
+      .unionByName(bands.filter(col("id") === 2L)
+        .select(col("band"), col("bkey"), col("id"),
+          lit(null).cast("array<bigint>").as("kpfx"),
+          lit(null).cast("int").as("sz")))
+    assert(run(mixed) == expected,
+      "mixed pre/post-upgrade ledger rows must not change verdicts")
+    // (c) duplicate ledger rows (replay residue; set-under-duplication
+    // contract): with the global distinct() gone, the admission
+    // count/min aggregate must absorb duplicated candidates exactly
+    assert(run(bands.unionByName(bands)) == expected,
+      "duplicated ledger rows must be absorbed by the admission aggregate")
+    // (d) duplicates of pre-upgrade rows: per-shared-band emission AND
+    // row duplication compound — still absorbed
+    val old3 = bands.select("band", "bkey", "id")
+    assert(run(old3.unionByName(old3)) == expected,
+      "duplicated pre-upgrade rows must be absorbed too")
+  }
+
   test("portable simhash: exact hamming pair relation equals brute force") {
     val sh = docs.select(col("doc_id"),
       graft.functions.Sketches.simhashPortable(

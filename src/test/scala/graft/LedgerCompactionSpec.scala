@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.streaming.{IdempotentSink, LedgerCompaction}
+
+/** The [[LedgerCompaction]] contract windows, each forced directly:
+  * the stalled-reader re-plan (two generations landing between a read's
+  * marker resolution and its plan build), the sweep crash window (table
+  * dropped, marker left), and cross-database marker resolution.
+  */
+class LedgerCompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(StructField("k", LongType)))
+
+  private def freshDir(tag: String) = Files.createTempDirectory(tag).toString
+
+  private def writeBatch(dir: String, id: Long, ks: Seq[Long]): Unit =
+    IdempotentSink.writer(dir)(ks.toDF("k"), id)
+
+  private def compact(dir: String) =
+    LedgerCompaction.compact(spark, dir, schema, Seq("k"), 2)
+
+  test("stalled reader: two generations completing between marker " +
+      "resolution and plan build → read re-plans, rows complete") {
+    val dir = freshDir("graft-ledger-race")
+    writeBatch(dir, 0L, Seq(1L, 2L))
+    writeBatch(dir, 1L, Seq(3L))
+    // the hook fires inside read() after the (stale) resolve; it lands TWO
+    // further generations, whose sweep deletes the batch dirs the stale
+    // plan would have scanned — without the re-plan the read's action
+    // would FileNotFound; with it, every committed row must come back
+    var fired = false
+    LedgerCompaction.readRaceHook = () => if (!fired) {
+      fired = true
+      assert(compact(dir).isDefined) // generation 1 absorbs batches 0-1
+      writeBatch(dir, 2L, Seq(4L))
+      assert(compact(dir).isDefined) // generation 2; sweep kills dirs <= 1
+    }
+    try {
+      val got = LedgerCompaction.read(spark, dir, schema)
+        .as[Long].collect().toSet
+      assert(fired, "race hook must have fired")
+      assert(got == Set(1L, 2L, 3L, 4L),
+        s"re-planned read must serve the complete committed ledger: $got")
+    } finally LedgerCompaction.readRaceHook = () => ()
+  }
+
+  test("sweep crash window: a marker whose table is already dropped " +
+      "resumes cleanly on the next compaction") {
+    val dir = freshDir("graft-ledger-sweepcrash")
+    writeBatch(dir, 0L, Seq(1L))
+    val t1 = compact(dir).get // generation 1
+    writeBatch(dir, 1L, Seq(2L))
+    assert(compact(dir).isDefined) // generation 2 (gen 1 deferred)
+    writeBatch(dir, 2L, Seq(3L))
+    // simulate the sweep dying between its table drop and its marker
+    // delete: gen 1's table and location are gone, the marker remains
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        t1.split('.').last)).location)
+    spark.sql(s"DROP TABLE IF EXISTS ${t1.split('.').map(p => s"`$p`").mkString(".")}")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    // generation 3's sweep hits the orphaned marker: DROP IF EXISTS and
+    // the location delete no-op, the marker is removed — no wedge, no leak
+    assert(compact(dir).isDefined)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_compactedtable-"))
+    assert(markers.length == 2,
+      s"only the newest two generations' markers may remain: ${markers.toSeq}")
+    assert(LedgerCompaction.read(spark, dir, schema).as[Long].collect().toSet
+      == Set(1L, 2L, 3L), "ledger rows intact through the crashed sweep")
+  }
+
+  test("cross-database: a reader and sweeper whose current database " +
+      "differs from the compactor's resolve the marker-stored table") {
+    val dir = freshDir("graft-ledger-xdb")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_xdb")
+    spark.catalog.setCurrentDatabase("graft_xdb")
+    val t1 =
+      try { writeBatch(dir, 0L, Seq(1L, 2L)); compact(dir).get }
+      finally spark.catalog.setCurrentDatabase("default")
+    assert(t1.startsWith("graft_xdb."),
+      s"marker must store the db-qualified name: $t1")
+    // reader in another database resolves the qualified table (bucketed
+    // catalog scan, not the location fallback)
+    assert(LedgerCompaction.read(spark, dir, schema).as[Long].collect().toSet
+      == Set(1L, 2L))
+    // two more generations from THIS database: the sweep must drop the
+    // graft_xdb table and its directory, not a same-named default-db ghost
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        t1.split('.').last, Some("graft_xdb"))).location)
+    writeBatch(dir, 1L, Seq(3L))
+    assert(compact(dir).isDefined)
+    writeBatch(dir, 2L, Seq(4L))
+    assert(compact(dir).isDefined)
+    assert(!spark.catalog.tableExists(t1), s"swept cross-db table: $t1")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(loc), s"swept cross-db table directory: $loc")
+    assert(LedgerCompaction.read(spark, dir, schema).as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 4L))
+  }
+}

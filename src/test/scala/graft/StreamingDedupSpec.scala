@@ -248,8 +248,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(new java.io.File(loc, "stale-part.parquet").createNewFile())
     assert(!spark.catalog.tableExists(table), "orphan must be catalog-less")
     val v = DedupStream.compactLedger(spark, ledger)
-    assert(v.contains(table),
-      s"compaction must claim the planned generation name, got $v")
+    assert(v.contains(s"${spark.catalog.currentDatabase}.$table"),
+      s"compaction must claim the planned generation name (db-qualified), got $v")
     assert(DedupStream.ledgerFps(spark, ledger).count() == 3)
     // first generation: absorbed dirs are retained for the deferred sweep
     assert(IdempotentSink.committedBatches(spark, ledger) == Seq(0L, 1L))
@@ -270,8 +270,9 @@ class StreamingDedupSpec extends AnyFunSuite {
     w(Seq((2L, "c")).toDF("doc_id", "text"), 1L)
     val t1 = DedupStream.compactLedger(spark, ledger).get
     val loc = java.nio.file.Paths.get(new java.net.URI(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(t1)).toString))
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          t1.split('.').last)).location.toString))
     val stash = loc.resolveSibling(loc.getFileName.toString + ".stash")
     def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
       val s = java.nio.file.Files.walk(from)
@@ -280,7 +281,7 @@ class StreamingDedupSpec extends AnyFunSuite {
       finally s.close()
     }
     copyTree(loc, { java.nio.file.Files.createDirectories(stash.getParent); stash })
-    spark.sql(s"DROP TABLE `$t1`")
+    spark.sql(s"DROP TABLE ${t1.split('.').map(p => s"`$p`").mkString(".")}")
     assert(!java.nio.file.Files.exists(loc), "managed DROP removes the files")
     assert(java.nio.file.Files.move(stash, loc) == loc)
     assert(!spark.catalog.tableExists(t1), "catalog has forgotten the table")

@@ -247,4 +247,65 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(verdictMap(r2) == Map(20L -> ((false, Some(1L))), 21L -> ((true, None))),
       "reader holding generation 1 + fresh dirs survives generation 2's sweep")
   }
+
+  test("pre-upgrade ledger batches: verdicts identical to an all-new-schema " +
+      "run; compaction retains AND backfills kpfx/sz") {
+    import org.apache.spark.sql.functions.col
+    val fresh = "entirely novel content mentioning trains stations and " +
+      "platforms arriving every few minutes across the network tonight"
+    val waves = Seq(
+      Seq((0L, base), (1L, other)),
+      Seq((10L, nearDup), (11L, fresh), (12L, fresh.replace("minutes", "moments"))),
+      Seq((20L, otherNear), (21L, fresh.replace("network", "district"))))
+    // run the 3 waves with compaction after wave 1; wave 0 optionally
+    // written the way a pre-upgrade binary persisted it: 3-column band
+    // rows (the ledger state a live deployment upgrades from)
+    def run(root: String, legacyWave0: Boolean) = {
+      val out = s"$root/out"; val bands = s"$root/bands"; val sets = s"$root/sets"
+      val w = NearDupStream.writer(out, bands, sets, "text", "doc_id", 0.5)
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        val df = rows.toDF("doc_id", "text")
+        if (i == 0 && legacyWave0) {
+          // the pre-upgrade writer's protocol, verbatim, minus the two
+          // columns its bandsFor did not emit (empty ledger → all admitted)
+          IdempotentSink.writer(out)(
+            df.select(col("doc_id"),
+              org.apache.spark.sql.functions.lit(true).as("admitted"),
+              org.apache.spark.sql.functions.lit(null).cast("long")
+                .as("first_match")), 0L)
+          IdempotentSink.writer(bands)(
+            graft.dedup.Dedup.MinHashLsh.bandsFor(df, "text", "doc_id")
+              .select("band", "bkey", "id"), 0L)
+          IdempotentSink.writer(sets)(
+            graft.dedup.Dedup.MinHashLsh.setsFor(df, "text", "doc_id"), 0L)
+        } else w(df, i.toLong)
+        if (i == 1) assert(
+          NearDupStream.compactLedgers(spark, bands, sets)._1.isDefined)
+      }
+      (verdictMap(NearDupStream.verdicts(spark, out)),
+        NearDupStream.ledgerBands(spark, bands))
+    }
+    val (vNew, bandsNew) = run(freshDir("graft-neardup-allnew"), legacyWave0 = false)
+    val (vMix, bandsMix) = run(freshDir("graft-neardup-mixed"), legacyWave0 = true)
+    assert(vMix == vNew,
+      s"mixed pre/post-upgrade ledger changed verdicts: $vMix vs $vNew")
+    assert(vNew(10L) == ((false, Some(0L))) && vNew(12L) == ((false, Some(11L)))
+      && vNew(20L) == ((false, Some(1L))) && vNew(21L) == ((false, Some(11L))),
+      s"cross-wave and within-batch rejections sanity: $vNew")
+    // the compacted generation RETAINS the evolved columns...
+    assert(Seq("kpfx", "sz").forall(bandsMix.columns.contains),
+      s"post-compaction ledger schema lost kpfx/sz: ${bandsMix.columns.toSeq}")
+    // ...and the backfill reconstructed the legacy wave-0 rows EXACTLY:
+    // both runs' band ledgers hold identical full rows (compaction-
+    // absorbed wave 0+1; wave 2's dir rows written by the same writer)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Int]("band"), r.getAs[Long]("bkey"),
+        r.getAs[Long]("id"),
+        Option(r.getAs[scala.collection.Seq[Long]]("kpfx")).map(_.toList),
+        Option(r.getAs[java.lang.Integer]("sz")).map(_.toInt))).toSet
+    assert(rows(bandsMix) == rows(bandsNew),
+      "backfill must reconstruct kpfx/sz bit-identically to the new-schema run")
+    assert(rows(bandsMix).forall(r => r._4.isDefined && r._5.isDefined),
+      "no null kpfx/sz may survive a compaction's backfill")
+  }
 }
