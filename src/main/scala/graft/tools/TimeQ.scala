@@ -41,16 +41,27 @@ object TimeQ {
       })
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      fn(spark, "/root/testdata/sf0.001").count() // warm
-      var rows = 0L
+      // materialize through the no-op v2 sink, like Bench — count() lets
+      // Catalyst prune not just columns but whole JOINS (measured: q104's
+      // verdict groups by the left join's own key, so count() collapses
+      // to a distinct count of the batch and the entire admission plan —
+      // joins, verify, 644 MB of shuffle — vanishes: 0.9 s / 1.5 MB
+      // where the real plan is 15 s; a profile of a shadow)
+      def once(dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once("/root/testdata/sf0.001") // warm
+      val rows = fn(spark, sfDir).count() // untimed, display only; BEFORE
+      // the timed runs so its (count-pruned) stages never reach the
+      // stats window, which resets at the start of the final run
       val ts = (1 to 3).map { i =>
         if (stats && i == 3) { // report the warmed final run only
           Thread.sleep(1000)   // let the listener bus drain prior stages
           shuffleBytes.set(0); taskCount.set(0); stages.clear()
         }
-        val t0 = System.nanoTime()
-        rows = fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        once(sfDir)
       }
       println(f"[timeq] $n%-24s ${ts.map(t => f"$t%.3f").mkString(" ")} min=${ts.min}%.3f rows=$rows")
       if (stats) {
