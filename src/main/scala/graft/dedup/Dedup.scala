@@ -327,11 +327,11 @@ object Dedup {
       *    size-ratio prefilter's input, dropping banding false positives
       *    before any sset array moves.
       *
-      * Cost of `sz` at write time: one extra shingle pass (the set must
-      * be built to be counted) on TOP of the minhash pass — paid ONCE per
-      * document over its ledger life, vs the per-batch verify shuffle it
-      * prunes forever after. sset VALUES still live only in the
-      * [[setsFor]] ledger; this table stays band-key-shaped.
+      * Cost of `sz` at write time: near zero — sig and sz come from ONE
+      * shingle traversal ([[graft.functions.MinHashSigSize]]; a distinct
+      * count over the already-hashed shingles rides the minhash pass).
+      * sset VALUES still live only in the [[setsFor]] ledger; this table
+      * stays band-key-shaped.
       *
       * Ledgers written before these columns existed read with them null —
       * [[graft.streaming.LedgerCompaction.read]] scans batch dirs WITH the
@@ -347,13 +347,18 @@ object Dedup {
     def bandsFor(df: DataFrame, textCol: String, idCol: String,
         portable: Boolean = false): DataFrame = {
       val toks = TextFunctions.tokens(col(textCol))
+      // sig and sz from ONE shingle traversal (MinHashSigSize): computing
+      // them as two expressions paid the shingle-hashing pass twice per
+      // doc — measured 2× on q104/NearDupStream waves when sz was first
+      // added. The two-step select keeps the struct in its own Project;
+      // CollapseProject leaves it there (non-cheap expression referenced
+      // twice), so the kernel runs once per row.
       val base = graft.core.Parallelism.ensure(
           df.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"),
-          (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
-           else graft.functions.Sketches.minhashTokens(toks)).as("sig"),
-          size(if (portable) graft.functions.Sketches.shingleSetPortable(toks)
-               else graft.functions.Sketches.shingleSet(toks)).as("sz"))
+          (if (portable) graft.functions.Sketches.minhashSigSizePortable(toks)
+           else graft.functions.Sketches.minhashSigSize(toks)).as("ms"))
+        .select(col("id"), col("ms.sig").as("sig"), col("ms.sz").as("sz"))
       base.select(col("id"), col("sz"), array((0 until Bands).map { b =>
           xxhash64(concat_ws("_",
             (0 until RowsPerBand).map(r =>

@@ -86,6 +86,13 @@ object Sketches {
   def minhashTokensPortable(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("minhash_tokens_md5", tokens)
 
+  /** One-pass struct(sig, sz) — see [[MinHashSigSize]]. */
+  def minhashSigSize(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig_size", tokens)
+
+  def minhashSigSizePortable(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig_size_md5", tokens)
+
   def shingleSetPortable(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("shingle_set_md5", tokens)
 
@@ -139,6 +146,12 @@ object Sketches {
     ("minhash_tokens_md5",
       "_FUNC_(tokens) - minhash over md5-hashed 3-gram shingles (portable)",
       1, es => MinHashSig(es.head, shingleN = 3, portable = true)),
+    ("minhash_sig_size",
+      "_FUNC_(tokens) - struct(minhash sig, shingle-set size), one pass",
+      1, es => MinHashSigSize(es.head)),
+    ("minhash_sig_size_md5",
+      "_FUNC_(tokens) - portable struct(minhash sig, shingle-set size)",
+      1, es => MinHashSigSize(es.head, portable = true)),
     ("shingle_set_md5",
       "_FUNC_(tokens) - sorted distinct md5-hashed 3-gram shingles (portable)",
       1, es => ShingleSet(es.head, portable = true)),
@@ -330,6 +343,67 @@ case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** [[MinHashSig]] and the SIZE of [[ShingleSet]] in ONE shingle traversal:
+  * struct(sig: array<long>, sz: int). The band-ledger writer
+  * ([[graft.dedup.Dedup.MinHashLsh.bandsFor]]) needs both per document,
+  * and the shingle HASHING pass (md5 at ~3×/token in portable mode) is
+  * the dominant cost — computing them as two expressions paid that pass
+  * twice per doc (measured: q104 sf0.1 0.92 → 1.81 s when the sz column
+  * was first added via a second `size(shingle_set(...))` pass). The set
+  * VALUES are not materialized — sz is a sort + distinct-count over the
+  * collected hashes — so this stays band-row-shaped; exact verification
+  * still reads [[ShingleSet]] from the sset ledger.
+  */
+case class MinHashSigSize(child: Expression, numHashes: Int = 32,
+    seed: Long = 42L, shingleN: Int = 3, portable: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Mask = 0xffffffffL
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sz", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_size expects array<string>, got $t")
+  }
+
+  private lazy val coeffs: Array[(Long, Long)] =
+    MinHashSig.coefficients(numHashes, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val count = math.max(1, n - shingleN + 1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val hs = new Array[Long](count)
+    var w0 = 0
+    Sketches.foreachShingleHash(arr, shingleN, seed, portable) { h =>
+      hs(w0) = h; w0 += 1
+      val h32 = h & Mask
+      var j = 0
+      while (j < numHashes) {
+        val v = (coeffs(j)._1 * h32 + coeffs(j)._2) & Mask
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var sz = 0
+    var r = 0
+    while (r < count) {
+      if (r == 0 || hs(r) != hs(r - 1)) sz += 1
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(mins), sz)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigSize =
+    copy(child = c)
 }
 
 object MinHashSig {

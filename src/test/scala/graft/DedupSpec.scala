@@ -127,6 +127,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(15L) == ((false, Some(13L))), s"batch-internal dup rejected: $got")
   }
 
+  test("minhash_sig_size kernel parity: sig == minhash_tokens, " +
+      "sz == size(shingle_set), both hash flavors") {
+    import graft.functions.Sketches
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    Seq(false, true).foreach { portable =>
+      val ms =
+        if (portable) Sketches.minhashSigSizePortable(toks)
+        else Sketches.minhashSigSize(toks)
+      val sig = if (portable) Sketches.minhashTokensPortable(toks)
+        else Sketches.minhashTokens(toks)
+      val sset = if (portable) Sketches.shingleSetPortable(toks)
+        else Sketches.shingleSet(toks)
+      val bad = docs.select(
+          col("doc_id"), ms.as("ms"), sig.as("sig"), size(sset).as("sz"))
+        .filter(col("ms.sig") =!= col("sig") || col("ms.sz") =!= col("sz"))
+        .count()
+      assert(bad == 0, s"one-pass kernel diverges (portable=$portable)")
+    }
+  }
+
   test("incremental admission: pre-upgrade / mixed / duplicated ledgers " +
       "yield identical verdicts (null-fallback branches)") {
     val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")

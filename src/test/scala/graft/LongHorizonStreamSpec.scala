@@ -7,15 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{IdempotentSink, NearDupStream}
 
 /** Long-horizon stream-cost flatness at spec scale: 24 near-dup admission
-  * waves (3 full compaction cadence cycles at `compactEvery = 8`),
-  * asserting the per-wave Spark task count does NOT trend upward across
-  * cycles at the same cadence phase. Without compaction every wave reads
-  * one more ledger `batch=` dir per ledger and the counts climb
-  * monotonically; with it, cost is a bounded sawtooth — wave `8 + p` and
-  * wave `16 + p` face the same number of un-absorbed dirs and must run
-  * the same plan shape. The tier-scale version (50 waves, wall-clock
-  * gates, both streaming paths) is `graft.tools.BenchStreamLong` /
-  * BENCH_STREAM_LONG.json.
+  * waves (3 full compaction cadence cycles at `compactEvery = 8`; cycle 0
+  * grows the ledger, later cycles replay its texts so the ledger is
+  * constant), asserting the per-cycle Spark task SUM does not trend
+  * upward. Without compaction every wave reads one more ledger `batch=`
+  * dir per ledger and the sums climb by ~cadence² per cycle; with it,
+  * cost is a bounded sawtooth — wave `8 + p` and wave `16 + p` face the
+  * same number of un-absorbed dirs and must run the same plan shape.
+  * The tier-scale version (50 waves, wall-clock gates, both streaming
+  * paths) is `graft.tools.BenchStreamLong` / BENCH_STREAM_LONG.json.
   */
 class LongHorizonStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -40,11 +40,14 @@ class LongHorizonStreamSpec extends AnyFunSuite {
     val tasks = Array.ofDim[Long](waves)
     try {
       (0 until waves).foreach { b =>
-        // every doc unique → all admitted → both ledgers GROW each wave
-        // (the worst case for stream-age cost)
+        // cycle 0 grows the ledger (unique docs, all admitted); every
+        // later wave REPLAYS cycle-0 texts under fresh ids — rejected as
+        // near-dups, ledger constant — so any cross-cycle task growth is
+        // stream-AGE cost, not data growth
+        val src = b % cadence
         val docs = (0 until 2).map { j =>
-          (b * 10L + j, s"wave $b doc $j carries its own words about " +
-            s"signal box ${b * 7 + j} platform ${b + j} depot ${j * 3 + b} " +
+          (b * 10L + j, s"wave $src doc $j carries its own words about " +
+            s"signal box ${src * 7 + j} platform ${src + j} depot ${j * 3 + src} " +
             "and a long enough tail of filler tokens to shingle cleanly")
         }.toDF("doc_id", "text")
         Thread.sleep(300) // settle the async listener bus between waves
