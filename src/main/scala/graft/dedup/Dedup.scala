@@ -149,22 +149,27 @@ object Dedup {
       val src = graft.core.Parallelism.ensure(
         df.select(col(idCol), col(textCol)))
       val toks = TextFunctions.tokens(col(textCol))
-      // one pass computes both the candidate sketch (minhash signature)
-      // and the verification set (sorted hashed shingles); the signature
-      // is a pure function of the shingle SET, so identical sets are
-      // interchangeable for both banding and verification.
+      // ONE shingle traversal computes both the candidate sketch (minhash
+      // signature) and the verification set (sorted hashed shingles) —
+      // graft.functions.MinHashSigSet. As two expressions this stage paid
+      // the shingle-HASHING pass (md5 ~3×/token in portable mode, the
+      // sketch stage's dominant cost) twice per document. The two-step
+      // select keeps the struct in its own Project; CollapseProject
+      // leaves it there (non-cheap expression referenced twice), so the
+      // kernel runs once per row. The signature is a pure function of the
+      // shingle SET, so identical sets stay interchangeable for both
+      // banding and verification.
       // `portable = true` swaps the shingle hash for the md5-derived
-      // 60-bit Sketches.hashTokenPortable (~3× hash cost) — every
-      // downstream value (signature minima, band membership, exact
-      // jaccard) is then reproducible in DuckDB SQL and the whole
-      // query oracle-hash-gated; band/group KEYS stay xxhash64 (key
-      // identity only routes the shuffle — outputs carry values, and
-      // equal strings hash equal on any engine run)
+      // 60-bit Sketches.hashTokenPortable — every downstream value
+      // (signature minima, band membership, exact jaccard) is then
+      // reproducible in DuckDB SQL and the whole query oracle-hash-gated;
+      // band/group KEYS stay xxhash64 (key identity only routes the
+      // shuffle — outputs carry values, and equal strings hash equal on
+      // any engine run)
       val base = src.select(col(idCol).as("id"),
-        (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
-         else graft.functions.Sketches.minhashTokens(toks)).as("sig"),
-        (if (portable) graft.functions.Sketches.shingleSetPortable(toks)
-         else graft.functions.Sketches.shingleSet(toks)).as("sset"))
+          (if (portable) graft.functions.Sketches.minhashSigSetPortable(toks)
+           else graft.functions.Sketches.minhashSigSet(toks)).as("ms"))
+        .select(col("id"), col("ms.sig").as("sig"), col("ms.sset").as("sset"))
       val grouped = base.withColumn("sfp", xxhash64(col("sset")))
         .withColumn("rep", min("id").over(
           org.apache.spark.sql.expressions.Window.partitionBy("sfp")))
@@ -359,7 +364,18 @@ object Dedup {
           (if (portable) graft.functions.Sketches.minhashSigSizePortable(toks)
            else graft.functions.Sketches.minhashSigSize(toks)).as("ms"))
         .select(col("id"), col("ms.sig").as("sig"), col("ms.sz").as("sz"))
-      base.select(col("id"), col("sz"), array((0 until Bands).map { b =>
+      bandRowsOf(base)
+    }
+
+    /** Band rows from an ALREADY-SKETCHED (id, sig, sz) frame — the
+      * banding tail of [[bandsFor]], exposed so a caller that computed the
+      * sketch once for several products (e.g.
+      * [[graft.streaming.NearDupStream.writer]], which derives BOTH ledger
+      * writes from one persisted sig+sset frame) doesn't re-tokenize and
+      * re-hash per product. Same output contract as [[bandsFor]].
+      */
+    private[graft] def bandRowsOf(sk: DataFrame): DataFrame =
+      sk.select(col("id"), col("sz"), array((0 until Bands).map { b =>
           xxhash64(concat_ws("_",
             (0 until RowsPerBand).map(r =>
               element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
@@ -368,7 +384,6 @@ object Dedup {
           posexplode(col("bkeys")).as(Seq("band", "bkey")))
         .select(col("band"), col("bkey"), col("id"),
           slice(col("bkeys"), lit(1), col("band")).as("kpfx"), col("sz"))
-    }
 
     /** The (id, sset) verification rows — the shingle-set ledger. */
     def setsFor(df: DataFrame, textCol: String, idCol: String,
@@ -392,8 +407,36 @@ object Dedup {
     def nearDupIncrementalLedger(batch: DataFrame, textCol: String,
         idCol: String, corpusBands: DataFrame, corpusSets: DataFrame,
         threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
-      val spark = batch.sparkSession
-      val bb = bandsFor(batch, textCol, idCol, portable)
+      val toks = TextFunctions.tokens(col(textCol))
+      // one-pass batch sketch (sig + sset in one shingle traversal, sz =
+      // set length); the banding and verification branches below each
+      // evaluate it lazily — a caller that PERSISTS the sketch first
+      // ([[graft.streaming.NearDupStream.writer]]) pays the traversal
+      // once for admission and both ledger writes together
+      val sk = graft.core.Parallelism.ensure(
+          batch.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.minhashSigSetPortable(toks)
+           else graft.functions.Sketches.minhashSigSet(toks)).as("ms"))
+        .select(col("id"), col("ms.sig").as("sig"), col("ms.sset").as("sset"))
+        .withColumn("sz", size(col("sset")))
+      nearDupAdmitSketched(sk, batch, corpusBands, corpusSets, threshold)
+    }
+
+    /** [[nearDupIncrementalLedger]] over an ALREADY-SKETCHED batch:
+      * `sk` = (id, sig, sset, sz) rows (what the wrapper above derives via
+      * [[graft.functions.MinHashSigSet]] — persist it to evaluate the
+      * sketch once across admission and the ledger writes). `sizeHint` is
+      * the RAW batch frame, used only for the verify-broadcast gate: its
+      * plan-time input-size estimate bounds total sset bytes honestly
+      * (~8 B of shingle hash per input word), where the sketch frame's
+      * computed array columns get default per-type width fiction.
+      */
+    private[graft] def nearDupAdmitSketched(sk: DataFrame,
+        sizeHint: DataFrame, corpusBands: DataFrame, corpusSets: DataFrame,
+        threshold: Double): DataFrame = {
+      val spark = sk.sparkSession
+      val bb = bandRowsOf(sk.select("id", "sig", "sz"))
       // ledgers written before bandsFor carried kpfx/sz (schema
       // evolution) arrive without the columns; conform with nulls — every
       // predicate below is null-safe, and a Project on the bucketed table
@@ -443,7 +486,7 @@ object Dedup {
         .filter(col("mid") < col("bid") && firstSharedOnly && sizesCompatible)
         .select("bid", "mid")
       val cand = candCorpus.unionByName(candBatch)
-      val batchSets = setsFor(batch, textCol, idCol, portable)
+      val batchSets = sk.select(col("id"), col("sset"))
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
       // The batch's own sset table appears on BOTH verify sides (set_a
@@ -463,7 +506,7 @@ object Dedup {
         .select(explode(array(col("bid"), col("mid"))).as("id")).distinct()
       val prunedBatchSets = batchSets.join(candIds, Seq("id"), "left_semi")
       val batchBroadcastable =
-        batch.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes <=
           verifyBroadcastMaxBytes(spark)
       val bs = if (batchBroadcastable) broadcast(prunedBatchSets)
         else prunedBatchSets
@@ -494,7 +537,7 @@ object Dedup {
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             >= threshold)
         .select("bid", "mid")
-      batch.select(col(idCol).as("doc_id"))
+      sk.select(col("id").as("doc_id"))
         .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
         .groupBy("doc_id")
         .agg((count(col("mid")) === 0).as("admitted"),

@@ -93,6 +93,13 @@ object Sketches {
   def minhashSigSizePortable(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("minhash_sig_size_md5", tokens)
 
+  /** One-pass struct(sig, sset) — see [[MinHashSigSet]]. */
+  def minhashSigSet(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig_set", tokens)
+
+  def minhashSigSetPortable(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig_set_md5", tokens)
+
   def shingleSetPortable(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("shingle_set_md5", tokens)
 
@@ -152,6 +159,12 @@ object Sketches {
     ("minhash_sig_size_md5",
       "_FUNC_(tokens) - portable struct(minhash sig, shingle-set size)",
       1, es => MinHashSigSize(es.head, portable = true)),
+    ("minhash_sig_set",
+      "_FUNC_(tokens) - struct(minhash sig, sorted shingle set), one pass",
+      1, es => MinHashSigSet(es.head)),
+    ("minhash_sig_set_md5",
+      "_FUNC_(tokens) - portable struct(minhash sig, sorted shingle set)",
+      1, es => MinHashSigSet(es.head, portable = true)),
     ("shingle_set_md5",
       "_FUNC_(tokens) - sorted distinct md5-hashed 3-gram shingles (portable)",
       1, es => ShingleSet(es.head, portable = true)),
@@ -403,6 +416,71 @@ case class MinHashSigSize(child: Expression, numHashes: Int = 32,
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSigSize =
+    copy(child = c)
+}
+
+/** [[MinHashSig]] and the full [[ShingleSet]] VALUES in ONE shingle
+  * traversal: struct(sig: array<long>, sset: array<long>). The batch
+  * near-dup pipeline ([[graft.dedup.Dedup.MinHashLsh.nearDupPairs]] —
+  * q31, and q76 through it) needs the signature for banding AND the
+  * sorted set for exact verification of every document in the SAME
+  * frame, and the shingle HASHING pass (md5 at ~3×/token in portable
+  * mode) dominates the sketch stage — computing them as two expressions
+  * paid that pass twice per doc ([[MinHashSigSize]]'s measured 2×).
+  * [[MinHashSigSize]] remains the band-LEDGER form (sz only — band rows
+  * must not carry set payloads); this is the batch form, where the
+  * verification sets ride the sketch frame anyway.
+  */
+case class MinHashSigSet(child: Expression, numHashes: Int = 32,
+    seed: Long = 42L, shingleN: Int = 3, portable: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Mask = 0xffffffffL
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sset", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_set expects array<string>, got $t")
+  }
+
+  private lazy val coeffs: Array[(Long, Long)] =
+    MinHashSig.coefficients(numHashes, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val count = math.max(1, n - shingleN + 1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val hs = new Array[Long](count)
+    var w0 = 0
+    Sketches.foreachShingleHash(arr, shingleN, seed, portable) { h =>
+      hs(w0) = h; w0 += 1
+      val h32 = h & Mask
+      var j = 0
+      while (j < numHashes) {
+        val v = (coeffs(j)._1 * h32 + coeffs(j)._2) & Mask
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place on the sorted array (ShingleSet's representation:
+    // strictly increasing — what SortedIntersectCount consumes)
+    var w = 0
+    var r = 0
+    while (r < count) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(mins),
+      new GenericArrayData(java.util.Arrays.copyOf(hs, w)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigSet =
     copy(child = c)
 }
 

@@ -169,10 +169,27 @@ object NearDupStream {
       compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
-      val verdict = Dedup.MinHashLsh.nearDupIncrementalLedger(
-        batch, textCol, idCol,
+      // ONE persisted sketch frame for the whole batch: sig and sset come
+      // from a single shingle traversal (graft.functions.MinHashSigSet,
+      // sz = set length), and admission plus BOTH ledger writes read it
+      // from cache — the previous independent bandsFor/setsFor plans paid
+      // the shingle-hashing pass (the sketch stage's dominant cost) four
+      // times per wave: twice inside admission, twice re-sketching the
+      // admitted docs. Lineage reads only the batch source (never the
+      // ledger dirs), so the ledger writes below cannot invalidate it.
+      // Batch-bounded memory, same persist contract as the verdict.
+      val toks = graft.text.TextFunctions.tokens(col(textCol))
+      val sk = batch
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.minhashSigSetPortable(toks)
+           else graft.functions.Sketches.minhashSigSet(toks)).as("ms"))
+        .select(col("id"), col("ms.sig").as("sig"), col("ms.sset").as("sset"))
+        .withColumn("sz", org.apache.spark.sql.functions.size(col("sset")))
+        .persist()
+      val verdict = Dedup.MinHashLsh.nearDupAdmitSketched(
+        sk, batch,
         ledgerBands(spark, bandsDir), ledgerSets(spark, setsDir),
-        threshold, portable).persist()
+        threshold).persist()
       try {
         // on a marker-hit replay evaluate only the SOURCE batch, not the
         // discarded admission plan: there is no state store between the
@@ -195,23 +212,23 @@ object NearDupStream {
         // rejects against itself. Reading the durable verdict severs
         // that lineage entirely; on a replay whose verdict marker
         // already exists the batch dir is present and identical, so the
-        // read is the same either way. Admitted docs then re-sketch from
-        // the batch — batch-sized work, cheaper than threading sig/sset
-        // through the admission aggregate.
-        val admittedDocs = batch.join(
+        // read is the same either way. The admitted filter joins the
+        // PERSISTED sketch to the durable verdict — batch-sized work, no
+        // re-traversal, and sk's lineage (batch source only) keeps it
+        // safe from the recacheByPath invalidation the ledger writes fire.
+        val admittedSk = sk.join(
           spark.read.parquet(s"$verdictDir/batch=$batchId")
             .filter(col("admitted"))
-            .select(col("doc_id").as(idCol)), Seq(idCol))
+            .select(col("doc_id").as("id")), Seq("id"))
         // ledger sinks: a marker-hit replay needs no evaluation at all —
         // the verdict sink above already evaluated the batch source, and
-        // these frames are stateless re-sketches of the durable verdict
+        // these frames are projections of the durable verdict ⨝ sketch
         IdempotentSink.writer(bandsDir, onReplay = _ => ())(
-          Dedup.MinHashLsh.bandsFor(admittedDocs, textCol, idCol, portable),
+          Dedup.MinHashLsh.bandRowsOf(admittedSk.select("id", "sig", "sz")),
           batchId)
         IdempotentSink.writer(setsDir, onReplay = _ => ())(
-          Dedup.MinHashLsh.setsFor(admittedDocs, textCol, idCol, portable),
-          batchId)
-      } finally verdict.unpersist()
+          admittedSk.select("id", "sset"), batchId)
+      } finally { verdict.unpersist(); sk.unpersist() }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         compactLedgers(spark, bandsDir, setsDir)
       ()

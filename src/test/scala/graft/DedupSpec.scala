@@ -147,6 +147,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sig_set kernel parity: sig == minhash_tokens, " +
+      "sset == shingle_set, both hash flavors") {
+    import graft.functions.Sketches
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    Seq(false, true).foreach { portable =>
+      val ms =
+        if (portable) Sketches.minhashSigSetPortable(toks)
+        else Sketches.minhashSigSet(toks)
+      val sig = if (portable) Sketches.minhashTokensPortable(toks)
+        else Sketches.minhashTokens(toks)
+      val sset = if (portable) Sketches.shingleSetPortable(toks)
+        else Sketches.shingleSet(toks)
+      val bad = docs.select(
+          col("doc_id"), ms.as("ms"), sig.as("sig"), sset.as("sset"))
+        .filter(col("ms.sig") =!= col("sig") || col("ms.sset") =!= col("sset"))
+        .count()
+      assert(bad == 0, s"one-pass sig+set kernel diverges (portable=$portable)")
+    }
+  }
+
   test("incremental admission: pre-upgrade / mixed / duplicated ledgers " +
       "yield identical verdicts (null-fallback branches)") {
     val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
