@@ -56,6 +56,28 @@ object Multimodal {
     df
   }
 
+  /** Compute-once cache for DECODED FEATURE tables ([[dHashTable]],
+    * [[videoFrames]], [[audioFingerprintTable]]): fixed-width
+    * fingerprints, ~10⁻³ of the payload bytes they derive from, consumed
+    * by multi-branch self-join plans (pigeonhole chunk joins, posting
+    * self-joins) whose every branch is a separate subtree — without the
+    * cache each branch re-runs the media decode, the pipeline's dominant
+    * CPU (measured at the 100× tier: image near-dup evaluated the PNG
+    * decode → dHash leaf 8× = ~300 s of its ~305 s executor time; video
+    * the GIF frame decode 4× = ~300 s). Same CacheManager-idempotence
+    * trick as [[memoized]]; MEMORY_AND_DISK, so an oversized feature
+    * table degrades to local spill, never OOM. At cluster scale this is
+    * the standard "materialize extracted features before pairwise
+    * analysis" move — the cached rows are O(corpus), the branches that
+    * reread them are O(branches·corpus) decode work avoided.
+    */
+  private def cachedFeature(build: => DataFrame): DataFrame = {
+    val df = build
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
   case class MediaRow(doc_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int)
 
@@ -249,17 +271,18 @@ object Multimodal {
     * machinery as images via [[graft.dedup.Dedup.hammingClusterEdges]]).
     * Typed mapPartitions; payload bytes stay executor-side.
     */
-  def videoFrames(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          readGifFrames(bytes).zipWithIndex.map { case (f, i) =>
-            (id, i, meanLuma(f), dHash64(f))
+  def videoFrames(spark: SparkSession, media: DataFrame): DataFrame =
+    cachedFeature {
+      import spark.implicits._
+      media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            readGifFrames(bytes).zipWithIndex.map { case (f, i) =>
+              (id, i, meanLuma(f), dHash64(f))
+            }
           }
-        }
-      }.toDF("doc_id", "frame_idx", "mean_luma", "frame_dhash")
-  }
+        }.toDF("doc_id", "frame_idx", "mean_luma", "frame_dhash")
+    }
 
   /** REAL audio decode: RIFF/WAVE PCM16 mono, parsed by a hand-rolled
     * chunk walker (RIFF is a public container format simple enough to
@@ -382,15 +405,16 @@ object Multimodal {
   /** Fingerprint table for an audio media frame: `(doc_id, afp)` via the
     * real WAV decode, partition-local — mirrors [[dHashTable]].
     */
-  def audioFingerprintTable(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          (id, audioFingerprint64(WavCodec.samples(bytes)._2))
-        }
-      }.toDF("doc_id", "afp")
-  }
+  def audioFingerprintTable(spark: SparkSession, media: DataFrame): DataFrame =
+    cachedFeature {
+      import spark.implicits._
+      media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            (id, audioFingerprint64(WavCodec.samples(bytes)._2))
+          }
+        }.toDF("doc_id", "afp")
+    }
 
   /** Minimal RIFF/WAVE PCM16 mono writer — the synthesis counterpart of
     * [[WavCodec]], used by [[syntheticWavTable]] and specs.
@@ -576,17 +600,18 @@ object Multimodal {
     * clusters — the image pipeline reuses the text pipeline's pair/cluster
     * machinery unchanged.
     */
-  def dHashTable(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"doc $id: payload is not a decodable image")
-          (id, dHash64(img))
-        }
-      }.toDF("doc_id", "dhash")
-  }
+  def dHashTable(spark: SparkSession, media: DataFrame): DataFrame =
+    cachedFeature {
+      import spark.implicits._
+      media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"doc $id: payload is not a decodable image")
+            (id, dHash64(img))
+          }
+        }.toDF("doc_id", "dhash")
+    }
 
   /** Video near-dup by shared-frame analysis: per-video SORTED DISTINCT
     * frame-dHash sets, candidate pairs = videos sharing at least one
