@@ -23,6 +23,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // release the previous query's compute-once persists (memory
+      // hygiene over a 104-query session; fixture memoization survives)
+      graft.core.TransientCache.clear()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

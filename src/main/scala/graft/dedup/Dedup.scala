@@ -41,8 +41,7 @@ object Dedup {
     * than the O(branches · corpus) kernel work they replace.
     */
   private def cachedSketch(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist() else df
+    graft.core.TransientCache.persist(df)
 
   /** Exact dedup: survivors + duplicate counts per normalized fingerprint. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -189,35 +188,33 @@ object Dedup {
           (if (portable) graft.functions.Sketches.minhashSigSetPortable(toks)
            else graft.functions.Sketches.minhashSigSet(toks)).as("ms"))
         .select(col("id"), col("ms.sig").as("sig"), col("ms.sset").as("sset"))
-      // PERSIST the sketch frame: banding, verification, and the
-      // identical-set stars are three separate subtrees of the final
+      // PERSIST a SLIM sketch frame — signature + metadata, the shingle
+      // set itself deliberately left OUT. Banding, the identical-set
+      // stars, and the collapse agg are separate subtrees of the final
       // plan, and Spark shares work across subtrees only through
-      // ReusedExchange — which column pruning defeats here (each branch
-      // needs a different column subset, so the three exchanges
-      // canonicalize UNEQUAL and each re-ran the kernel: measured at the
-      // 100× tier, 3 × ~45 s of the query's ~310 s executor time was the
-      // same shingle-hash pass). Caching is the standard "materialize the
-      // sketch table once before pairwise analysis" move — at cluster
-      // scale a real corpus pipeline persists minhash sketches as a
-      // table; MEMORY_AND_DISK spills instead of OOM, and the
-      // CacheManager's semantic-equality lookup makes the persist
-      // idempotent across repeated builds in one session.
-      val withSfp0 = base
-        .withColumn("sz", size(col("sset")))
-        .withColumn("sfp", xxhash64(col("sset")))
-      val withSfp = cachedSketch(withSfp0)
-      // identical-set collapse via AGGREGATION, not a window: sig and
-      // sset are pure functions of the shingle set and sfp fingerprints
-      // the set, so first() per sfp group is exact — and partial (map-
-      // side) aggregation collapses duplicate-set groups BEFORE the
-      // exchange, so the rep frames shuffle ~distinct-set rows where the
-      // previous corpus-wide window shuffled every row's arrays.
-      val reps = withSfp.groupBy("sfp").agg(min(col("id")).as("id"),
-        first(col("sig")).as("sig"), first(col("sset")).as("sset"),
-        first(col("sz")).as("sz"))
+      // ReusedExchange — which per-branch column pruning defeats here
+      // (measured at the 100× tier: the same full-array collapse
+      // exchange executed SIX times, ~40 s of executor time each). The
+      // slim cache kills those re-evaluations at ~160 B/doc; caching the
+      // sset arrays too was measured STRICTLY WORSE — columnar-
+      // serializing the O(corpus-token) arrays costs more than the one
+      // extra kernel pass the verify branch pays below, and the entries
+      // pressure every later query in the session. MEMORY_AND_DISK
+      // spills instead of OOM; the CacheManager's semantic-equality
+      // lookup makes the persist idempotent across repeated builds.
+      val slim = cachedSketch(base.select(col("id"), col("sig"),
+        size(col("sset")).as("sz"), xxhash64(col("sset")).as("sfp")))
+      // identical-set collapse via AGGREGATION, not a window: sig is a
+      // pure function of the shingle set and sfp fingerprints the set,
+      // so first() per sfp group is exact — and partial (map-side)
+      // aggregation collapses duplicate-set groups BEFORE the exchange.
+      // Cached: the collapsed frame feeds banding AND the stars join.
+      val reps = cachedSketch(slim.groupBy("sfp")
+        .agg(min(col("id")).as("id"),
+          first(col("sig")).as("sig"), first(col("sz")).as("sz")))
       // duplicate-set members point at their set's min id; the reps side
       // of this join is pruned to (sfp, rep) — two longs per distinct set
-      val stars = withSfp.select(col("sfp"), col("id"))
+      val stars = slim.select(col("sfp"), col("id"))
         .join(reps.select(col("sfp"), col("id").as("rep")), Seq("sfp"))
         .filter(col("id") =!= col("rep"))
         .select(col("rep").as("id_a"), col("id").as("id_b"),
@@ -263,13 +260,23 @@ object Dedup {
       val sizesCompatible =
         col("sz_a") * lit(1.0) >= lit(threshold) * col("sz_b") &&
           col("sz_b") * lit(1.0) >= lit(threshold) * col("sz_a")
-      val candidates = l.join(r, Seq("band", "bkey"))
+      // persisted: the pair list (two longs per candidate) is consumed by
+      // the verify stream AND the set-pruning id list — without the cache
+      // the banded self-join subtree re-evaluates per consumer
+      val candidates = cachedSketch(l.join(r, Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b") && !sharesEarlierBand &&
           sizesCompatible)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
       // exact verification over sorted hashed shingle sets: merge-scan
-      // intersection, |∪| = |A|+|B|−|∩| — no per-pair hash sets or arrays
-      val sets = reps.select(col("id").as("sid"), col("sset"))
+      // intersection, |∪| = |A|+|B|−|∩| — no per-pair hash sets or arrays.
+      // The set table comes from ONE dedicated kernel pass over the raw
+      // frame, NOT from the cache (ssets are deliberately not cached —
+      // see `slim`) and NOT from a collapse agg: a rep's id is a member
+      // id and identical-set members share their sset verbatim, so the
+      // rep's own row in the uncollapsed sketch frame carries the
+      // group's set — the semi-join below prunes to candidate ids before
+      // any array enters an exchange either way
+      val sets = base.select(col("id").as("sid"), col("sset"))
       // prune the set table to ids that SURVIVED BANDING before any array
       // enters an exchange: candidates are a small fraction of the corpus
       // (only dense-bucket members), while the unpruned join shipped every
@@ -280,9 +287,8 @@ object Dedup {
       // moderate tiers (map-side prune, arrays never shuffle for the semi)
       // and degrades to a shuffled semi-join — never worse than unpruned —
       // when candidates outgrow the broadcast threshold at 100 TB. The
-      // candidate subplan appears in both the id list and the verify join;
-      // its exchanges are identical, so Spark's ReusedExchange evaluates
-      // banding once (plan-verified).
+      // candidate subplan appears in both the id list and the verify join
+      // and is read from its persist above, so banding evaluates once.
       val candIds = candidates
         .select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
       val prunedSets = sets.join(candIds, Seq("sid"), "left_semi")
@@ -481,9 +487,22 @@ object Dedup {
       */
     private[graft] def nearDupAdmitSketched(sk: DataFrame,
         sizeHint: DataFrame, corpusBands: DataFrame, corpusSets: DataFrame,
-        threshold: Double): DataFrame = {
+        threshold: Double,
+        scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
+      // `scope` = compute-once persist for the batch-bounded mid-frames
+      // several subtrees consume (the banded batch rows feed the corpus
+      // probe and both sides of the within-batch self-join; the candidate
+      // pair list feeds set pruning and both verify joins). Measured at
+      // the 100× tier WITHOUT it: the same 110 MB banded-batch exchange
+      // executed 11× (~17-25 s of executor time each) because the
+      // differently-aliased consumer subtrees never canonicalize equal.
+      // The default session-lifetime persist suits the one-shot batch
+      // query; the STREAMING writer passes a tracked persist it
+      // unpersists at wave end, so per-wave cache entries cannot
+      // accumulate across an unbounded stream
+      // (graft.streaming.NearDupStream.writer).
       val spark = sk.sparkSession
-      val bb = bandRowsOf(sk.select("id", "sig", "sz"))
+      val bb = scope(bandRowsOf(sk.select("id", "sig", "sz")))
       // ledgers written before bandsFor carried kpfx/sz (schema
       // evolution) arrive without the columns; conform with nulls — every
       // predicate below is null-safe, and a Project on the bucketed table
@@ -532,7 +551,7 @@ object Dedup {
           Seq("band", "bkey"))
         .filter(col("mid") < col("bid") && firstSharedOnly && sizesCompatible)
         .select("bid", "mid")
-      val cand = candCorpus.unionByName(candBatch)
+      val cand = scope(candCorpus.unionByName(candBatch))
       val batchSets = sk.select(col("id"), col("sset"))
       val inter = graft.functions.Sketches
         .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
@@ -890,15 +909,19 @@ object Dedup {
       blockCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"jaccard threshold must lie in (0, 1], got $threshold")
-    // cached: the hashed-sorted token sets feed the deletion-key and
-    // prefix candidate branches AND the verify set table — separate
-    // subtrees that would each re-tokenize and re-sort the corpus
-    val base = cachedSketch(graft.core.Parallelism.ensure(
+    // deliberately NOT cached: the hashed-sorted token sets feed the
+    // deletion-key and prefix candidate branches and the verify set
+    // table, but the kernel here is tokenize+hash+sort — cheap enough
+    // that re-running it per branch beats columnar-serializing the
+    // O(corpus-token) tset arrays into a cache (measured at the 100×
+    // tier: the cached variant was ~2× slower end-to-end on q76, the
+    // cache write dominating)
+    val base = graft.core.Parallelism.ensure(
         df.select(col(blockCol), col(idCol), col(textCol)))
       .select(col(blockCol).as("block"), col(idCol).as("id"),
         array_sort(transform(array_distinct(TextFunctions.tokens(col(textCol))),
           t => xxhash64(t))).as("tset"))
-      .withColumn("ts_n", size(col("tset")).cast("double")))
+      .withColumn("ts_n", size(col("tset")).cast("double"))
     val cands =
       if (threshold >= HighThreshold) {
         val p = math.ceil(2 * threshold / (1 - threshold))
@@ -1130,15 +1153,25 @@ object Dedup {
       }
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+    // directed edges via explode, NOT half.union(half.reversed): a union
+    // references the ENTIRE upstream pair plan twice, and the two branches
+    // race to materialize the same partitions concurrently inside one job
+    // (task-level caching cannot dedup in-flight computation), so the
+    // whole edge-producing plan — banding, verification, stars — executed
+    // 2× per action (measured at the 100× tier: q76's every exchange
+    // doubled, 2.3 GB total). One scan emitting both directions per row
+    // costs the same bytes and evaluates the upstream exactly once.
+    val directed = half.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // no dedup on the edge list: min-aggregation is idempotent, duplicate
     // edges change nothing downstream — a distinct() here would buy one
     // full shuffle of the edge list for zero semantic effect. Instead the
     // one shuffle we do pay hash-partitions edges by the propagation join
     // key, so every round's edges⋈labels join and the init groupBy reuse
     // that layout instead of re-exchanging the (static) edge list
-    val edges = truncate(
-      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")))
+    val edges = truncate(directed.repartition(col("src")))
     // Small-graph fast path: pointer-jumping pays O(log d) ROUNDS of
     // cluster scheduling — joins, aggregates, checkpoint materializations,
     // convergence actions — which on a small edge list is pure overhead

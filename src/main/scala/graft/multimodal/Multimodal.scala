@@ -71,12 +71,8 @@ object Multimodal {
     * analysis" move — the cached rows are O(corpus), the branches that
     * reread them are O(branches·corpus) decode work avoided.
     */
-  private def cachedFeature(build: => DataFrame): DataFrame = {
-    val df = build
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    df
-  }
+  private def cachedFeature(build: => DataFrame): DataFrame =
+    graft.core.TransientCache.persist(build)
 
   case class MediaRow(doc_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int)
@@ -405,16 +401,19 @@ object Multimodal {
   /** Fingerprint table for an audio media frame: `(doc_id, afp)` via the
     * real WAV decode, partition-local — mirrors [[dHashTable]].
     */
-  def audioFingerprintTable(spark: SparkSession, media: DataFrame): DataFrame =
-    cachedFeature {
-      import spark.implicits._
-      media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          it.map { case (id, bytes) =>
-            (id, audioFingerprint64(WavCodec.samples(bytes)._2))
-          }
-        }.toDF("doc_id", "afp")
-    }
+  def audioFingerprintTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    // NOT cachedFeature: PCM16 WAV decode + the energy-fold fingerprint
+    // is arithmetic over raw samples — measured cheaper to re-run per
+    // consuming branch than to persist (unlike the image/video paths,
+    // whose ImageIO/GIF decode dominates their queries)
+    import spark.implicits._
+    media.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, audioFingerprint64(WavCodec.samples(bytes)._2))
+        }
+      }.toDF("doc_id", "afp")
+  }
 
   /** Minimal RIFF/WAVE PCM16 mono writer — the synthesis counterpart of
     * [[WavCodec]], used by [[syntheticWavTable]] and specs.

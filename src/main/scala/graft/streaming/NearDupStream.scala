@@ -186,10 +186,18 @@ object NearDupStream {
         .select(col("id"), col("ms.sig").as("sig"), col("ms.sset").as("sset"))
         .withColumn("sz", org.apache.spark.sql.functions.size(col("sset")))
         .persist()
+      // tracked persist for the admission plan's internal mid-frames
+      // (banded batch rows, candidate pairs — each consumed by several
+      // subtrees): the default session-lifetime cache would accumulate
+      // one entry per wave forever on an unbounded stream, so the writer
+      // owns the lifecycle and releases them with the wave
+      val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+      val waveScope: DataFrame => DataFrame =
+        d => { val p = d.persist(); scoped.add(p); p }
       val verdict = Dedup.MinHashLsh.nearDupAdmitSketched(
         sk, batch,
         ledgerBands(spark, bandsDir), ledgerSets(spark, setsDir),
-        threshold).persist()
+        threshold, waveScope).persist()
       try {
         // on a marker-hit replay evaluate only the SOURCE batch, not the
         // discarded admission plan: there is no state store between the
@@ -228,7 +236,10 @@ object NearDupStream {
           batchId)
         IdempotentSink.writer(setsDir, onReplay = _ => ())(
           admittedSk.select("id", "sset"), batchId)
-      } finally { verdict.unpersist(); sk.unpersist() }
+      } finally {
+        verdict.unpersist(); sk.unpersist()
+        scoped.forEach(_.unpersist())
+      }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         compactLedgers(spark, bandsDir, setsDir)
       ()
