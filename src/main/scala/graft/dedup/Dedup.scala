@@ -293,7 +293,8 @@ object Dedup {
         .select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
       val prunedSets = sets.join(candIds, Seq("sid"), "left_semi")
       val inter = graft.functions.Sketches
-        .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+        .sortedIntersectBounded(col("set_a"), col("set_b"), threshold)
+        .cast("double")
       // Verification join strategy. Dup-dense corpora (the actual dedup
       // workload) verify nearly every candidate, so the pair list is
       // output-sized and a shuffled verify join ships one shingle array
@@ -554,7 +555,8 @@ object Dedup {
       val cand = scope(candCorpus.unionByName(candBatch))
       val batchSets = sk.select(col("id"), col("sset"))
       val inter = graft.functions.Sketches
-        .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+        .sortedIntersectBounded(col("set_a"), col("set_b"), threshold)
+        .cast("double")
       // The batch's own sset table appears on BOTH verify sides (set_a
       // for every candidate bid; set_b for within-batch mids). Pruned to
       // candidate-involved ids and broadcast — ONE relation, so the two
@@ -932,7 +934,8 @@ object Dedup {
       } else prefixCandidates(base, threshold).distinct()
     val sets = base.select(col("id"), col("tset"), col("ts_n"))
     val inter = graft.functions.Sketches
-      .sortedIntersectCount(col("set_a"), col("set_b")).cast("double")
+      .sortedIntersectBounded(col("set_a"), col("set_b"), threshold)
+      .cast("double")
     cands
       .join(sets.select(col("id").as("id_a"), col("tset").as("set_a"),
         col("ts_n").as("n_a")), "id_a")

@@ -110,6 +110,15 @@ object Sketches {
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
 
+  /** [[sortedIntersectCount]] with a Jaccard-threshold early exit — for
+    * consumers that filter `inter / (|A|+|B| − inter) >= t`: survivors
+    * get their exact count, sub-threshold pairs may return an undercount
+    * (still sub-threshold). See [[SortedIntersectBounded]].
+    */
+  def sortedIntersectBounded(a: Column, b: Column, t: Double): Column =
+    org.apache.spark.sql.functions.call_function("sorted_intersect_bounded",
+      a, b, org.apache.spark.sql.functions.lit(t))
+
   /** Token array → SORTED DISTINCT xxhash64 hashes of its word 3-gram
     * shingles — the set form consumed by [[sortedIntersectCount]].
     */
@@ -173,6 +182,14 @@ object Sketches {
       1, es => SimHash64(es.head, portable = true)),
     ("sorted_intersect_count", "_FUNC_(a, b) - merge-scan intersection count",
       2, es => SortedIntersectCount(es.head, es(1))),
+    ("sorted_intersect_bounded",
+      "_FUNC_(a, b, t) - intersection count with jaccard-threshold early exit",
+      3, es => es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(t: Double, DoubleType) =>
+          SortedIntersectBounded(es.head, es(1), t)
+        case other => throw new IllegalArgumentException(
+          s"sorted_intersect_bounded: t must be a double literal, got $other")
+      }),
     ("shingle_set", "_FUNC_(tokens) - sorted distinct hashed 3-gram shingles",
       1, es => ShingleSet(es.head)),
     ("shingle_set_n",
@@ -295,6 +312,108 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[SortedIntersectCount]] with a Jaccard-threshold EARLY EXIT — the
+  * candidate-verification inner loop of the exact near-dup operators. At
+  * tight thresholds most banding/prefix candidates are false positives
+  * (measured at the 100× tier: q33 verifies 3.7·10⁷ candidates for
+  * 4.9·10⁵ survivors, 75:1), yet the plain merge scan walks both arrays
+  * to the end for every one. Here the scan bails as soon as even a
+  * perfect suffix match cannot reach the threshold.
+  *
+  * Exactness contract for consumers filtering
+  * `inter / (|A|+|B| − inter) >= t`: the bail predicate computes the max
+  * reachable count's jaccard with the SAME double formula the consumer
+  * uses, and IEEE division is monotone in the numerator / antitone in
+  * the denominator — so a bail implies the consumer's predicate is false
+  * for the true count, and any pair the consumer would keep runs the
+  * scan to completion and gets its EXACT count (survivors' jaccard
+  * values are bit-identical to the unbounded kernel's). On a bail the
+  * current (under-)count is returned, which keeps the consumer's
+  * jaccard below the exact value and therefore below t. The bound only
+  * tightens on mismatches (a match leaves count+min(remaining)
+  * unchanged), so the check costs nothing on the match-dense survivor
+  * path. Codegen (not CodegenFallback): this expression is the hot loop
+  * of pair-verify stages — interpreted evaluation also broke
+  * whole-stage codegen around the verify filter.
+  */
+case class SortedIntersectBounded(left: Expression, right: Expression,
+    threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_bounded expects array<bigint>, got $l / $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val sum = nx + ny
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else {
+        if (xv < yv) i += 1 else j += 1
+        val remX = nx - i
+        val remY = ny - j
+        val mx = c + (if (remX < remY) remX else remY)
+        if (mx.toDouble / (sum - mx).toDouble < threshold) {
+          return java.lang.Integer.valueOf(c)
+        }
+      }
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val sum = ctx.freshName("sum")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val remX = ctx.freshName("remX"); val remY = ctx.freshName("remY")
+      val mx = ctx.freshName("mx")
+      val t = java.lang.Double.toString(threshold)
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $sum = $nx + $ny;
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else {
+         |    if ($xv < $yv) $i++; else $j++;
+         |    int $remX = $nx - $i;
+         |    int $remY = $ny - $j;
+         |    int $mx = $c + ($remX < $remY ? $remX : $remY);
+         |    if ((double) $mx / (double) ($sum - $mx) < ${t}D) break;
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectBounded =
     copy(left = newLeft, right = newRight)
 }
 

@@ -167,6 +167,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_intersect_bounded parity: survivors exact, filter decisions " +
+      "identical to the unbounded kernel across thresholds") {
+    import graft.functions.Sketches
+    // adversarial pair population: common prefix of k shared elements plus
+    // disjoint tails, sweeping sizes so jaccard lands below/at/above each
+    // threshold — includes identical, disjoint, empty, and size-lopsided
+    val rnd = new scala.util.Random(7)
+    val pairs = (for {
+      k <- Seq(0, 1, 5, 17, 40)
+      ta <- Seq(0, 1, 3, 25)
+      tb <- Seq(0, 2, 25)
+    } yield {
+      val shared = Array.fill(k)(rnd.nextLong())
+      val a = (shared ++ Array.fill(ta)(rnd.nextLong())).distinct.sorted
+      val b = (shared ++ Array.fill(tb)(rnd.nextLong())).distinct.sorted
+      (a.toSeq, b.toSeq)
+    }) :+ (Seq.empty[Long], Seq.empty[Long]) :+
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))
+    val df = pairs.toDF("set_a", "set_b")
+    Seq(0.3, 0.5, 0.8, 0.95, 1.0).foreach { t =>
+      val exact = Sketches.sortedIntersectCount(col("set_a"), col("set_b"))
+        .cast("double")
+      val bounded = Sketches.sortedIntersectBounded(col("set_a"), col("set_b"), t)
+        .cast("double")
+      def jac(i: org.apache.spark.sql.Column) =
+        i / (size(col("set_a")) + size(col("set_b")) - i)
+      val bad = df.select(
+          jac(exact).as("je"), jac(bounded).as("jb"),
+          exact.as("ce"), bounded.as("cb"))
+        .filter(
+          // decision must match...
+          (col("je") >= t) =!= (col("jb") >= t) ||
+          // ...and survivors must carry the exact count
+          (col("je") >= t && col("ce") =!= col("cb")))
+        .count()
+      assert(bad == 0, s"bounded kernel diverges from exact at t=$t")
+    }
+  }
+
   test("incremental admission: pre-upgrade / mixed / duplicated ledgers " +
       "yield identical verdicts (null-fallback branches)") {
     val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
