@@ -1100,19 +1100,21 @@ object Dedup {
     */
   /** Directed-edge-row gate for the driver union-find fast path in
     * [[connectedComponents]]. Edges are streamed off the checkpointed
-    * edge blocks partition-by-partition (`toLocalIterator` — no
-    * transient all-rows array) and never stored: resident driver state
-    * is per-NODE, all primitive arrays — ids + parent + component-min +
-    * an open-addressed long→index table (no boxed values) — ~55 B/node
-    * typical, ≤ ~90 B/node right after a resize doubles the backing
-    * arrays. The degenerate worst case (2 fresh nodes per directed edge,
-    * all 24M edges) is therefore a few GB — sized for a standard
-    * multi-GB driver heap, never silently beyond it — while real dedup
-    * graphs (dense near-dup cliques, nodes ≪ edges) sit orders of
-    * magnitude below: the q91 graph's 19M directed rows carry ~1M nodes
-    * ≈ 55 MB, closing in ~2 s of driver union-find vs ~10 s of 8
-    * pointer-jump rounds. The gate is the caller's knob for thin-graph
-    * workloads on small drivers.
+    * edge blocks as per-partition PACKED long arrays in one parallel
+    * job (16 B per directed edge, ≤ 384 MB at the gate, released right
+    * after the union-find pass; `toLocalIterator` was tried first and
+    * its one-sequential-job-per-partition fetch cost ~5 s of q91's wall
+    * alone). Durable driver state is per-NODE, all primitive arrays —
+    * ids + parent + component-min + an open-addressed long→index table
+    * (no boxed values) — ~55 B/node typical, ≤ ~90 B/node right after a
+    * resize doubles the backing arrays. The degenerate worst case
+    * (2 fresh nodes per directed edge, all 24M edges) is therefore a few
+    * GB — sized for a standard multi-GB driver heap, never silently
+    * beyond it — while real dedup graphs (dense near-dup cliques, nodes
+    * ≪ edges) sit orders of magnitude below: the q91 graph's 19M
+    * directed rows carry ~1M nodes ≈ 55 MB, closing in ~2 s of driver
+    * union-find vs ~10 s of 8 pointer-jump rounds. The gate is the
+    * caller's knob for thin-graph workloads on small drivers.
     */
   private val DriverCcMaxDirectedEdges = 24L * 1000 * 1000
 
@@ -1238,9 +1240,26 @@ object Dedup {
         while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
         x
       }
-      edges.toLocalIterator().forEachRemaining { r =>
-        val a = find(nodeOf(r.getLong(0))); val b = find(nodeOf(r.getLong(1)))
-        if (a != b) parent(a) = b
+      // fetch edges as per-partition PACKED long arrays in ONE job, not
+      // toLocalIterator: the iterator runs a separate sequential job per
+      // partition (32 scheduling round-trips — measured ~5 s of q91's
+      // wall was this fetch loop, vs ~2.4 s of actual executor work).
+      // Resident cost is bounded and compact: 16 B per directed edge,
+      // ≤ 384 MB at the 24M-edge gate, released as soon as the
+      // union-find pass below consumes it — still orders of magnitude
+      // under the per-node state the docstring budgets.
+      val edgeBlocks: Array[Array[Long]] = edges.rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
+      edgeBlocks.foreach { block =>
+        var k = 0
+        while (k < block.length) {
+          val a = find(nodeOf(block(k))); val b = find(nodeOf(block(k + 1)))
+          if (a != b) parent(a) = b
+          k += 2
+        }
       }
       release(edges)
       val minOf = new Array[Long](n)
