@@ -334,6 +334,94 @@ object Dedup {
         .unionByName(stars)
     }
 
+    /** APPROXIMATE near-dup pairs — the 100 TB fast path when exact
+      * Jaccard is not required: similarity is ESTIMATED as the fraction
+      * of agreeing MinHash signature components (the unbiased estimator
+      * E[agreement] = jaccard), so the shingle SETS are never
+      * materialized, cached, or shipped — per-doc state is the 32-long
+      * signature (256 B) instead of the O(tokens) sorted shingle array,
+      * and the verify stage's array joins/broadcasts disappear entirely.
+      *
+      * Contract (deliberately the standard LSH-approximate one, and what
+      * the q105 oracle restates): the output is the pairs that (a) share
+      * at least one of the 8 signature bands AND (b) have estimated
+      * similarity ≥ `threshold`; identical-signature groups collapse to
+      * rep-star edges with est = 1.0 (agreement of equal signatures is
+      * 1.0 by definition). Banding recall is < 1 by design — a pair can
+      * sit above the threshold yet collide in no band; callers needing
+      * the exact thresholded relation use [[nearDupPairs]]. `est` is
+      * matches/32 — a dyadic rational, exactly representable in a
+      * double, so thresholding and oracle hashing are FP-safe.
+      */
+    def nearDupPairsApprox(df: DataFrame, textCol: String, idCol: String,
+        threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+      require(threshold > 0 && threshold <= 1,
+        s"similarity threshold must lie in (0, 1], got $threshold")
+      val src = graft.core.Parallelism.ensure(
+        df.select(col(idCol), col(textCol)))
+      val toks = TextFunctions.tokens(col(textCol))
+      // metadata-width sketch cache (id + 32-long signature): the collapse
+      // agg, stars, and banding all read it — same cache-altitude rule as
+      // [[nearDupPairs]], with nothing fat to leave out this time
+      val slim = cachedSketch(src.select(col(idCol).as("id"),
+        (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
+         else graft.functions.Sketches.minhashTokens(toks)).as("sig")))
+      // identical-SIGNATURE collapse (the approx analog of the exact
+      // path's identical-set collapse): grouping key is the signature
+      // array itself — 256 B, still metadata-width
+      val reps = cachedSketch(slim.groupBy("sig")
+        .agg(min(col("id")).as("id")))
+      val stars = slim.select(col("sig"), col("id"))
+        .join(reps.select(col("sig"), col("id").as("rep")), Seq("sig"))
+        .filter(col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"),
+          lit(1.0).as("est"))
+      // banding + first-shared-band emission, verbatim from
+      // [[nearDupPairs]] (no size prefilter — there is no set size)
+      val keyed = reps.select(col("id"), col("sig"),
+        array((0 until Bands).map { b =>
+          xxhash64(concat_ws("_",
+            (0 until RowsPerBand).map(r =>
+              element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
+        }: _*).as("bkeys"))
+      val banded = keyed
+        .select(col("id"), col("bkeys"),
+          posexplode(col("bkeys")).as(Seq("band", "bkey")))
+        .select(col("id"), col("band"), col("bkey"),
+          slice(col("bkeys"), lit(1), col("band")).as("kpfx"))
+      val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
+        col("kpfx").as("keys_a"))
+      val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
+        col("kpfx").as("keys_b"))
+      val sharesEarlierBand = exists(
+        zip_with(col("keys_a"), col("keys_b"), (ka, kb) => ka === kb),
+        b => b)
+      val candidates = cachedSketch(l.join(r, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b") && !sharesEarlierBand)
+        .select("id_a", "id_b"))
+      // estimate = positional agreement over the two signatures; the
+      // signature table is candidate-pruned then broadcast under the same
+      // configurable gate as the exact path's set table (256 B/row — the
+      // gate trips only at extreme candidate volumes)
+      val candIds = candidates
+        .select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
+      val sigs = reps.select(col("id").as("sid"), col("sig"))
+        .join(candIds, Seq("sid"), "left_semi")
+      val sigsBroadcastable =
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          verifyBroadcastMaxBytes(df.sparkSession)
+      val vs = if (sigsBroadcastable) broadcast(sigs) else sigs
+      val matches =
+        graft.functions.Sketches.sigAgreement(col("va.sig"), col("vb.sig"))
+      candidates
+        .join(vs.as("va"), col("id_a") === col("va.sid"))
+        .join(vs.as("vb"), col("id_b") === col("vb.sid"))
+        .select(col("id_a"), col("id_b"),
+          (matches.cast("double") / lit(NumHashes.toDouble)).as("est"))
+        .filter(col("est") >= threshold)
+        .unionByName(stars)
+    }
+
     /** Incremental near-dup ADMISSION — the near-dup analog of
       * [[Dedup.exactIncremental]], closing the production gap between
       * "exact dedup scales incrementally" (q100) and "near-dup runs as a

@@ -110,6 +110,12 @@ object Sketches {
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
 
+  /** Positional agreement count of two signature arrays — agreement/32
+    * is the unbiased MinHash jaccard estimate. See [[SigAgreement]].
+    */
+  def sigAgreement(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("sig_agreement", a, b)
+
   /** [[sortedIntersectCount]] with a Jaccard-threshold early exit — for
     * consumers that filter `inter / (|A|+|B| − inter) >= t`: survivors
     * get their exact count, sub-threshold pairs may return an undercount
@@ -182,6 +188,9 @@ object Sketches {
       1, es => SimHash64(es.head, portable = true)),
     ("sorted_intersect_count", "_FUNC_(a, b) - merge-scan intersection count",
       2, es => SortedIntersectCount(es.head, es(1))),
+    ("sig_agreement",
+      "_FUNC_(a, b) - count of positionally-equal elements (minhash estimator)",
+      2, es => SigAgreement(es.head, es(1))),
     ("sorted_intersect_bounded",
       "_FUNC_(a, b, t) - intersection count with jaccard-threshold early exit",
       3, es => es(2) match {
@@ -414,6 +423,61 @@ case class SortedIntersectBounded(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectBounded =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of positionally-equal elements of two long arrays — the MinHash
+  * similarity ESTIMATOR's inner loop (agreement/numHashes is the unbiased
+  * jaccard estimate). The declarative `aggregate(zip_with(...))` form is a
+  * higher-order function — CodegenFallback, interpreted per CANDIDATE
+  * PAIR, and it breaks whole-stage codegen around the estimate filter;
+  * this is one primitive loop over 32 longs.
+  */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sig_agreement expects array<bigint>, got $l / $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
     copy(left = newLeft, right = newRight)
 }
 

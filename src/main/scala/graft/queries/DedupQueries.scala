@@ -125,7 +125,56 @@ object DedupQueries extends QueryModule {
        |GROUP BY b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** DuckDB mirror of q105 (APPROXIMATE minhash near-dup): per-doc
+    * portable signatures, identical-SIGNATURE collapse (the approx analog
+    * of the exact path's set collapse — stars carry est = 1.0, the
+    * agreement of equal signatures), banded candidates, and similarity
+    * estimated as the fraction of agreeing signature components —
+    * matches/32 is a dyadic rational, exact in a double on both engines.
+    * The contract is the standard LSH-approximate one: pairs sharing ≥ 1
+    * band with estimate ≥ t (banding recall < 1 by design), restated
+    * verbatim here so the hash gates the definition, not a coincidence.
+    */
+  private lazy val minhashApproxOracleSql: String =
+    s"""WITH $portableSetsSql, coeff(j, a, b) AS (VALUES $coeffValues
+       |), ${sigBandsSql("sets", "doc_id")}, sigl AS (
+       |  SELECT doc_id, list(mv ORDER BY j) AS sigv FROM sig GROUP BY doc_id
+       |), grp AS (
+       |  SELECT sigv, min(doc_id) AS rep FROM sigl GROUP BY sigv
+       |), stars AS (
+       |  SELECT g.rep AS id_a, s.doc_id AS id_b, cast(1.0 AS double) AS est
+       |  FROM sigl s JOIN grp g ON s.sigv = g.sigv
+       |  WHERE s.doc_id <> g.rep
+       |), rb AS (
+       |  SELECT b.doc_id AS rep, b.band, b.bkey
+       |  FROM bands b JOIN grp g ON b.doc_id = g.rep
+       |), cand AS (
+       |  SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
+       |  FROM rb x JOIN rb y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.rep < y.rep
+       |), est AS (
+       |  SELECT c.id_a, c.id_b,
+       |    cast(len(list_filter(range(1, len(gx.sigv) + 1),
+       |      i -> gx.sigv[i] = gy.sigv[i])) AS double) / 32.0 AS est
+       |  FROM cand c
+       |  JOIN grp gx ON c.id_a = gx.rep
+       |  JOIN grp gy ON c.id_b = gy.rep
+       |)
+       |SELECT id_a, id_b, est FROM est WHERE est >= 0.35
+       |UNION ALL
+       |SELECT id_a, id_b, est FROM stars
+       |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
+
+    // APPROXIMATE minhash near-dup: similarity = signature-agreement
+    // fraction (E[agreement] = jaccard), no shingle sets materialized —
+    // the scale-mode companion of q31's exact-verified path.
+    "q105_dedup_minhash_approx" -> QueryDef(
+      (s, dir) =>
+        Dedup.MinHashLsh.nearDupPairsApprox(Tables.documents(s, dir),
+            "text", "doc_id", threshold = 0.35, portable = true),
+      Some(minhashApproxOracleSql)),
 
     // Exact dedup: normalized-fingerprint groupBy; survivor = min doc_id.
     "q30_dedup_exact" -> QueryDef(

@@ -167,6 +167,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("approx minhash: planted near-dup estimated high, unrelated low, " +
+      "identical docs collapse to est-1.0 stars, both hash flavors") {
+    Seq(false, true).foreach { portable =>
+      val approxDocs = docs.unionByName(
+        Seq((5L, base, "en")).toDF("doc_id", "text", "lang")) // exact dup of 0
+      val out = Dedup.MinHashLsh.nearDupPairsApprox(approxDocs,
+          "text", "doc_id", threshold = 0.35, portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the planted near-dup (0,1) must surface with a HIGH estimate;
+      // the exact dup (0,5) is an identical-signature star at est 1.0
+      assert(out.exists { case (a, b, e) => a == 0L && b == 1L && e >= 0.35 },
+        s"planted near-dup missing (portable=$portable): $out")
+      assert(out.contains((0L, 5L, 1.0)),
+        s"identical doc must star-collapse at est 1.0 (portable=$portable)")
+      // nothing pairs the unrelated doc
+      assert(!out.exists { case (a, b, _) => a == 2L || b == 2L },
+        s"unrelated doc paired (portable=$portable): $out")
+      // estimates are dyadic (k/32) — FP-exact thresholding
+      assert(out.forall { case (_, _, e) => (e * 32).isWhole },
+        "estimates must be multiples of 1/32")
+    }
+  }
+
   test("sorted_intersect_bounded parity: survivors exact, filter decisions " +
       "identical to the unbounded kernel across thresholds") {
     import graft.functions.Sketches
