@@ -48,4 +48,25 @@ object TransientCache {
       d = entries.poll()
     }
   }
+
+  /** Run `f` and release every transient entry registered by the time it
+    * finishes — the bounded-retention lifecycle for LONG-LIVED callers of
+    * the dedup/similarity/multimodal operators. Those operators persist
+    * compute-once mid-frames through this registry; the entries are
+    * released only by [[clear]], so an application invoking operators
+    * repeatedly WITHOUT clearing accumulates MEMORY_AND_DISK entries
+    * without bound — exactly the eviction/GC churn the registry exists
+    * to prevent (measured: upstream leftovers doubled later queries'
+    * walls at the 100× tier). Wrap each query:
+    * {{{ val rows = TransientCache.scoped { Dedup.MinHashLsh
+    *       .nearDupPairs(docs, "text", "doc_id").collect() } }}}
+    * CAVEAT: `f` must CONSUME its result (collect/write) before
+    * returning — a lazy DataFrame escaping the block re-computes its
+    * unpersisted mid-frames per branch when finally evaluated. And the
+    * registry is process-global: the final clear releases entries from
+    * ALL in-flight queries, so concurrent query threads should prefer
+    * one [[clear]] at their own quiesce points instead.
+    */
+  def scoped[T](f: => T): T =
+    try f finally clear()
 }

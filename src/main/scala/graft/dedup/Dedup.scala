@@ -39,6 +39,14 @@ object Dedup {
     * this is the "materialize the sketch table before pairwise analysis"
     * pattern — the cached bytes are O(corpus sketch), strictly smaller
     * than the O(branches · corpus) kernel work they replace.
+    *
+    * LIFECYCLE CONTRACT for long-lived callers: these persists are
+    * registry-scoped, not query-scoped — release them between queries
+    * via [[graft.core.TransientCache.clear]] (or wrap each query in
+    * [[graft.core.TransientCache.scoped]]); an application invoking
+    * dedup operators repeatedly without clearing accumulates cache
+    * entries without bound. The streaming writers manage their own
+    * per-wave persists and never register here.
     */
   private def cachedSketch(df: DataFrame): DataFrame =
     graft.core.TransientCache.persist(df)
@@ -118,6 +126,35 @@ object Dedup {
         BigInt(n)
       }.getOrElse(BigInt(256L << 20))
     }
+
+    /** The doc's [[Bands]] LSH band keys from its 32-long signature: per
+      * band, xxhash64 of the band's [[RowsPerBand]] signature minima
+      * joined with '_', plus the band index. Key identity only routes
+      * shuffles and bucket joins — outputs carry signature VALUES, and
+      * equal signature strings hash equal on any engine run, so the
+      * portable oracles mirror the joined STRING, never the hash.
+      */
+    private[graft] def bandKeys(sig: Column): Column =
+      array((0 until Bands).map { b =>
+        xxhash64(concat_ws("_",
+          (0 until RowsPerBand).map(r =>
+            element_at(sig, b * RowsPerBand + r + 1)): _*), lit(b))
+      }: _*)
+
+    /** ~bytes per signature row when broadcast for estimator verification:
+      * 32 longs (256 B) + id + UnsafeRow/array headers. Used by the
+      * honest broadcast gate of the APPROX paths — their broadcast
+      * payload is this fixed-width row, not the O(token) shingle sets
+      * the exact paths ship, so gating on the input frame's plan-time
+      * text-bytes estimate (the exact paths' honest bound) would be
+      * conservative by the text-bytes / 300 B ratio and forfeit the
+      * broadcast on exactly the large corpora the estimator targets.
+      */
+    private val SigRowBytes = 300L
+
+    private def sigTableFits(rows: Long,
+        spark: org.apache.spark.sql.SparkSession): Boolean =
+      BigInt(rows) * SigRowBytes <= verifyBroadcastMaxBytes(spark)
 
     /** Near-dup EDGES from banded signatures, verified with exact Jaccard
       * over distinct shingle sets. Contract: the CONNECTED COMPONENTS of
@@ -233,11 +270,7 @@ object Dedup {
       // self-join exchange, O(corpus·Bands); saved: O(pairs·shared-bands)
       // — the side that explodes quadratically on dup-heavy corpora.
       val keyed = reps.select(col("id"), col("sz"),
-        array((0 until Bands).map { b =>
-          xxhash64(concat_ws("_",
-            (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
-        }: _*).as("bkeys"))
+        bandKeys(col("sig")).as("bkeys"))
       // ship only the PREFIX of the key vector the first-shared-band test
       // can inspect (bands strictly below this row's): avg Bands/2 longs
       // instead of Bands through the self-join exchange
@@ -378,12 +411,7 @@ object Dedup {
           lit(1.0).as("est"))
       // banding + first-shared-band emission, verbatim from
       // [[nearDupPairs]] (no size prefilter — there is no set size)
-      val keyed = reps.select(col("id"), col("sig"),
-        array((0 until Bands).map { b =>
-          xxhash64(concat_ws("_",
-            (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
-        }: _*).as("bkeys"))
+      val keyed = reps.select(col("id"), bandKeys(col("sig")).as("bkeys"))
       val banded = keyed
         .select(col("id"), col("bkeys"),
           posexplode(col("bkeys")).as(Seq("band", "bkey")))
@@ -401,16 +429,23 @@ object Dedup {
         .select("id_a", "id_b"))
       // estimate = positional agreement over the two signatures; the
       // signature table is candidate-pruned then broadcast under the same
-      // configurable gate as the exact path's set table (256 B/row — the
-      // gate trips only at extreme candidate volumes)
+      // configurable byte cap as the exact path's set table — but gated
+      // on the SIGNATURE table's own honest estimate (rep count ×
+      // SigRowBytes), not the input frame's plan-time size: the input's
+      // stats include the fat text column, which overstated the 256 B/row
+      // broadcast relation by orders of magnitude and forfeited the
+      // broadcast join on exactly the large corpora this estimator path
+      // exists for. The count() runs on the already-persisted reps frame,
+      // so the action materializes the cache the query reads anyway —
+      // one cached aggregate, no duplicated sketch work. Rep count bounds
+      // the pruned table from above (pruning only removes rows), so the
+      // gate never admits a relation larger than its estimate.
       val candIds = candidates
         .select(explode(array(col("id_a"), col("id_b"))).as("sid")).distinct()
       val sigs = reps.select(col("id").as("sid"), col("sig"))
         .join(candIds, Seq("sid"), "left_semi")
-      val sigsBroadcastable =
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          verifyBroadcastMaxBytes(df.sparkSession)
-      val vs = if (sigsBroadcastable) broadcast(sigs) else sigs
+      val vs = if (sigTableFits(reps.count(), df.sparkSession)) broadcast(sigs)
+        else sigs
       val matches =
         graft.functions.Sketches.sigAgreement(col("va.sig"), col("vb.sig"))
       candidates
@@ -514,11 +549,7 @@ object Dedup {
       * re-hash per product. Same output contract as [[bandsFor]].
       */
     private[graft] def bandRowsOf(sk: DataFrame): DataFrame =
-      sk.select(col("id"), col("sz"), array((0 until Bands).map { b =>
-          xxhash64(concat_ws("_",
-            (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), b * RowsPerBand + r + 1)): _*), lit(b))
-        }: _*).as("bkeys"))
+      sk.select(col("id"), col("sz"), bandKeys(col("sig")).as("bkeys"))
         .select(col("id"), col("bkeys"), col("sz"),
           posexplode(col("bkeys")).as(Seq("band", "bkey")))
         .select(col("band"), col("bkey"), col("id"),
@@ -692,6 +723,173 @@ object Dedup {
         .filter(
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             >= threshold)
+        .select("bid", "mid")
+      sk.select(col("id").as("doc_id"))
+        .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg((count(col("mid")) === 0).as("admitted"),
+          min(col("mid")).as("first_match"))
+    }
+
+    // --- APPROXIMATE (signature-only) admission ---------------------------
+
+    /** The (id, sig) rows of a document frame — what production PERSISTS
+      * (bucketed on id) as the APPROXIMATE near-dup signature ledger.
+      * 256 B per document, NO shingle sets: the exact path's sset ledger
+      * is O(corpus tokens) at rest (it IS the corpus, re-encoded as
+      * hashed shingles — measured 2× the band ledger's bytes already at
+      * sf1), while this ledger is a constant 32 longs per admitted doc
+      * regardless of document length. The estimator admission below
+      * verifies against THESE rows, so signature-only is a complete
+      * admission mode, not just a pair query.
+      */
+    def sigsFor(df: DataFrame, textCol: String, idCol: String,
+        portable: Boolean = false): DataFrame = {
+      val toks = TextFunctions.tokens(col(textCol))
+      graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
+           else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
+    }
+
+    /** The (band, bkey, id, kpfx) rows of a document frame — the
+      * APPROXIMATE band ledger: [[bandsFor]] minus `sz` (the estimator
+      * path has no shingle-set size and no size prefilter; `kpfx` — the
+      * first-shared-band test's inspection window — survives unchanged,
+      * it prunes candidate duplication identically in both modes).
+      */
+    def bandsForApprox(df: DataFrame, textCol: String, idCol: String,
+        portable: Boolean = false): DataFrame =
+      bandRowsOfSigs(sigsFor(df, textCol, idCol, portable))
+
+    /** Banding tail of [[bandsForApprox]] over an ALREADY-SKETCHED
+      * (id, sig) frame — the approx analog of [[bandRowsOf]], exposed so
+      * [[graft.streaming.NearDupStream.approxWriter]] derives the band
+      * ledger rows from its one persisted per-wave sketch.
+      */
+    private[graft] def bandRowsOfSigs(sk: DataFrame): DataFrame =
+      sk.select(col("id"), bandKeys(col("sig")).as("bkeys"))
+        .select(col("id"), col("bkeys"),
+          posexplode(col("bkeys")).as(Seq("band", "bkey")))
+        .select(col("band"), col("bkey"), col("id"),
+          slice(col("bkeys"), lit(1), col("band")).as("kpfx"))
+
+    /** APPROXIMATE incremental near-dup admission — [[nearDupIncremental]]
+      * with [[nearDupPairsApprox]]'s estimator contract in place of exact
+      * Jaccard verification: a batch doc is REJECTED iff it shares ≥ 1
+      * signature band with a corpus doc or a smaller-id batch doc AND the
+      * estimated similarity (`sig_agreement / 32`, E[agreement] =
+      * jaccard) is ≥ `threshold`. Banding recall < 1 by design; callers
+      * needing the exact thresholded admission use [[nearDupIncremental]].
+      * The payoff is per-doc persisted state: 256 B of signature instead
+      * of the O(tokens) shingle set — at 100 TB the exact mode's sset
+      * ledger is corpus-sized, this one is row-count-sized.
+      */
+    def nearDupIncrementalApprox(batch: DataFrame, corpus: DataFrame,
+        textCol: String, idCol: String, threshold: Double = 0.5,
+        portable: Boolean = false): DataFrame =
+      nearDupIncrementalLedgerApprox(batch, textCol, idCol,
+        bandsForApprox(corpus, textCol, idCol, portable),
+        sigsFor(corpus, textCol, idCol, portable), threshold, portable)
+
+    /** [[nearDupIncrementalApprox]] against PERSISTED ledgers:
+      * `corpusBands` = (band, bkey, id, kpfx) rows and `corpusSigs` =
+      * (id, sig) rows of the already-admitted corpus (what
+      * [[bandsForApprox]]/[[sigsFor]] produce and
+      * [[graft.streaming.NearDupStream.approxWriter]] maintains per
+      * micro-batch). Per-batch cost is ONE minhash pass over the batch
+      * (no shingle-set materialization at all) plus a bucket-prunable
+      * join against the band ledger; the signature ledger is consulted
+      * only for candidate mids.
+      */
+    def nearDupIncrementalLedgerApprox(batch: DataFrame, textCol: String,
+        idCol: String, corpusBands: DataFrame, corpusSigs: DataFrame,
+        threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+      val toks = TextFunctions.tokens(col(textCol))
+      val sk = graft.core.Parallelism.ensure(
+          batch.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
+           else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
+      nearDupAdmitApproxSketched(cachedSketch(sk), corpusBands, corpusSigs,
+        threshold)
+    }
+
+    /** [[nearDupIncrementalLedgerApprox]] over an ALREADY-SKETCHED
+      * (id, sig) batch. Same one-pass verdict protocol and plan shape as
+      * [[nearDupAdmitSketched]] — first-shared-band candidate emission
+      * (null-safe: a ledger row without `kpfx`, e.g. one written by a
+      * foreign producer, falls back to per-shared-band emission, which
+      * the count/min verdict aggregate absorbs exactly), per-source sig
+      * joins so a bucketed ledger ships nothing, verdict-per-batch-doc —
+      * with the estimator verify in place of the sset machinery: no
+      * shingle sets are computed, cached, or shipped anywhere in this
+      * plan. The batch sig table is candidate-pruned and broadcast under
+      * the honest rows × [[SigRowBytes]] gate (the batch is the small
+      * side by construction; past the cap the plan degrades to the
+      * shuffled sig join, never a driver OOM).
+      */
+    private[graft] def nearDupAdmitApproxSketched(sk: DataFrame,
+        corpusBands: DataFrame, corpusSigs: DataFrame, threshold: Double,
+        scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
+      require(threshold > 0 && threshold <= 1,
+        s"similarity threshold must lie in (0, 1], got $threshold")
+      val spark = sk.sparkSession
+      // batch band rows — consumed by the corpus probe and both sides of
+      // the within-batch self-join (same scoped-persist rationale as
+      // [[nearDupAdmitSketched]]: differently-aliased consumer subtrees
+      // never canonicalize equal, so unscoped each re-runs the kernel)
+      val bb = scope(bandRowsOfSigs(sk))
+      val cb =
+        if (corpusBands.columns.contains("kpfx")) corpusBands
+        else corpusBands.withColumn("kpfx", lit(null).cast("array<bigint>"))
+      val sharesEarlierBand = exists(
+        zip_with(col("kpfx_b"), col("kpfx_m"), (kb, km) => kb === km),
+        x => x)
+      val firstSharedOnly =
+        col("kpfx_m").isNull || col("kpfx_b").isNull || !sharesEarlierBand
+      val probe = bb.select(col("band"), col("bkey"), col("id").as("bid"),
+        col("kpfx").as("kpfx_b"))
+      val candCorpus = probe
+        .join(cb.select(col("band"), col("bkey"), col("id").as("mid"),
+          col("kpfx").as("kpfx_m")), Seq("band", "bkey"))
+        .filter(firstSharedOnly)
+        .select("bid", "mid")
+      val candBatch = probe
+        .join(bb.select(col("band"), col("bkey"), col("id").as("mid"),
+          col("kpfx").as("kpfx_m")), Seq("band", "bkey"))
+        .filter(col("mid") < col("bid") && firstSharedOnly)
+        .select("bid", "mid")
+      val cand = scope(candCorpus.unionByName(candBatch))
+      // batch sigs pruned to candidate-involved ids, ONE broadcast
+      // relation referenced through aliases on both verify sides
+      // (BroadcastExchange + ReusedExchange, as in the exact path)
+      val candIds = cand
+        .select(explode(array(col("bid"), col("mid"))).as("id")).distinct()
+      val prunedBatchSigs = sk.select(col("id"), col("sig"))
+        .join(candIds, Seq("id"), "left_semi")
+      // honest gate: batch rows × SigRowBytes (the count runs on the
+      // caller-persisted sketch — one cached aggregate); the candidate-
+      // pruned relation is a subset, so the estimate bounds it from above
+      val bs = if (sigTableFits(sk.count(), spark)) broadcast(prunedBatchSigs)
+        else prunedBatchSigs
+      // match-side sig attached PER SOURCE, never through a batch∪corpus
+      // union (which would discard the compacted sig ledger's id-bucketed
+      // output partitioning and re-exchange the ledger every micro-batch;
+      // a mid resolves on exactly one side — ledger and batch ids are
+      // disjoint)
+      val withM = cand
+        .join(corpusSigs.select(col("id").as("mid"), col("sig").as("sig_m")),
+          Seq("mid"))
+        .unionByName(cand
+          .join(bs.as("vbm"), col("mid") === col("vbm.id"))
+          .select(col("bid"), col("mid"), col("vbm.sig").as("sig_m")))
+      val est = graft.functions.Sketches
+        .sigAgreement(col("vba.sig"), col("sig_m"))
+        .cast("double") / lit(NumHashes.toDouble)
+      val verified = withM
+        .join(bs.as("vba"), col("bid") === col("vba.id"))
+        .filter(est >= threshold)
         .select("bid", "mid")
       sk.select(col("id").as("doc_id"))
         .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")

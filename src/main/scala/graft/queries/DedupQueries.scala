@@ -165,7 +165,63 @@ object DedupQueries extends QueryModule {
        |SELECT id_a, id_b, est FROM stars
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB mirror of q106 (APPROXIMATE incremental near-dup admission):
+    * q104's one-pass verdict protocol — per-doc portable signatures and
+    * bands, candidates vs the even-id corpus and vs smaller odd ids, the
+    * count/min verdict aggregate — with q105's estimator verify in place
+    * of exact Jaccard: a candidate rejects iff its signature-agreement
+    * fraction is ≥ t. No shingle set is consulted after the signature is
+    * built, mirroring the engine plan's whole point (the sset ledger
+    * disappears); matches/32 is a dyadic rational, exact in a double on
+    * both engines.
+    */
+  private lazy val incrementalNearDupApproxOracleSql: String =
+    s"""WITH $portableSetsSql, coeff(j, a, b) AS (VALUES $coeffValues
+       |), ${sigBandsSql("sets", "doc_id")}, sigl AS (
+       |  SELECT doc_id, list(mv ORDER BY j) AS sigv FROM sig GROUP BY doc_id
+       |), bb AS (
+       |  SELECT * FROM bands WHERE doc_id % 2 = 1
+       |), cb AS (
+       |  SELECT * FROM bands WHERE doc_id % 2 = 0
+       |), cand AS (
+       |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS mid
+       |  FROM bb b JOIN cb c ON b.band = c.band AND b.bkey = c.bkey
+       |  UNION
+       |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS mid
+       |  FROM bb x JOIN bb y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND y.doc_id < x.doc_id
+       |), ver AS (
+       |  SELECT c.bid, c.mid
+       |  FROM cand c
+       |  JOIN sigl sa ON c.bid = sa.doc_id
+       |  JOIN sigl sb ON c.mid = sb.doc_id
+       |  WHERE cast(len(list_filter(range(1, len(sa.sigv) + 1),
+       |    i -> sa.sigv[i] = sb.sigv[i])) AS double) / 32.0 >= 0.35
+       |)
+       |SELECT b.doc_id, count(v.mid) = 0 AS admitted, min(v.mid) AS first_match
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+       |LEFT JOIN ver v ON b.doc_id = v.bid
+       |GROUP BY b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
+
+    // APPROXIMATE incremental near-dup ADMISSION: q104's one-pass verdict
+    // protocol with q105's signature-agreement estimator in place of the
+    // exact-Jaccard verify — per-doc persisted state drops from O(tokens)
+    // of shingle set to 256 B of signature, the engine's streaming-scale
+    // admission mode (NearDupStream.approxWriter). Oracle re-derives
+    // bands, candidates, the estimator, and the verdict aggregate.
+    "q106_incremental_neardup_approx" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.MinHashLsh.nearDupIncrementalApprox(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "text", "doc_id", threshold = 0.35, portable = true)
+          .orderBy("doc_id")
+      },
+      Some(incrementalNearDupApproxOracleSql)),
 
     // APPROXIMATE minhash near-dup: similarity = signature-agreement
     // fraction (E[agreement] = jaccard), no shingle sets materialized —

@@ -54,9 +54,11 @@ import org.apache.spark.sql.types.StructType
   * single compaction completes mid-read (spec-pinned by compacting between
   * plan construction and action). [[read]] additionally closes the
   * stalled-reader window INSIDE itself: after resolving it re-checks the
-  * marker and re-plans from scratch whenever ≥ 2 generations landed since
-  * the resolve (and retries on a scan resolution that raced a sweep), so
-  * a read can stall arbitrarily long before building its plan. The closed
+  * marker and re-plans from scratch whenever ANY newer generation landed
+  * since the resolve (and retries on a scan resolution that raced a
+  * sweep), so a read can stall arbitrarily long before building its plan
+  * and always plans from the freshest marker, entering its return with
+  * the full one-generation margin intact. The closed
   * contract is therefore: a frame RETURNED by [[read]] stays fully
   * readable until the SECOND compaction that completes after it returns —
   * and since a compactor is single-writer per ledger (the stream's own
@@ -205,16 +207,21 @@ object LedgerCompaction {
   def read(spark: SparkSession, ledgerDir: String,
       schema: StructType): DataFrame = {
     var tries = 0
+    var lastFailure: Throwable = null
     while (tries < 64) {
       val planned = resolve(spark, ledgerDir)
       readRaceHook()
-      // stalled-reader re-check: if >= 2 generations landed since the
-      // resolve above, the planned generation's table/dirs may already be
-      // swept — re-resolve and re-plan (one newer generation is always
-      // safe: the deferred sweep never touches the second-newest's paths)
+      // stalled-reader re-check: plan only from the FRESHEST marker — if
+      // ANY generation landed since the resolve above, re-resolve and
+      // re-plan. (One newer generation would still be readable — the
+      // deferred sweep never touches the second-newest's paths — but
+      // planning from a stale marker would spend that one-generation
+      // margin before the frame is even returned, weakening the
+      // "readable until the SECOND compaction after return" contract for
+      // externally-compacted ledgers.)
       val newer = generations(spark, ledgerDir)
         .count { case (v, _) => planned.forall(v > _._1) }
-      if (newer < 2) {
+      if (newer == 0) {
         try {
           return planned match {
             case None =>
@@ -231,18 +238,27 @@ object LedgerCompaction {
                 batchFrame(spark, ledgerDir, schema, fresh))
           }
         } catch {
-          // a sweep raced the scan resolution (dropped table / deleted
-          // dir) — possible only when a second generation landed between
-          // the re-check and here; re-plan from the fresh marker
-          case _: org.apache.spark.sql.AnalysisException
-            | _: java.io.FileNotFoundException =>
+          // a sweep racing the scan resolution (dropped table / deleted
+          // dir) is possible only when newer generations landed between
+          // the re-check and here — verify that before swallowing: with
+          // the generation set unchanged this is a PERMANENT failure
+          // (corrupt generation table, genuine schema mismatch), and
+          // retrying 64 times would only bury the root cause under a
+          // misleading "is a compactor looping?" report
+          case e @ (_: org.apache.spark.sql.AnalysisException
+            | _: java.io.FileNotFoundException) =>
+            val nowNewer = generations(spark, ledgerDir)
+              .count { case (v, _) => planned.forall(v > _._1) }
+            if (nowNewer == 0) throw e
+            lastFailure = e
         }
       }
       tries += 1
     }
     throw new IllegalStateException(
       s"LedgerCompaction.read($ledgerDir): could not resolve a stable " +
-        "generation after 64 attempts — is a compactor looping?")
+        "generation after 64 attempts — is a compactor looping?",
+      lastFailure)
   }
 
   /** Absorb every committed `batch=` dir (plus the previous generation's

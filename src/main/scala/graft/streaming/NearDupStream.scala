@@ -34,6 +34,13 @@ import graft.dedup.Dedup
   *    consulted only for verified-candidate ids; compacted to an
   *    id-bucketed table the verification join reads exchange-free.
   *
+  * [[approxWriter]] is the SIGNATURE-ONLY mode: the sset ledger — the
+  * one state component above that scales with corpus TOKENS rather than
+  * corpus rows — is replaced by a 256 B/doc signature ledger, and
+  * verification by the `sig_agreement / 32` estimator (banding recall
+  * < 1 by design; this writer's `jaccard` is exact). Same exactly-once
+  * protocol, same compaction contract, ~O(corpus rows) total state.
+  *
   * Run [[compactLedgers]] on the same maintenance cadence as
   * [[DedupStream.compactLedger]] (it shares [[LedgerCompaction]]'s
   * crash-safety and deferred-cleanup contract): without it a long-running
@@ -70,6 +77,17 @@ object NearDupStream {
   private val SetsSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("sset", ArrayType(LongType, containsNull = false))))
+  // the APPROXIMATE (signature-only) mode's ledgers: band rows without
+  // `sz` (no shingle-set size exists — the estimator verify needs none)
+  // and a 256 B/doc signature ledger in place of the O(tokens) sset one
+  private val ApproxBandsSchema = StructType(Seq(
+    StructField("band", org.apache.spark.sql.types.IntegerType),
+    StructField("bkey", LongType),
+    StructField("id", LongType),
+    StructField("kpfx", ArrayType(LongType), nullable = true)))
+  private val SigsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sig", ArrayType(LongType, containsNull = false))))
   private val VerdictSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("admitted", BooleanType),
@@ -85,6 +103,17 @@ object NearDupStream {
     * at rest after [[compactLedgers]]. */
   def ledgerSets(spark: SparkSession, setsDir: String): DataFrame =
     LedgerCompaction.read(spark, setsDir, SetsSchema)
+
+  /** Committed APPROX band ledger (typed-empty on cold start); (band,
+    * bkey)-bucketed at rest after [[compactLedgersApprox]]. */
+  def ledgerBandsApprox(spark: SparkSession, bandsDir: String): DataFrame =
+    LedgerCompaction.read(spark, bandsDir, ApproxBandsSchema)
+
+  /** Committed signature ledger (typed-empty on cold start); id-bucketed
+    * at rest after [[compactLedgersApprox]] — 256 B per admitted doc,
+    * the approx mode's ENTIRE verification state. */
+  def ledgerSigs(spark: SparkSession, sigsDir: String): DataFrame =
+    LedgerCompaction.read(spark, sigsDir, SigsSchema)
 
   /** Absorb both ledgers' `batch=` dirs into their bucketed tables —
     * bands on (band, bkey) (the candidate join's exact key), ssets on id
@@ -113,6 +142,20 @@ object NearDupStream {
       LedgerCompaction.compact(spark, setsDir, SetsSchema,
         Seq("id"), buckets))
 
+  /** [[compactLedgers]] for the APPROX mode's ledgers — bands bucketed on
+    * (band, bkey) with the same kpfx backfill (minus `sz`, which this
+    * mode's schema doesn't carry), signatures bucketed on id (the
+    * estimator verify's join key, so a compacted sig ledger ships
+    * nothing per batch). The two compact independently, as in the exact
+    * mode: rows, not generations, carry the semantics.
+    */
+  def compactLedgersApprox(spark: SparkSession, bandsDir: String,
+      sigsDir: String, buckets: Int = 8): (Option[String], Option[String]) =
+    (LedgerCompaction.compact(spark, bandsDir, ApproxBandsSchema,
+        Seq("band", "bkey"), buckets, backfillKpfx),
+      LedgerCompaction.compact(spark, sigsDir, SigsSchema,
+        Seq("id"), buckets))
+
   /** Rebuild kpfx/sz for band rows written before the columns existed
     * (read as null through [[BandsSchema]]): a doc's `kpfx` at band b is
     * the slice of its full band-key array below b, and the ledger holds
@@ -131,7 +174,34 @@ object NearDupStream {
     import org.apache.spark.sql.functions._
     val legacy = bands.filter(col("kpfx").isNull)
     val ok = bands.filter(col("kpfx").isNotNull)
-    val rebuilt = legacy.select("band", "bkey", "id")
+    val rebuilt = rebuildKpfx(legacy)
+      .join(sets.select(col("id"), size(col("sset")).as("sz")).distinct(),
+        Seq("id"), "left")
+      .select("band", "bkey", "id", "kpfx", "sz")
+    ok.unionByName(rebuilt)
+  }
+
+  /** [[backfillBands]] for the APPROX band ledger: kpfx-only (this
+    * schema carries no `sz`). Null-kpfx rows exist only when a foreign
+    * producer appended bare (band, bkey, id) rows — the same rebuild
+    * restores the admission join's first-shared-band pruning for them.
+    */
+  private def backfillKpfx(bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    bands.filter(col("kpfx").isNotNull)
+      .unionByName(rebuildKpfx(bands.filter(col("kpfx").isNull)))
+  }
+
+  /** Reconstruct (band, bkey, id, kpfx) from bare (band, bkey, id) rows:
+    * a doc's `kpfx` at band b is the slice of its full band-key array
+    * below b, and the ledger holds ALL of the doc's band rows (written
+    * atomically in one batch), so the array rebuilds exactly from the
+    * doc's own rows sorted by band. Pure and deterministic, as
+    * [[LedgerCompaction.compact]]'s transform contract requires.
+    */
+  private def rebuildKpfx(legacy: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    legacy.select("band", "bkey", "id")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("band"), col("bkey")))).as("bb"))
       .select(col("id"),
@@ -139,10 +209,6 @@ object NearDupStream {
         explode(col("bb")).as("e"))
       .select(col("e.band").as("band"), col("e.bkey").as("bkey"), col("id"),
         slice(col("bkeys"), lit(1), col("e.band")).as("kpfx"))
-      .join(sets.select(col("id"), size(col("sset")).as("sz")).distinct(),
-        Seq("id"), "left")
-      .select("band", "bkey", "id", "kpfx", "sz")
-    ok.unionByName(rebuilt)
   }
 
   /** Committed verdicts across all batches. */
@@ -242,6 +308,72 @@ object NearDupStream {
       }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         compactLedgers(spark, bandsDir, setsDir)
+      ()
+    }
+
+  /** APPROXIMATE (signature-only) streaming admission — [[writer]] with
+    * [[graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedgerApprox]]'s
+    * estimator contract: a batch doc is rejected iff it shares ≥ 1
+    * signature band with an ADMITTED doc or a smaller-id batch doc AND
+    * the estimated similarity (signature agreement / 32) is ≥
+    * `threshold`. Banding recall < 1 by design — the standard
+    * LSH-approximate contract; [[writer]] remains the exact-verified
+    * mode.
+    *
+    * The 100 TB payoff is the STATE: per admitted doc this mode persists
+    * 8 band rows plus one 256 B signature — constant in document length —
+    * where the exact mode's sset ledger re-encodes the corpus' tokens
+    * (already 2× the band ledger's bytes at sf1, and at 100 TB it IS the
+    * corpus). Per-wave compute drops too: ONE minhash kernel pass per
+    * batch, no shingle-set materialization, no per-pair array
+    * intersections — the verify stage is a codegen `sig_agreement` over
+    * two 32-long arrays.
+    *
+    * Same exactly-once protocol as [[writer]] (verdict-first /
+    * ledgers-last, marker-skipped replays, re-derive-from-durable-verdict
+    * severing the recacheByPath invalidation) — the argument there is
+    * mode-agnostic: admission is a pure function of (batch data,
+    * COMMITTED ledgers) in both modes. `compactEvery` runs
+    * [[compactLedgersApprox]] on the same cadence contract.
+    */
+  def approxWriter(verdictDir: String, bandsDir: String, sigsDir: String,
+      textCol: String, idCol: String, threshold: Double = 0.5,
+      portable: Boolean = false,
+      compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val toks = graft.text.TextFunctions.tokens(col(textCol))
+      // ONE persisted (id, sig) frame per wave: admission and both ledger
+      // writes read it from cache; lineage reads only the batch source,
+      // so the ledger writes below cannot invalidate it
+      val sk = batch
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
+           else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
+        .persist()
+      val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+      val waveScope: DataFrame => DataFrame =
+        d => { val p = d.persist(); scoped.add(p); p }
+      val verdict = Dedup.MinHashLsh.nearDupAdmitApproxSketched(
+        sk, ledgerBandsApprox(spark, bandsDir), ledgerSigs(spark, sigsDir),
+        threshold, waveScope).persist()
+      try {
+        IdempotentSink.writer(verdictDir,
+          onReplay = _ => batch.foreach(_ => ()))(verdict, batchId)
+        val admittedSk = sk.join(
+          spark.read.parquet(s"$verdictDir/batch=$batchId")
+            .filter(col("admitted"))
+            .select(col("doc_id").as("id")), Seq("id"))
+        IdempotentSink.writer(bandsDir, onReplay = _ => ())(
+          Dedup.MinHashLsh.bandRowsOfSigs(admittedSk), batchId)
+        IdempotentSink.writer(sigsDir, onReplay = _ => ())(
+          admittedSk.select("id", "sig"), batchId)
+      } finally {
+        verdict.unpersist(); sk.unpersist()
+        scoped.forEach(_.unpersist())
+      }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactLedgersApprox(spark, bandsDir, sigsDir)
       ()
     }
 }

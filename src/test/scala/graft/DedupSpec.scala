@@ -278,6 +278,88 @@ class DedupSpec extends AnyFunSuite {
       "duplicated pre-upgrade rows must be absorbed too")
   }
 
+  test("approx incremental admission: corpus hit, batch tie-break, clean doc " +
+      "— ledger / bare-band / duplicated-ledger variants identical") {
+    val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, base),      // exact dup of corpus doc 0 → est 1.0, rejected vs 0
+      (13L, "totally novel sentence describing depots timetables rivers " +
+        "and junctions after the last train has gone home tonight"),
+      (15L, base),      // dup of 11 too — min match is still the corpus' 0
+      (17L, nearDup))   // near-dup of corpus doc 0 (est ≥ t at this fixture)
+      .toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("admitted"),
+          Option(r.getAs[java.lang.Long]("first_match")).map(_.toLong))))
+      .toMap
+    val got = verdicts(Dedup.MinHashLsh.nearDupIncrementalApprox(
+      batch, corpus, "text", "doc_id", threshold = 0.35, portable = true))
+    assert(got(11L) == ((false, Some(0L))), s"exact dup rejected vs corpus: $got")
+    assert(got(13L) == ((true, None)), s"novel doc admitted: $got")
+    assert(got(15L) == ((false, Some(0L))), s"min match across sources: $got")
+    assert(got(17L) == ((false, Some(0L))), s"near-dup estimated ≥ t: $got")
+    // ledger variant ≡ incremental variant, and the null-kpfx fallback
+    // (a bare 3-column band ledger from a foreign producer) plus
+    // duplicated ledger rows (replay residue) must not change verdicts
+    val bands = Dedup.MinHashLsh.bandsForApprox(corpus, "text", "doc_id",
+      portable = true)
+    val sigs = Dedup.MinHashLsh.sigsFor(corpus, "text", "doc_id",
+      portable = true)
+    def run(cb: org.apache.spark.sql.DataFrame) =
+      verdicts(Dedup.MinHashLsh.nearDupIncrementalLedgerApprox(
+        batch, "text", "doc_id", cb, sigs, threshold = 0.35, portable = true))
+    assert(run(bands) == got, "persisted-ledger variant must match")
+    assert(run(bands.select("band", "bkey", "id")) == got,
+      "bare (band, bkey, id) ledger must fall back, verdicts unchanged")
+    assert(run(bands.unionByName(bands)) == got,
+      "duplicated ledger rows must be absorbed by the verdict aggregate")
+  }
+
+  test("approx broadcast gate sizes the SIG table, not the fat text input") {
+    // 50 planted near-dup pairs of ~300 random hex words each: the raw
+    // text's plan-time estimate exceeds the byte cap (the old gate, which
+    // read the INPUT frame's stats, would forfeit the broadcast), while
+    // the 100-row signature table (~300 B/row) sits well under it
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.dedup.verifyBroadcastMaxBytes" -> "100000")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val rnd = new scala.util.Random(11)
+      def words(n: Int) =
+        Seq.fill(n)(java.lang.Long.toHexString(rnd.nextLong())).mkString(" ")
+      val rows = (0 until 50).flatMap { i =>
+        val core = words(240)
+        Seq((i * 2L, s"$core ${words(60)}"), (i * 2L + 1, s"$core ${words(60)}"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-siggate").toString
+      rows.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+      val docs = spark.read.parquet(dir)
+      assert(docs.queryExecution.optimizedPlan.stats.sizeInBytes > 100000,
+        "fixture precondition: raw input estimate must exceed the cap")
+      def planOf(maxBytes: String) = {
+        spark.conf.set("spark.graft.dedup.verifyBroadcastMaxBytes", maxBytes)
+        graft.core.TransientCache.clear()
+        val out = Dedup.MinHashLsh.nearDupPairsApprox(docs, "text", "doc_id",
+          threshold = 0.35)
+        assert(out.count() > 0, "planted pairs must verify (join is exercised)")
+        out.queryExecution.executedPlan.toString
+      }
+      assert(planOf("100000").contains("BroadcastHashJoin"),
+        "sig table under the cap must broadcast despite fat input text")
+      // the cap still binds on the sig table itself: below rows × 300 B
+      // the plan degrades to the shuffled sig join, never a forced build
+      assert(!planOf("20000").contains("BroadcastHashJoin"),
+        "sig table over the cap must fall back to the shuffled join")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("portable simhash: exact hamming pair relation equals brute force") {
     val sh = docs.select(col("doc_id"),
       graft.functions.Sketches.simhashPortable(

@@ -308,4 +308,140 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(rows(bandsMix).forall(r => r._4.isDefined && r._5.isDefined),
       "no null kpfx/sz may survive a compaction's backfill")
   }
+
+  test("approx mode: 3 waves — estimator rejections, tie-break, restart " +
+      "no-op, 256 B sig ledger, compaction parity + exchange-free joins") {
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("graft-neardup-approx")
+    val in = s"$root/in"; val out = s"$root/out"
+    val bands = s"$root/bands"; val sigs = s"$root/sigs"
+    val ckpt = s"$root/ckpt"
+    val fresh = "entirely novel content mentioning trains stations and " +
+      "platforms arriving every few minutes across the network tonight"
+    // exact duplicates make the estimator deterministic (identical
+    // signatures → est 1.0); near-dup estimates are parity-tested below
+    val waves = Seq(
+      Seq((0L, base), (1L, other)),
+      Seq((10L, base), (11L, fresh), (12L, fresh)),
+      Seq((20L, fresh)))
+    def runCycle(): Unit = {
+      val q = spark.readStream.schema("doc_id long, text string")
+        .parquet(s"$in/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(NearDupStream.approxWriter(out, bands, sigs,
+          "text", "doc_id", threshold = 0.5))
+        .start()
+      assert(q.awaitTermination(120000), "query did not terminate")
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").write.parquet(s"$in/wave$i")
+      runCycle()
+    }
+    val got = verdictMap(NearDupStream.verdicts(spark, out))
+    assert(got(0L) == ((true, None)) && got(1L) == ((true, None)),
+      s"wave-0 docs admitted: $got")
+    assert(got(10L) == ((false, Some(0L))),
+      s"duplicate of admitted base rejected with its match: $got")
+    assert(got(11L) == ((true, None)), s"fresh doc admitted: $got")
+    assert(got(12L) == ((false, Some(11L))),
+      s"within-batch duplicate rejected toward the smaller id: $got")
+    assert(got(20L) == ((false, Some(11L))),
+      s"wave-2 duplicate of the wave-1 ADMISSION rejected: $got")
+    // the signature ledger holds exactly the admitted docs — and ONLY
+    // (id, sig): no shingle set is persisted anywhere in this mode
+    val sigLedger = NearDupStream.ledgerSigs(spark, sigs)
+    assert(sigLedger.select("id").as[Long].collect().toSet == Set(0L, 1L, 11L))
+    assert(sigLedger.columns.toSeq == Seq("id", "sig"),
+      s"sig ledger must carry signatures only: ${sigLedger.columns.toSeq}")
+    assert(NearDupStream.ledgerBandsApprox(spark, bands)
+      .select("id").distinct().as[Long].collect().toSet == Set(0L, 1L, 11L))
+    // restart with no new input: nothing appended anywhere
+    val batches = IdempotentSink.committedBatches(spark, out)
+    runCycle()
+    assert(IdempotentSink.committedBatches(spark, out) == batches)
+    // compaction: probe verdicts identical before/after, then the 100 TB
+    // plan gate — both compacted ledgers join with zero Exchange above
+    // their table scans (bands on (band, bkey), sigs on id)
+    val probe = Seq((30L, base),
+      (31L, "wholly new words on ledgers buckets and generations"))
+      .toDF("doc_id", "text")
+    def admit() = graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedgerApprox(
+      probe, "text", "doc_id",
+      NearDupStream.ledgerBandsApprox(spark, bands),
+      NearDupStream.ledgerSigs(spark, sigs), 0.5)
+    val before = verdictMap(admit())
+    assert(before == Map(30L -> ((false, Some(0L))), 31L -> ((true, None))),
+      s"probe sanity: $before")
+    val (tb, ts) = NearDupStream.compactLedgersApprox(spark, bands, sigs)
+    assert(tb.isDefined && ts.isDefined)
+    val after = admit()
+    assert(verdictMap(after) == before,
+      "compaction must not change approx admission verdicts")
+    after.write.format("noop").mode("overwrite").save()
+    val ledgerShuffled = after.queryExecution.executedPlan.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.toString.contains("graft_ledger_")
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(!ledgerShuffled,
+      s"compacted approx ledgers must join exchange-free:\n${after.queryExecution.executedPlan}")
+    // the stream continues against the table-resident ledgers
+    probe.write.parquet(s"$in/wave3")
+    runCycle()
+    val got2 = verdictMap(NearDupStream.verdicts(spark, out))
+    assert(got2(30L) == ((false, Some(0L))) && got2(31L) == ((true, None)),
+      s"post-compaction wave: $got2")
+  }
+
+  test("approx mode wave parity: streamed verdicts ≡ batch-sequential " +
+      "ledger recompute on waves with genuine near-dups") {
+    import org.apache.spark.sql.functions.col
+    import graft.dedup.Dedup.MinHashLsh
+    val root = freshDir("graft-neardup-approx-parity")
+    val out = s"$root/out"; val bands = s"$root/bands"; val sigs = s"$root/sigs"
+    val fresh = "entirely novel content mentioning trains stations and " +
+      "platforms arriving every few minutes across the network tonight"
+    // near-dups (1-token changes) exercise genuine estimator values, not
+    // just the deterministic est-1.0 duplicates; whatever the estimator
+    // decides, streamed and batch paths must decide IDENTICALLY
+    val waves = Seq(
+      Seq((0L, base), (1L, other)),
+      Seq((10L, nearDup), (11L, fresh), (12L, fresh.replace("minutes", "moments"))),
+      Seq((20L, otherNear), (21L, fresh.replace("network", "district"))))
+    val w = NearDupStream.approxWriter(out, bands, sigs, "text", "doc_id", 0.5)
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      w(rows.toDF("doc_id", "text"), i.toLong)
+    }
+    // batch-sequential recompute against accumulating PARQUET ledgers
+    // (the BenchStream section-C shape: materialize per wave, never chain
+    // live plans through the ledger paths a later write would invalidate)
+    val accBands = s"$root/accBands"; val accSigs = s"$root/accSigs"
+    NearDupStream.ledgerBandsApprox(spark, s"$root/_emptyB").write.parquet(accBands)
+    NearDupStream.ledgerSigs(spark, s"$root/_emptyS").write.parquet(accSigs)
+    val batchVerdicts = waves.zipWithIndex.map { case (rows, i) =>
+      val wave = rows.toDF("doc_id", "text")
+      val vDir = s"$root/probeV_$i"
+      MinHashLsh.nearDupIncrementalLedgerApprox(wave, "text", "doc_id",
+        spark.read.parquet(accBands), spark.read.parquet(accSigs), 0.5)
+        .write.parquet(vDir)
+      val v = spark.read.parquet(vDir)
+      val admitted = wave.join(
+        v.filter(col("admitted")).select(col("doc_id")), Seq("doc_id"))
+      MinHashLsh.bandsForApprox(admitted, "text", "doc_id")
+        .write.mode("append").parquet(accBands)
+      MinHashLsh.sigsFor(admitted, "text", "doc_id")
+        .write.mode("append").parquet(accSigs)
+      v
+    }.reduce(_ unionByName _)
+    assert(verdictMap(NearDupStream.verdicts(spark, out))
+        == verdictMap(batchVerdicts),
+      "streamed approx verdicts must equal the batch-sequential recompute")
+  }
 }
