@@ -8,7 +8,7 @@ import graft.queries._
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
   * Every implemented operator from SURVEY §2 gets a `queries` entry
-  * (Spark-side) and an `oracleSql` entry (DuckDB side) — ALL 104 queries
+  * (Spark-side) and an `oracleSql` entry (DuckDB side) — ALL queries
   * are oracle-hash-gated: hash-seeded sketches run portable (md5-60)
   * variants and the codec queries gate through lossless-round-trip
   * closed forms; `oracle = None` remains supported for future operators

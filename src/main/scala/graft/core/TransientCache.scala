@@ -9,7 +9,7 @@ import org.apache.spark.storage.StorageLevel
   * .Multimodal]]'s `cachedFeature`). These are session-lifetime by
   * default (the CacheManager holds them until `unpersist`), which is
   * right for a one-shot job but lets a long multi-query session (Bench's
-  * interleaved sweeps, Verify's 104-query dump) accumulate every query's
+  * interleaved sweeps, Verify's full-suite dump) accumulate every query's
   * entries: measured at the 100× tier the eviction/GC churn of upstream
   * leftovers DOUBLED later queries' walls. Harnesses call [[clear]]
   * between queries to release exactly the engine's transient entries —

@@ -1,0 +1,199 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{IdempotentSink, LedgerCompaction, NearDupStream}
+
+/** Exact-vs-approximate streaming near-dup admission on the SAME waves —
+  * the committed evidence behind BENCH_STREAM_APPROX.json:
+  * `runMain graft.tools.BenchStreamApprox [sfDir] [outJson]`.
+  *
+  * The claim this artifact pins: [[NearDupStream.approxWriter]]'s
+  * signature-only mode removes the one state component of exact-verify
+  * admission that scales with corpus TOKENS — the shingle-set ledger —
+  * at equal wave protocol. Both modes stream the identical 6 id-range
+  * waves of `documents` (fresh AvailableNow query per wave = a
+  * kill-and-restart cycle), compact mid-run and at the end, and report:
+  *
+  *  - per-wave walls (approx runs FIRST, so one-time JVM/codegen warmup
+  *    lands on the approx side — any approx win is understated);
+  *  - total at-rest ledger bytes per mode, batch dirs PLUS the active
+  *    compacted generation's table directory (band ledger vs band
+  *    ledger, and the exact mode's sset ledger vs the approx mode's
+  *    256 B/doc sig ledger — the headline comparison);
+  *  - verdict agreement between the modes (the estimator is
+  *    approximate BY CONTRACT — banding recall < 1 and agreement/32
+  *    estimates jaccard — so this is reported, not gated).
+  *
+  * Gates (required): both modes' ledgers join exchange-free once
+  * compacted, and each mode's verdict count covers every doc exactly
+  * once.
+  */
+object BenchStreamApprox {
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def dirBytes(p: String): Long = {
+    val f = new java.io.File(p)
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else f.listFiles().map(c => dirBytes(c.toString)).sum
+  }
+
+  /** Ledger state at rest: remaining batch dirs + markers under the
+    * ledger dir, plus the ACTIVE compacted generation's table data
+    * directory (the sweep moves absorbed rows there — counting the dir
+    * alone would understate a compacted ledger to near zero). */
+  private def ledgerBytes(spark: SparkSession, dir: String): Long =
+    dirBytes(dir) + LedgerCompaction.currentCompaction(spark, dir)
+      .map { case (_, table) =>
+        val parts = table.split('.')
+        val ti =
+          if (parts.length == 2)
+            org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+          else org.apache.spark.sql.catalyst.TableIdentifier(table)
+        dirBytes(new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(ti).location).toUri.getPath)
+      }.getOrElse(0L)
+
+  private def ledgerExchangeFree(df: DataFrame): Boolean = {
+    df.write.format("noop").mode("overwrite").save()
+    !df.queryExecution.executedPlan.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.toString.contains("graft_ledger_")
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
+    val outPath = if (args.length > 1) args(1) else "BENCH_STREAM_APPROX.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.core.GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft-bench-sapprox").toString
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val nDocs = docs.count()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val nWaves = 6
+
+    /** One mode's full run: the BenchStream section-C protocol — waves
+      * land incrementally under one glob-watched input dir (identical
+      * id-range splits per mode, so identical bytes stream through both
+      * modes), one fresh AvailableNow query per wave (= a
+      * kill-and-restart cycle over a shared checkpoint), mid-run + final
+      * compactions. Returns (waveWalls, compact walls). */
+    def runMode(tag: String, in: String, ckpt: String,
+        writerFn: (DataFrame, Long) => Unit,
+        compactFn: () => Unit): (Seq[Double], Double, Double) = {
+      def cycle(i: Int): Double = timed {
+        val q = spark.readStream.schema("doc_id long, text string")
+          .parquet(s"$in/*")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(writerFn)
+          .start()
+        require(q.awaitTermination(600000), s"$tag wave $i: no termination")
+        require(q.exception.isEmpty, s"$tag wave $i failed: ${q.exception}")
+      }
+      var c1 = 0.0
+      val walls = (0 until nWaves).map { b =>
+        docs.filter(col("doc_id") >= b * maxId / nWaves &&
+            col("doc_id") < (b + 1) * maxId / nWaves)
+          .coalesce(4).write.parquet(s"$in/w$b")
+        val w = cycle(b)
+        if (b == 2) c1 = timed(compactFn())
+        w
+      }
+      val c2 = timed(compactFn())
+      (walls, c1, c2)
+    }
+
+    // ---- approx (signature-only) first: warmup lands here ----------------
+    val outA = s"$root/outA"; val bandsA = s"$root/bandsA"
+    val sigsA = s"$root/sigsA"
+    val (approxWalls, ac1, ac2) = runMode("approx", s"$root/inA", s"$root/ckptA",
+      NearDupStream.approxWriter(outA, bandsA, sigsA, "text", "doc_id",
+        threshold = 0.5),
+      () => {
+        val (tb, ts) = NearDupStream.compactLedgersApprox(spark, bandsA, sigsA)
+        require(tb.isDefined && ts.isDefined, "approx compaction must land")
+      })
+
+    // ---- exact (sset-verified) on the identical waves ---------------------
+    val outE = s"$root/outE"; val bandsE = s"$root/bandsE"
+    val setsE = s"$root/setsE"
+    val (exactWalls, ec1, ec2) = runMode("exact", s"$root/inE", s"$root/ckptE",
+      NearDupStream.writer(outE, bandsE, setsE, "text", "doc_id",
+        threshold = 0.5),
+      () => {
+        val (tb, ts) = NearDupStream.compactLedgers(spark, bandsE, setsE)
+        require(tb.isDefined && ts.isDefined, "exact compaction must land")
+      })
+
+    // ---- state + verdict comparison ---------------------------------------
+    val aBands = ledgerBytes(spark, bandsA); val aSigs = ledgerBytes(spark, sigsA)
+    val eBands = ledgerBytes(spark, bandsE); val eSets = ledgerBytes(spark, setsE)
+    val vA = NearDupStream.verdicts(spark, outA)
+      .select(col("doc_id"), col("admitted").as("adm_a"))
+    val vE = NearDupStream.verdicts(spark, outE)
+      .select(col("doc_id"), col("admitted").as("adm_e"))
+    val nA = vA.count(); val nE = vE.count()
+    require(nA == nDocs && nE == nDocs,
+      s"every doc needs exactly one verdict per mode: $nA/$nE vs $nDocs")
+    val joined = vA.join(vE, Seq("doc_id"))
+    val agree = joined.filter(col("adm_a") === col("adm_e")).count()
+    val admittedA = vA.filter(col("adm_a")).count()
+    val admittedE = vE.filter(col("adm_e")).count()
+    // plan gates: both modes' compacted ledgers join exchange-free
+    val probeA = graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedgerApprox(
+      docs.limit(1000), "text", "doc_id",
+      NearDupStream.ledgerBandsApprox(spark, bandsA),
+      NearDupStream.ledgerSigs(spark, sigsA), threshold = 0.5)
+    val probeE = graft.dedup.Dedup.MinHashLsh.nearDupIncrementalLedger(
+      docs.limit(1000), "text", "doc_id",
+      NearDupStream.ledgerBands(spark, bandsE),
+      NearDupStream.ledgerSets(spark, setsE), threshold = 0.5)
+    val xfA = ledgerExchangeFree(probeA)
+    val xfE = ledgerExchangeFree(probeE)
+
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val line =
+      s"""{"sf":"$sfDir","docs":$nDocs,"waves":$nWaves,""" +
+      s""""approx":{"wave_walls":${arr(approxWalls)},""" +
+      s""""compact1_s":${f"$ac1%.3f"},"compact2_s":${f"$ac2%.3f"},""" +
+      s""""bands_bytes":$aBands,"sigs_bytes":$aSigs,""" +
+      s""""state_bytes":${aBands + aSigs},"admitted":$admittedA,""" +
+      s""""ledgers_exchange_free":$xfA},""" +
+      s""""exact":{"wave_walls":${arr(exactWalls)},""" +
+      s""""compact1_s":${f"$ec1%.3f"},"compact2_s":${f"$ec2%.3f"},""" +
+      s""""bands_bytes":$eBands,"sets_bytes":$eSets,""" +
+      s""""state_bytes":${eBands + eSets},"admitted":$admittedE,""" +
+      s""""ledgers_exchange_free":$xfE},""" +
+      s""""verdict_agreement":${f"${agree.toDouble / nDocs}%.6f"},""" +
+      s""""verify_state_ratio":${f"${eSets.toDouble / math.max(aSigs, 1)}%.3f"}}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    require(xfA && xfE, "compacted ledgers must join exchange-free")
+    spark.stop()
+  }
+}
