@@ -61,6 +61,7 @@ for label, pattern in [
     ("'all N queries' count", r"all (\d+) queries"),
     ("'N driver queries' count", r"(\d+) driver queries"),
     ("'ALL N hash-match' count", r"ALL (\d+) hash-match"),
+    ("'N of N hash-gate' count", r"(\d+) of \d+ hash-gate"),
 ]:
     for c in re.findall(pattern, README):
         if int(c) != n_queries:
