@@ -622,6 +622,16 @@ object Dedup {
       // accumulate across an unbounded stream
       // (graft.streaming.NearDupStream.writer).
       val spark = sk.sparkSession
+      // DELIBERATELY cached unpartitioned: each consumer join re-exchanges
+      // the ~110 MB banded batch (3× at the 100× tier — measured), but the
+      // alternative — repartition(band, bkey) BEFORE the persist so the
+      // cache carries the join partitioning — measured −220 MB shuffle
+      // yet +2 s wall (≈ +18%) at that tier, A/B'd in one host window:
+      // the repartition is a barrier that serializes cache
+      // materialization ahead of every consumer, and it FREEZES the
+      // (band, bkey) skew of dup-heavy buckets into all downstream
+      // stages, where the per-join exchanges let AQE re-split hot
+      // partitions adaptively per consumer.
       val bb = scope(bandRowsOf(sk.select("id", "sig", "sz")))
       // ledgers written before bandsFor carried kpfx/sz (schema
       // evolution) arrive without the columns; conform with nulls — every

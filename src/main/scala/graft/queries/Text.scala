@@ -170,34 +170,39 @@ object Text extends QueryModule {
              |SELECT doc_id, token, tf, df, score, rn FROM scored WHERE rn <= 3
              |ORDER BY doc_id, rn""".stripMargin)),
 
-    // Gopher-style repetition signals per document. dup-token and
-    // dup-5-gram fractions are row-local array math (no shuffle); the
-    // top-bigram coverage needs the per-doc bigram MODE, which is the one
-    // genuinely distributed piece: explode bigrams → partial-agg count on
-    // (doc, gram) → max per doc, left-joined back (a doc with < 2 tokens
-    // has no bigrams → coverage 0). Coverage is the overlap-ignoring
-    // upper bound 2·max_count/n_tokens, capped at 1.
+    // Gopher-style repetition signals per document — ALL row-local array
+    // math, zero data shuffles: dup-token and dup-5-gram fractions via
+    // array_distinct, and the top-bigram coverage via the per-doc bigram
+    // MODE computed row-locally (sort the doc's bigram array, longest
+    // equal-run = mode multiplicity — TextFunctions.topNgramCount). The
+    // former distributed form (explode bigrams → (doc, gram) partial agg
+    // → per-doc max → join back) shuffled the corpus' whole gram stream
+    // to answer a per-row question: measured at the 100× tier it was
+    // 519 MB of the query's 537 MB shuffle and its two dominant stages
+    // (147 s executor). Coverage is the overlap-ignoring upper bound
+    // 2·max_count/n_tokens, capped at 1; a doc with < 2 tokens has no
+    // bigrams → coverage 0.
     "q77_repetition" -> QueryDef(
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val base = graft.core.Parallelism.ensure(d.select("doc_id", "text"))
+        graft.core.Parallelism.ensure(d.select("doc_id", "text"))
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-        val rl = base.select(col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          dupTokenFrac(col("toks")).as("dup_token_frac"),
-          dupNgramFrac(col("toks"), 5).as("dup_5gram_frac"))
-        val top = base
-          .select(col("doc_id"), explode(tokenNgrams(col("toks"), 2)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max(col("c")).as("maxc"))
-        rl.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            dupTokenFrac(col("toks")).as("dup_token_frac"),
+            dupNgramFrac(col("toks"), 5).as("dup_5gram_frac"),
+            graft.text.TextFunctions.topNgramCount(col("toks"), 2).as("maxc"))
           .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
             col("dup_5gram_frac"),
             when(col("n_tokens") > 0,
-              least((coalesce(col("maxc"), lit(0L)) * 2).cast("double")
-                / col("n_tokens"), lit(1.0)))
+              least((col("maxc") * 2).cast("double") / col("n_tokens"),
+                lit(1.0)))
               .otherwise(lit(0.0)).as("top_bigram_cover"))
-          .orderBy("doc_id")
+        // no trailing orderBy (the q31/q32 decision): a global sort's
+        // range sampler evaluates the whole row-local projection a
+        // second time — measured at the 100× tier as a duplicate 222 s
+        // executor stage — and both correctness gates sort rows
+        // themselves before hashing
       },
       Some("""WITH d AS (
              |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

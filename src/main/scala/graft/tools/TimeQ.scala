@@ -47,6 +47,7 @@ object TimeQ {
       // to a distinct count of the batch and the entire admission plan —
       // joins, verify, 644 MB of shuffle — vanishes: 0.9 s / 1.5 MB
       // where the real plan is 15 s; a profile of a shadow)
+      var lastDf: org.apache.spark.sql.DataFrame = null
       def once(dir: String): Double = {
         // per-sample cache isolation, mirroring Bench: the engine's
         // compute-once persists are session-lifetime, so without this
@@ -54,28 +55,65 @@ object TimeQ {
         // (fixture memoization survives — see TransientCache)
         graft.core.TransientCache.clear()
         val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        lastDf = df
         (System.nanoTime() - t0) / 1e9
       }
       once("/root/testdata/sf0.001") // warm
       val rows = fn(spark, sfDir).count() // untimed, display only; BEFORE
-      // the timed runs so its (count-pruned) stages never reach the
-      // stats window, which resets at the start of the final run
-      val ts = (1 to 3).map { i =>
-        if (stats && i == 3) { // report the warmed final run only
-          Thread.sleep(1000)   // let the listener bus drain prior stages
+      // the timed runs so its (count-pruned) stages never reach any
+      // sample's stats window
+      // per-sample stage snapshots, reported from the MIN-WALL sample:
+      // the host throttles under sustained load (measured: 14 → 32 →
+      // 86 s across three samples of one run), so "the final warmed
+      // run" can be the most-throttled one and its per-stage executor
+      // times attribute the stall to whatever stage was running
+      case class Snap(wall: Double, mb: Long, tasks: Long,
+        st: Seq[(String, Long, Int)])
+      val samples = (1 to 3).map { _ =>
+        if (stats) {
+          Thread.sleep(1000) // let the listener bus drain prior stages
           shuffleBytes.set(0); taskCount.set(0); stages.clear()
         }
-        once(sfDir)
+        val w = once(sfDir)
+        if (stats) Thread.sleep(1000) // drain this sample's stages
+        import scala.jdk.CollectionConverters._
+        Snap(w, shuffleBytes.get, taskCount.get, stages.asScala.toSeq)
       }
+      val ts = samples.map(_.wall)
       println(f"[timeq] $n%-24s ${ts.map(t => f"$t%.3f").mkString(" ")} min=${ts.min}%.3f rows=$rows")
       if (stats) {
-        Thread.sleep(1000) // let the listener bus drain the final stages
-        println(f"[timeq] $n%-24s shuffleMB=${shuffleBytes.get / 1e6}%.1f tasks=${taskCount.get}")
-        import scala.jdk.CollectionConverters._
-        stages.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (nm, w, t) =>
+        val best = samples.minBy(_.wall)
+        println(f"[timeq] $n%-24s shuffleMB=${best.mb / 1e6}%.1f tasks=${best.tasks} (stages from the min-wall sample)")
+        best.st.sortBy(-_._2).take(12).foreach { case (nm, w, t) =>
           println(f"[timeq]   stage ${w / 1e6}%8.1fMB tasks=$t%-5d $nm")
         }
+        // name every exchange: walk the LAST run's executed plan
+        // (recursing into AQE query stages and cached plans, where the
+        // scoped-persist mid-frames hide their join exchanges) and print
+        // each shuffle's written bytes with its child node — the exact
+        // map from the stage table above onto plan nodes
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+        val seen = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean])
+        def walk(p: SparkPlan, depth: Int): Unit = if (seen.add(p)) p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+          case q: QueryStageExec => walk(q.plan, depth)
+          case e: ShuffleExchangeExec =>
+            val mb = e.metrics.get("shuffleBytesWritten")
+              .map(_.value / 1e6).getOrElse(-1.0)
+            println(f"[timeq]   xchg${"  " * depth} $mb%8.1fMB <- ${e.child.nodeName} ${e.child.simpleString(4).take(150)}")
+            walk(e.child, depth)
+          case r: ReusedExchangeExec =>
+            println(f"[timeq]   xchg${"  " * depth}    reuse <- ${r.child.nodeName}")
+          case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            walk(im.relation.cachedPlan, depth + 1) // scoped-persist interior
+          case o => o.children.foreach(walk(_, depth))
+        }
+        walk(lastDf.queryExecution.executedPlan, 0)
       }
       if (explain) fn(spark, sfDir).explain("formatted")
     }

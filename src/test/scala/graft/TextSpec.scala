@@ -75,6 +75,34 @@ class TextSpec extends AnyFunSuite {
     assert(r(1L) == 0.0) // no bigrams → null maxc → 0
   }
 
+  test("topNgramCount: row-local mode multiplicity equals the " +
+      "explode+groupBy count on adversarial docs") {
+    // planted repeats, all-distinct, below-threshold, interleaved runs,
+    // and a repeated-single-token doc whose bigrams are all equal
+    val d = Seq(
+      (0L, "x y x y x y"),           // "x y" ×3 (also "y x" ×2)
+      (1L, "a b c d e f"),           // all distinct → mode 1
+      (2L, "solo"),                  // no bigrams → 0
+      (3L, ""),                      // empty → 0
+      (4L, "a a a a"),               // "a a" ×3
+      (5L, "p q r p q s p q"))       // "p q" ×3, non-adjacent occurrences
+      .toDF("doc_id", "text")
+    val base = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val local = base.select(col("doc_id"),
+        topNgramCount(col("toks"), 2).as("maxc"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(local == Map(0L -> 3L, 1L -> 1L, 2L -> 0L, 3L -> 0L,
+      4L -> 3L, 5L -> 3L), s"planted modes: $local")
+    // parity with the distributed form on every doc that HAS bigrams
+    val dist = base
+      .select(col("doc_id"), explode(tokenNgrams(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("maxc"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(dist.forall { case (id, c) => local(id) == c },
+      s"row-local mode must equal the grouped count: $local vs $dist")
+  }
+
   test("bm25: hand-computed scores, ranking, and non-matching doc exclusion") {
     val docs = Seq(
       (1L, "spark spark fast"),
