@@ -66,7 +66,11 @@ import org.apache.spark.sql.types.StructType
   * batch's reads are consumed), an in-stream reader can never see two.
   * External compactors must keep invocations spaced wider than one
   * micro-batch — the same single-writer contract as
-  * [[graft.similarity.Ann.writeIvfIndex]].
+  * [[graft.similarity.Ann.writeIvfIndex]] — and the contract is now
+  * CHECKED, not just convention: [[compact]] takes a `_compacting`
+  * write-if-absent lease first, so a second concurrent compactor
+  * defers cleanly (no writes, ledger stays readable) and a crashed
+  * holder's stale lease is stolen after `leaseTimeoutMs`.
   */
 object LedgerCompaction {
 
@@ -298,14 +302,48 @@ object LedgerCompaction {
     * harmless duplication that [[read]] excludes (`> version` filter) and
     * a later sweep removes.
     */
+  /** Best-effort write-if-absent lease defending the single-writer
+    * contract: a SECOND compactor invoked while one is running defers
+    * (returns the current generation, compacts nothing) instead of
+    * interleaving its generation writes and sweeps with the holder's. A
+    * lease older than `leaseTimeoutMs` is presumed crashed and STOLEN —
+    * the compaction body is already idempotent-resumable, so taking
+    * over a dead holder's half-written generation is safe. The lease is
+    * advisory defense-in-depth (HDFS/local `create(overwrite=false)` is
+    * atomic; object stores without atomic create keep only the
+    * documented convention) — correctness never depends on it, it just
+    * converts a contract violation into a clean no-op.
+    */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      leaseTimeoutMs: Long): Boolean = {
+    val lease = new Path(root, "_compacting")
+    def tryCreate(): Boolean =
+      try { fs.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    tryCreate() || {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime > leaseTimeoutMs
+        catch { case _: java.io.FileNotFoundException => true }
+      stale && { fs.delete(lease, false); tryCreate() }
+    }
+  }
+
   def compact(spark: SparkSession, ledgerDir: String, schema: StructType,
       bucketCols: Seq[String], buckets: Int,
-      transform: DataFrame => DataFrame = identity): Option[String] = {
+      transform: DataFrame => DataFrame = identity,
+      leaseTimeoutMs: Long = 30L * 60 * 1000): Option[String] = {
     val (root, fs) = fsOf(spark, ledgerDir)
     val ids = IdempotentSink.committedBatches(spark, ledgerDir)
     val current = resolve(spark, ledgerDir)
     val fresh = current.fold(ids) { case (v, _, _) => ids.filter(_ > v) }
     if (ids.isEmpty && current.isEmpty) return None
+    // single-writer lease: a concurrent compactor defers cleanly — the
+    // ledger stays readable (nothing written) and the next maintenance
+    // cadence retries; a stale lease (crashed holder) is stolen
+    if (!acquireLease(fs, root, leaseTimeoutMs))
+      return current.map(_._2)
+    try {
 
     if (fresh.nonEmpty) {
       val version = math.max(ids.max, current.map(_._1 + 1).getOrElse(0L))
@@ -372,5 +410,6 @@ object LedgerCompaction {
         }
     }
     currentCompaction(spark, ledgerDir).map(_._2)
+    } finally fs.delete(new Path(root, "_compacting"), false)
   }
 }

@@ -78,6 +78,37 @@ class LedgerCompactionSpec extends AnyFunSuite {
       == Set(1L, 2L, 3L), "ledger rows intact through the crashed sweep")
   }
 
+  test("compactor lease: a concurrent compactor defers cleanly; a stale " +
+      "lease is stolen and released") {
+    val dir = freshDir("graft-ledger-lease")
+    writeBatch(dir, 0L, Seq(1L, 2L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(dir, "_compacting")
+    // another compactor "is running": its lease exists and is fresh —
+    // this invocation must defer WITHOUT writing a generation, and the
+    // ledger must stay fully readable
+    fs.create(lease, false).close()
+    assert(compact(dir).isEmpty,
+      "second compactor must defer (no generation) while the lease is held")
+    assert(LedgerCompaction.currentCompaction(spark, dir).isEmpty,
+      "deferred compactor must not have written a generation")
+    assert(LedgerCompaction.read(spark, dir, schema)
+      .as[Long].collect().toSet == Set(1L, 2L), "ledger readable throughout")
+    // the holder crashed: its lease ages past the timeout — the next
+    // invocation steals it, compacts, and releases the lease
+    fs.setTimes(lease, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    assert(compact(dir).isDefined, "stale lease must be stolen")
+    assert(!fs.exists(lease), "lease released after compaction")
+    assert(LedgerCompaction.read(spark, dir, schema)
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // and with the lease gone, normal operation resumes
+    writeBatch(dir, 1L, Seq(3L))
+    assert(compact(dir).isDefined)
+    assert(LedgerCompaction.read(spark, dir, schema)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("cross-database: a reader and sweeper whose current database " +
       "differs from the compactor's resolve the marker-stored table") {
     val dir = freshDir("graft-ledger-xdb")
