@@ -25,7 +25,9 @@ import graft.streaming.{DedupStream, NearDupStream}
   * as the ledger crosses the broadcast threshold):
   *
   *  - [[DedupStream]] (exact, fingerprint ledger);
-  *  - [[NearDupStream]] (MinHash/LSH admission, band + sset ledgers).
+  *  - [[NearDupStream]] (MinHash/LSH admission, band + sset ledgers);
+  *  - [[NearDupStream.approxWriter]] (estimator admission, band + 256 B
+  *    signature ledgers — the mode whose state is row-count-sized).
   *
   * Per wave it records the wall and the number of Spark tasks the cycle
   * ran (SparkListener delta — dominated by the ledger-side scans, the
@@ -148,6 +150,10 @@ object BenchStreamLong {
     val (nWalls, nTasks) = runSection("neardup", s"$root/inC", s"$root/ckptC",
       NearDupStream.writer(s"$root/outC", s"$root/bandsC", s"$root/setsC",
         "text", "doc_id", 0.5, compactEvery = cadence))
+    val (aWalls, aTasks) = runSection("neardup-approx", s"$root/inD",
+      s"$root/ckptD",
+      NearDupStream.approxWriter(s"$root/outD", s"$root/bandsD",
+        s"$root/sigsD", "text", "doc_id", 0.5, compactEvery = cadence))
 
     // flatness gates. Cycle-aligned task comparison: wave w and wave
     // w + cadence face the same number of un-absorbed batch dirs, so
@@ -178,8 +184,10 @@ object BenchStreamLong {
       l / e
     }
     phaseFlat("dedup", dTasks); phaseFlat("neardup", nTasks)
+    phaseFlat("neardup-approx", aTasks)
     val dRatio = wallFlat("dedup", dWalls)
     val nRatio = wallFlat("neardup", nWalls)
+    val aRatio = wallFlat("neardup-approx", aWalls)
 
     def arrD(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     def arrL(xs: Seq[Long]) = xs.mkString("[", ",", "]")
@@ -188,7 +196,9 @@ object BenchStreamLong {
       s""""dedup":{"wave_walls":${arrD(dWalls)},"wave_tasks":${arrL(dTasks)},""" +
       s""""late_over_early_wall":${f"$dRatio%.3f"}},""" +
       s""""neardup":{"wave_walls":${arrD(nWalls)},"wave_tasks":${arrL(nTasks)},""" +
-      s""""late_over_early_wall":${f"$nRatio%.3f"}}}"""
+      s""""late_over_early_wall":${f"$nRatio%.3f"}},""" +
+      s""""neardup_approx":{"wave_walls":${arrD(aWalls)},"wave_tasks":${arrL(aTasks)},""" +
+      s""""late_over_early_wall":${f"$aRatio%.3f"}}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
