@@ -78,6 +78,13 @@ object BenchStreamApprox {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
     val outPath = if (args.length > 1) args(1) else "BENCH_STREAM_APPROX.json"
+    // optional 3rd arg: concatenate groups of N fixture docs into one
+    // long document each (same corpus tokens, N× the tokens per doc) —
+    // the sf fixtures' ~300-token docs UNDERSTATE the sset-vs-sig state
+    // gap, which is linear in document length (signatures are fixed
+    // 256 B; shingle sets are O(tokens)); real training corpora run
+    // 1k-100k tokens/doc
+    val groupN = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,8 +95,14 @@ object BenchStreamApprox {
     spark.sparkContext.setLogLevel("ERROR")
     val root = Files.createTempDirectory("graft-bench-sapprox").toString
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
+    val docs =
+      if (groupN <= 1) raw
+      else raw.groupBy((col("doc_id") / groupN).cast("long").as("doc_id"))
+        .agg(concat_ws(" ", sort_array(collect_list(
+          struct(col("doc_id").as("o"), col("text").as("t"))))
+          .getField("t")).as("text"))
     val nDocs = docs.count()
     val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
     val nWaves = 6
@@ -177,7 +190,7 @@ object BenchStreamApprox {
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"sf":"$sfDir","docs":$nDocs,"waves":$nWaves,""" +
+      s"""{"sf":"$sfDir","docs":$nDocs,"doc_group":$groupN,"waves":$nWaves,""" +
       s""""approx":{"wave_walls":${arr(approxWalls)},""" +
       s""""compact1_s":${f"$ac1%.3f"},"compact2_s":${f"$ac2%.3f"},""" +
       s""""bands_bytes":$aBands,"sigs_bytes":$aSigs,""" +

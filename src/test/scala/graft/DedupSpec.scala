@@ -306,14 +306,22 @@ class DedupSpec extends AnyFunSuite {
       portable = true)
     val sigs = Dedup.MinHashLsh.sigsFor(corpus, "text", "doc_id",
       portable = true)
-    def run(cb: org.apache.spark.sql.DataFrame) =
+    def run(cb: org.apache.spark.sql.DataFrame,
+        cs: org.apache.spark.sql.DataFrame = sigs) =
       verdicts(Dedup.MinHashLsh.nearDupIncrementalLedgerApprox(
-        batch, "text", "doc_id", cb, sigs, threshold = 0.35, portable = true))
+        batch, "text", "doc_id", cb, cs, threshold = 0.35, portable = true))
     assert(run(bands) == got, "persisted-ledger variant must match")
     assert(run(bands.select("band", "bkey", "id")) == got,
       "bare (band, bkey, id) ledger must fall back, verdicts unchanged")
     assert(run(bands.unionByName(bands)) == got,
-      "duplicated ledger rows must be absorbed by the verdict aggregate")
+      "duplicated band-ledger rows must be absorbed by the verdict aggregate")
+    // replay residue can duplicate the SIG ledger too (rows, not
+    // generations, carry the semantics): duplicated (id, sig) rows
+    // duplicate verified candidates, which count/min absorbs exactly
+    assert(run(bands, sigs.unionByName(sigs)) == got,
+      "duplicated sig-ledger rows must be absorbed by the verdict aggregate")
+    assert(run(bands.unionByName(bands), sigs.unionByName(sigs)) == got,
+      "compounded band+sig duplication must be absorbed too")
   }
 
   test("approx broadcast gate sizes the SIG table, not the fat text input") {

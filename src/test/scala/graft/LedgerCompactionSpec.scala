@@ -78,6 +78,33 @@ class LedgerCompactionSpec extends AnyFunSuite {
       == Set(1L, 2L, 3L), "ledger rows intact through the crashed sweep")
   }
 
+  test("a corrupt NEWEST generation surfaces as its own error immediately, " +
+      "not as a 64-retry timeout") {
+    val dir = freshDir("graft-ledger-corrupt")
+    writeBatch(dir, 0L, Seq(1L))
+    val t1 = compact(dir).get
+    writeBatch(dir, 1L, Seq(2L))
+    val t2 = compact(dir).get // newest generation
+    assert(t2 != t1)
+    // destroy generation 2's table AND data directory, marker left — a
+    // genuine corruption (no newer generation exists), not a sweep race
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        t2.split('.').last)).location)
+    spark.sql(s"DROP TABLE IF EXISTS ${t2.split('.').map(p => s"`$p`").mkString(".")}")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      LedgerCompaction.read(spark, dir, schema).collect()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(!e.isInstanceOf[IllegalStateException],
+      s"must rethrow the root cause, not the retry-loop timeout: $e")
+    assert(secs < 30,
+      f"permanent failure must surface immediately, took $secs%.1f s")
+  }
+
   test("compactor lease: a concurrent compactor defers cleanly; a stale " +
       "lease is stolen and released") {
     val dir = freshDir("graft-ledger-lease")
