@@ -400,6 +400,34 @@ class StreamingNearDupSpec extends AnyFunSuite {
       s"post-compaction wave: $got2")
   }
 
+  test("approx mode: crash between verdict commit and ledger commits " +
+      "replays identically") {
+    val root = freshDir("graft-neardup-approx-crash")
+    val out = s"$root/out"; val bands = s"$root/bands"; val sigs = s"$root/sigs"
+    val w = NearDupStream.approxWriter(out, bands, sigs, "text", "doc_id", 0.5)
+    w(Seq((0L, base)).toDF("doc_id", "text"), 0L)
+    w(Seq((1L, other), (2L, base)).toDF("doc_id", "text"), 1L)
+    val fs = new org.apache.hadoop.fs.Path(bands)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: batch 1's verdict committed, both ledgers died
+    for (dir <- Seq(bands, sigs)) {
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_committed-1"), false))
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=1"), true))
+    }
+    // replay: verdict skips on its marker, ledgers rebuild identically —
+    // the recompute sees the same COMMITTED (batch-0) ledgers
+    w(Seq((1L, other), (2L, base)).toDF("doc_id", "text"), 1L)
+    val got = verdictMap(NearDupStream.verdicts(spark, out))
+    assert(got == Map(0L -> ((true, None)), 1L -> ((true, None)),
+      2L -> ((false, Some(0L)))), s"replayed verdicts: $got")
+    assert(NearDupStream.ledgerSigs(spark, sigs)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L))
+    // a duplicate arriving later is rejected against the rebuilt ledger
+    w(Seq((3L, other)).toDF("doc_id", "text"), 2L)
+    val v3 = verdictMap(NearDupStream.verdicts(spark, out))(3L)
+    assert(v3 == ((false, Some(1L))), s"post-replay rejection: $v3")
+  }
+
   test("approx mode wave parity: streamed verdicts ≡ batch-sequential " +
       "ledger recompute on waves with genuine near-dups") {
     import org.apache.spark.sql.functions.col
