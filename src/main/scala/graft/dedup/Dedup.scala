@@ -1410,21 +1410,45 @@ object Dedup {
     * ≪ edges) sit orders of magnitude below: the q91 graph's 19M
     * directed rows carry ~1M nodes ≈ 55 MB, closing in ~2 s of driver
     * union-find vs ~10 s of 8 pointer-jump rounds. The gate is the
-    * caller's knob for thin-graph workloads on small drivers.
+    * caller's knob for thin-graph workloads on small drivers —
+    * deployment-tunable via `spark.graft.dedup.ccDriverMaxEdges`
+    * (directed-edge count): a 100 GB driver comfortably closes a
+    * 100M-edge graph (1.6 GB transient blocks) in seconds where the
+    * distributed loop pays log2(diameter) rounds of cluster scheduling.
     */
   private val DriverCcMaxDirectedEdges = 24L * 1000 * 1000
+
+  private def ccDriverGate(spark: org.apache.spark.sql.SparkSession,
+      fallback: Long): Long =
+    spark.conf.getOption("spark.graft.dedup.ccDriverMaxEdges").map { v =>
+      val n =
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.dedup.ccDriverMaxEdges must be a plain directed-" +
+              s"edge count (got '$v')")
+        }
+      require(n >= 0,
+        s"spark.graft.dedup.ccDriverMaxEdges must be >= 0 (got $n); 0 " +
+          "forces the distributed pointer-jumping path")
+      n
+    }.getOrElse(fallback)
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25,
       driverMaxEdges: Long = DriverCcMaxDirectedEdges): DataFrame = {
-    // resetStats after every checkpoint: the pointer-jump round self-joins
-    // `labels`, so checkpoint-inherited sizeInBytes estimates SQUARE each
-    // round and stats computation alone becomes the driver bottleneck
-    // (million-bit BigInt products by round ~14 — see GraftShim.resetStats)
+    // checkpointFresh = checkpoint + default stats + the FINAL plan's
+    // hash partitioning on the new leaf. Fresh stats because the
+    // pointer-jump round self-joins `labels`, so checkpoint-inherited
+    // sizeInBytes estimates SQUARE each round and stats computation alone
+    // becomes the driver bottleneck (million-bit BigInt products by round
+    // ~14). Preserved partitioning because `edges` below is deliberately
+    // repartitioned on the propagation join key — plain
+    // Dataset.checkpoint under AQE records UnknownPartitioning and every
+    // round's edges⋈delta join then re-exchanged the static edge list
+    // (see GraftShim.checkpointFresh).
     def truncate(df: DataFrame): DataFrame =
-      org.apache.spark.sql.GraftShim.resetStats(
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint())
+      org.apache.spark.sql.GraftShim.checkpointFresh(df)
     // free a superseded truncated frame: the checkpointed RDD sits in the
     // plan as a LogicalRDD leaf — delete its files (reliable) or unpersist
     // its blocks (local). Safe immediately: checkpoint() is eager, so the
@@ -1486,7 +1510,8 @@ object Dedup {
     // shape that works when the edge list itself is big, and there the
     // real per-round work dwarfs the scheduling.
     val nDirected = edges.count()
-    if (nDirected > 0 && nDirected <= driverMaxEdges) {
+    if (nDirected > 0 &&
+        nDirected <= ccDriverGate(pairs.sparkSession, driverMaxEdges)) {
       // open-addressed long→index table over primitive arrays: a
       // LongMap[Int] boxes every value, tripling resident bytes per node
       // at gate-max graphs; this stays at 13 B/slot (≤ 26 B/node at the
@@ -1619,25 +1644,56 @@ object Dedup {
     // runs when the sum is 0 (empty graph, or labels summing to zero — the
     // latter just takes one confirming loop round)
     var converged = prevSum.signum == 0 && labels.isEmpty
+    // DELTA propagation: only labels that CHANGED last round enter the
+    // edge join and the pointer jumps. The full-labels form re-propagated
+    // every STABLE label through the edge-sized join every round —
+    // measured on q107's 34M-directed-edge graph: 263 MB of shuffle per
+    // round × 5 rounds, ~85% of it labels that had already converged.
+    // Sound because `labels` is the CUMULATIVE min (the groupBy below
+    // retains every previously-applied contribution) and each rule's
+    // output is re-derived in the round after ANY of its inputs changes:
+    //  - prop(src→dst): edges are static, so only a changed src label
+    //    yields a new contribution;
+    //  - jump comp(u) ← comp(comp(u)): re-derived when the POINTEE's
+    //    label changes (jump1, delta on the comp side) AND when the
+    //    pointer itself changes (jump2, delta on the u side) — a node
+    //    acquiring a new pointer c must read comp(c) even though c's own
+    //    label is old.
+    // Same monotone operator, same least fixpoint, same ~log2(diameter)
+    // round count — only the per-round traffic shrinks with the delta.
+    var delta = labels // round 1 propagates everything (post-init state)
     while (iter < maxIter && !converged) {
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      val prop = edges.join(delta.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
       // pointer jump: comp(u) ← comp(comp(u)). Every comp value is itself a
       // node id (it is the min of a set of node ids), so the inner join
       // drops nothing; the jump rows only ever LOWER a node's label.
-      val jump = labels.join(
+      val jump1 = labels.join(
+          delta.select(col("id").as("comp"), col("comp").as("comp2")), "comp")
+        .select(col("id"), col("comp2").as("comp"))
+      val jump2 = delta.join(
           labels.select(col("id").as("comp"), col("comp").as("comp2")), "comp")
         .select(col("id"), col("comp2").as("comp"))
       val next = truncate(
-        labels.union(prop).union(jump).groupBy("id").agg(min("comp").as("comp")))
+        labels.union(prop).union(jump1).union(jump2)
+          .groupBy("id").agg(min("comp").as("comp")))
       val s = labelSum(next)
+      // next round's delta: ids whose label LOWERED this round (labels
+      // only ever decrease, so inequality is the full change set)
+      val nd = truncate(next
+        .join(labels.withColumnRenamed("comp", "oldc"), "id")
+        .filter(col("comp") < col("oldc"))
+        .select("id", "comp"))
+      if (!(delta eq labels)) release(delta)
       release(labels)
       labels = next
+      delta = nd
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
       logRound("round")
     }
+    if (!(delta eq labels)) release(delta)
     release(edges)
     // partially propagated labels would silently split one component into
     // several "clusters" (several dedup survivors) — refuse instead; the

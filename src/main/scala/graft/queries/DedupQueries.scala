@@ -135,8 +135,11 @@ object DedupQueries extends QueryModule {
     * band with estimate ≥ t (banding recall < 1 by design), restated
     * verbatim here so the hash gates the definition, not a coincidence.
     */
-  private lazy val minhashApproxOracleSql: String =
-    s"""WITH $portableSetsSql, coeff(j, a, b) AS (VALUES $coeffValues
+  /** The q105 estimator-pair pipeline as a reusable CTE chain (through
+    * `est` and `stars`) — q105 selects the thresholded pairs directly;
+    * q107 closes their transitive hull. */
+  private lazy val minhashApproxPairsCtes: String =
+    s"""$portableSetsSql, coeff(j, a, b) AS (VALUES $coeffValues
        |), ${sigBandsSql("sets", "doc_id")}, sigl AS (
        |  SELECT doc_id, list(mv ORDER BY j) AS sigv FROM sig GROUP BY doc_id
        |), grp AS (
@@ -159,11 +162,41 @@ object DedupQueries extends QueryModule {
        |  FROM cand c
        |  JOIN grp gx ON c.id_a = gx.rep
        |  JOIN grp gy ON c.id_b = gy.rep
-       |)
+       |)""".stripMargin
+
+  private lazy val minhashApproxOracleSql: String =
+    s"""WITH $minhashApproxPairsCtes
        |SELECT id_a, id_b, est FROM est WHERE est >= 0.35
        |UNION ALL
        |SELECT id_a, id_b, est FROM stars
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of q107 (approx duplicate clusters): the q105
+    * estimator pair graph closed transitively with a recursive CTE
+    * (q76's pattern), every paired doc labeled with its min reachable id
+    * and cluster size. `apairs AS MATERIALIZED`: the recursive `reach`
+    * consumes the pair set per iteration, and DuckDB would otherwise
+    * inline (re-run) the whole sketch pipeline per reference.
+    */
+  private lazy val approxClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashApproxPairsCtes, apairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM est WHERE est >= 0.35
+       |  UNION ALL
+       |  SELECT id_a, id_b FROM stars
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM apairs
+       |  UNION
+       |  SELECT id_b, id_a FROM apairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comps AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS comp
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
+       |FROM comps ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of q106 (APPROXIMATE incremental near-dup admission):
     * q104's one-pass verdict protocol — per-doc portable signatures and
@@ -231,6 +264,26 @@ object DedupQueries extends QueryModule {
         Dedup.MinHashLsh.nearDupPairsApprox(Tables.documents(s, dir),
             "text", "doc_id", threshold = 0.35, portable = true),
       Some(minhashApproxOracleSql)),
+
+    // APPROX duplicate clusters: connected components over the q105
+    // estimator pair graph — the cluster-level consumer of the
+    // signature-only family (pairs: q105; admission: q106; clusters:
+    // here). At 100 TB a first-pass dedup sweep clusters from estimator
+    // pairs: the pair plan never materializes a shingle set, and the CC
+    // machinery is the same star-collapsed pointer-jumping path q76
+    // proves against exact pairs.
+    "q107_dup_clusters_approx" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.MinHashLsh.nearDupPairsApprox(
+          Tables.documents(s, dir), "text", "doc_id",
+          threshold = 0.35, portable = true)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+        cc.withColumn("csize", count(lit(1)).over(w))
+          .select(col("id").as("doc_id"), col("comp"), col("csize"))
+          .orderBy("doc_id")
+      },
+      Some(approxClustersOracleSql)),
 
     // Exact dedup: normalized-fingerprint groupBy; survivor = min doc_id.
     "q30_dedup_exact" -> QueryDef(
