@@ -48,7 +48,7 @@ object Dedup {
     * entries without bound. The streaming writers manage their own
     * per-wave persists and never register here.
     */
-  private def cachedSketch(df: DataFrame): DataFrame =
+  private[dedup] def cachedSketch(df: DataFrame): DataFrame =
     graft.core.TransientCache.persist(df)
 
   /** Exact dedup: survivors + duplicate counts per normalized fingerprint. */
@@ -385,6 +385,14 @@ object Dedup {
       * the exact thresholded relation use [[nearDupPairs]]. `est` is
       * matches/32 — a dyadic rational, exactly representable in a
       * double, so thresholding and oracle hashing are FP-safe.
+      *
+      * EAGER construction: building the returned frame runs the rep
+      * count that drives the verify-broadcast gate (one cached aggregate
+      * on the persisted rep sketch — the same cache every action reads),
+      * so the sketch materializes even if the caller never executes the
+      * frame, and the gate decision is frozen at construction time. The
+      * one-shot query/bench callers this batch API serves always execute
+      * it; latency-sensitive callers should construct it where they run it.
       */
     def nearDupPairsApprox(df: DataFrame, textCol: String, idCol: String,
         threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
@@ -841,7 +849,45 @@ object Dedup {
       */
     private[graft] def nearDupAdmitApproxSketched(sk: DataFrame,
         corpusBands: DataFrame, corpusSigs: DataFrame, threshold: Double,
-        scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
+        scope: DataFrame => DataFrame = cachedSketch,
+        knownRows: Option[Long] = None): DataFrame = {
+      val verified = approxVerifiedPairs(sk, corpusBands, corpusSigs,
+        threshold, scope, knownRows)
+      sk.select(col("id").as("doc_id"))
+        .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg((count(col("mid")) === 0).as("admitted"),
+          min(col("mid")).as("first_match"))
+    }
+
+    /** The estimator-VERIFIED (bid, mid) pairs of a sketched batch against
+      * the approx ledgers — the shared kernel of [[nearDupAdmitApproxSketched]]
+      * (which collapses it to per-doc verdicts) and
+      * [[IncrementalClusters.foldWave]] (which folds it into persisted
+      * cluster labels): `bid` is a batch doc, `mid` a corpus doc or a
+      * smaller-id batch doc, and the pair shares ≥ 1 signature band with
+      * `sig_agreement / 32 ≥ threshold`. With every doc's bands appended
+      * to the ledger each wave, the union of these pair sets over waves is
+      * EXACTLY [[nearDupPairsApprox]]'s thresholded relation over the full
+      * corpus (each unordered pair surfaces once, in the later endpoint's
+      * wave) — the identity q108 gates hash-exact against q107's oracle.
+      *
+      * Multiplicity caveat: with `kpfx` present a pair is emitted from its
+      * first shared band only (exactly once); a null-kpfx ledger row falls
+      * back to per-shared-band emission — duplicate rows the admission
+      * aggregate absorbs and cluster folding tolerates (CC is idempotent
+      * under duplicate edges).
+      *
+      * `knownRows` threads an already-materialized batch count into the
+      * broadcast gate (the streaming writers count their persisted wave
+      * sketch once anyway) so constructing the plan schedules no extra
+      * driver job; without it the gate counts `sk` itself — eager
+      * construction, same caveat as [[nearDupPairsApprox]].
+      */
+    private[graft] def approxVerifiedPairs(sk: DataFrame,
+        corpusBands: DataFrame, corpusSigs: DataFrame, threshold: Double,
+        scope: DataFrame => DataFrame = cachedSketch,
+        knownRows: Option[Long] = None): DataFrame = {
       require(threshold > 0 && threshold <= 1,
         s"similarity threshold must lie in (0, 1], got $threshold")
       val spark = sk.sparkSession
@@ -878,10 +924,13 @@ object Dedup {
         .select(explode(array(col("bid"), col("mid"))).as("id")).distinct()
       val prunedBatchSigs = sk.select(col("id"), col("sig"))
         .join(candIds, Seq("id"), "left_semi")
-      // honest gate: batch rows × SigRowBytes (the count runs on the
-      // caller-persisted sketch — one cached aggregate); the candidate-
-      // pruned relation is a subset, so the estimate bounds it from above
-      val bs = if (sigTableFits(sk.count(), spark)) broadcast(prunedBatchSigs)
+      // honest gate: batch rows × SigRowBytes; the candidate-pruned
+      // relation is a subset, so the estimate bounds it from above. The
+      // count comes from the caller when it already materialized the wave
+      // sketch (knownRows — the streaming writers count their persist
+      // once per wave), else one cached aggregate on the persisted sketch
+      val batchRows = knownRows.getOrElse(sk.count())
+      val bs = if (sigTableFits(batchRows, spark)) broadcast(prunedBatchSigs)
         else prunedBatchSigs
       // match-side sig attached PER SOURCE, never through a batch∪corpus
       // union (which would discard the compacted sig ledger's id-bucketed
@@ -897,15 +946,10 @@ object Dedup {
       val est = graft.functions.Sketches
         .sigAgreement(col("vba.sig"), col("sig_m"))
         .cast("double") / lit(NumHashes.toDouble)
-      val verified = withM
+      withM
         .join(bs.as("vba"), col("bid") === col("vba.id"))
         .filter(est >= threshold)
         .select("bid", "mid")
-      sk.select(col("id").as("doc_id"))
-        .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
-        .groupBy("doc_id")
-        .agg((count(col("mid")) === 0).as("admitted"),
-          min(col("mid")).as("first_match"))
     }
   }
 

@@ -28,6 +28,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * strings rather than being skipped, keeping the loop branch-light;
   * fixture corpora carry no null tokens.
   */
+/** Test seam counting SKETCH-KERNEL evaluations (one per document whose
+  * tokens are shingle-hashed: MinHashSig / MinHashSigSize / MinHashSigSet /
+  * ShingleSet) — the instrument behind the "one kernel pass per wave"
+  * claim of the streaming writers (the pre-fix shape ran the pass 4× per
+  * wave: twice inside admission, twice re-sketching for the ledger
+  * writes). Off by default: the guard is a single volatile read per DOC
+  * (not per token), invisible next to the per-token hashing it meters.
+  * Counts are JVM-wide, which local-mode tests share with their
+  * executors; enable around an isolated run and diff.
+  */
+object KernelCounter {
+  @volatile var enabled: Boolean = false
+  private val evals = new java.util.concurrent.atomic.LongAdder
+
+  private[functions] def inc(): Unit = if (enabled) evals.increment()
+
+  def count: Long = evals.sum()
+  def reset(): Unit = evals.reset()
+}
+
 object Sketches {
 
   /** splitmix64 — public-domain PRNG step, used for seed-derived coeffs. */
@@ -508,6 +528,7 @@ case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L,
     MinHashSig.coefficients(numHashes, seed)
 
   override def nullSafeEval(input: Any): Any = {
+    KernelCounter.inc()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -572,6 +593,7 @@ case class MinHashSigSize(child: Expression, numHashes: Int = 32,
     MinHashSig.coefficients(numHashes, seed)
 
   override def nullSafeEval(input: Any): Any = {
+    KernelCounter.inc()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val count = math.max(1, n - shingleN + 1)
@@ -634,6 +656,7 @@ case class MinHashSigSet(child: Expression, numHashes: Int = 32,
     MinHashSig.coefficients(numHashes, seed)
 
   override def nullSafeEval(input: Any): Any = {
+    KernelCounter.inc()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val count = math.max(1, n - shingleN + 1)
@@ -703,6 +726,7 @@ case class ShingleSet(child: Expression, shingleN: Int = 3, seed: Long = 42L,
   }
 
   override def nullSafeEval(input: Any): Any = {
+    KernelCounter.inc()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val count = math.max(1, n - shingleN + 1)

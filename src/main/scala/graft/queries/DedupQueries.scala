@@ -285,6 +285,48 @@ object DedupQueries extends QueryModule {
       },
       Some(approxClustersOracleSql)),
 
+    // INCREMENTALLY-MAINTAINED approx duplicate clusters: the corpus
+    // arrives as 4 waves (doc_id mod 4), each folded into persisted
+    // label/merge cluster state by graft.dedup.IncrementalClusters —
+    // per-wave work is wave-sized (wave edges + wave-local CC + appends),
+    // never the corpus-wide pair plan q107 re-runs. Gated against the
+    // SAME recursive-CTE oracle as q107: the union of per-wave edge sets
+    // is exactly the q105 pair relation, so the ledger-maintained labels
+    // must be hash-identical to the from-scratch closure.
+    "q108_dup_clusters_incremental" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val none = docs.filter(lit(false))
+        var bands = Dedup.MinHashLsh.bandsForApprox(
+          none, "text", "doc_id", portable = true)
+        var sigs = Dedup.MinHashLsh.sigsFor(
+          none, "text", "doc_id", portable = true)
+        var labels = s.range(0).select(col("id"), col("id").as("label"))
+        var merges = s.range(0).select(col("id").as("old_label"),
+          col("id").as("new_label"))
+        val cache: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
+        (0 until 4).foreach { w =>
+          val sk = cache(Dedup.MinHashLsh.sigsFor(
+            docs.filter(pmod(col("doc_id"), lit(4)) === w),
+            "text", "doc_id", portable = true))
+          val (lr, mr) = graft.dedup.IncrementalClusters.foldWave(
+            sk, bands, sigs, labels, merges, threshold = 0.35, cache)
+          // localCheckpoint: the fold's outputs reference the prior state
+          // frames, so un-truncated lineage would double per wave; the
+          // state is wave/corpus-slim (labels 16 B/doc, bands 8 rows/doc)
+          labels = labels.unionByName(lr).localCheckpoint()
+          merges = merges.unionByName(mr).localCheckpoint()
+          bands = bands
+            .unionByName(Dedup.MinHashLsh.bandRowsOfSigs(sk))
+            .localCheckpoint()
+          sigs = sigs.unionByName(sk).localCheckpoint()
+        }
+        graft.dedup.IncrementalClusters.clusters(labels, merges)
+          .orderBy("doc_id")
+      },
+      Some(approxClustersOracleSql)),
+
     // Exact dedup: normalized-fingerprint groupBy; survivor = min doc_id.
     "q30_dedup_exact" -> QueryDef(
       (s, dir) =>

@@ -313,19 +313,72 @@ object LedgerCompaction {
     * atomic; object stores without atomic create keep only the
     * documented convention) — correctness never depends on it, it just
     * converts a contract violation into a clean no-op.
+    *
+    * The lease file carries a unique HOLDER TOKEN, returned on success:
+    *  - release ([[releaseLease]]) deletes only a lease still carrying
+    *    the caller's token, so a holder that overran `leaseTimeoutMs`
+    *    and was stolen from can no longer delete the thief's lease and
+    *    admit a third writer;
+    *  - stealing is RENAME-then-check, not delete+create: rename is
+    *    atomic, so of two racing stealers exactly one moves the file
+    *    (the loser defers), and a steal that accidentally grabbed a
+    *    LIVE lease (created in the check→rename window) detects it by
+    *    the renamed file's age and puts it back.
+    * One unavoidable TOCTOU remains in release (read-then-delete is two
+    * calls) — within the advisory contract above.
     */
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      leaseTimeoutMs: Long): Boolean = {
+      leaseTimeoutMs: Long): Option[String] = {
     val lease = new Path(root, "_compacting")
+    val token = java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean =
-      try { fs.create(lease, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    tryCreate() || {
-      val stale =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(lease).getModificationTime > leaseTimeoutMs
-        catch { case _: java.io.FileNotFoundException => true }
-      stale && { fs.delete(lease, false); tryCreate() }
+      try {
+        val o = fs.create(lease, false)
+        try o.write(token.getBytes("UTF-8")) finally o.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def ageStale(p: Path): Option[Boolean] =
+      try Some(System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime > leaseTimeoutMs)
+      catch { case _: java.io.FileNotFoundException => None }
+    if (tryCreate()) return Some(token)
+    ageStale(lease) match {
+      case None => // holder released between create and stat: one retry
+        if (tryCreate()) Some(token) else None
+      case Some(false) => None // live holder: defer
+      case Some(true) =>
+        // steal via atomic rename to a private name — one winner only
+        val grabbed = new Path(root, s".compacting-grab-$token")
+        val won =
+          try fs.rename(lease, grabbed)
+          catch { case _: java.io.IOException => false }
+        if (!won) None
+        else if (ageStale(grabbed).contains(false)) {
+          // grabbed a LIVE lease (fresh one landed in the check→rename
+          // window): put it back; if yet another lease appeared, drop ours
+          if (!fs.rename(grabbed, lease)) fs.delete(grabbed, false)
+          None
+        } else {
+          fs.delete(grabbed, false)
+          if (tryCreate()) Some(token) else None
+        }
+    }
+  }
+
+  /** Delete the lease only while it still carries `token` — a stolen-from
+    * holder finds the thief's token and leaves the lease alone. */
+  private def releaseLease(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      token: String): Unit = {
+    val lease = new Path(root, "_compacting")
+    try {
+      val in = fs.open(lease)
+      val held =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (held == token) fs.delete(lease, false)
+    } catch {
+      case _: java.io.FileNotFoundException => ()
+      case _: java.io.IOException => ()
     }
   }
 
@@ -334,16 +387,26 @@ object LedgerCompaction {
       transform: DataFrame => DataFrame = identity,
       leaseTimeoutMs: Long = 30L * 60 * 1000): Option[String] = {
     val (root, fs) = fsOf(spark, ledgerDir)
+    // never-written ledger: nothing to compact, and taking a lease would
+    // materialize the directory as a side effect
+    if (!fs.exists(root)) return None
+    // single-writer lease FIRST: a concurrent compactor defers cleanly —
+    // the ledger stays readable (nothing written) and the next
+    // maintenance cadence retries; a stale lease (crashed holder) is
+    // stolen via atomic rename (see acquireLease)
+    val token = acquireLease(fs, root, leaseTimeoutMs) match {
+      case None => return resolve(spark, ledgerDir).map(_._2)
+      case Some(t) => t
+    }
+    try {
+    // snapshot the write plan INSIDE the lease: a compactor that wins the
+    // lease just after another released must plan its version, fresh set,
+    // and sweep from a post-lease view, not from a snapshot the previous
+    // holder's generation switch already invalidated
     val ids = IdempotentSink.committedBatches(spark, ledgerDir)
     val current = resolve(spark, ledgerDir)
     val fresh = current.fold(ids) { case (v, _, _) => ids.filter(_ > v) }
     if (ids.isEmpty && current.isEmpty) return None
-    // single-writer lease: a concurrent compactor defers cleanly — the
-    // ledger stays readable (nothing written) and the next maintenance
-    // cadence retries; a stale lease (crashed holder) is stolen
-    if (!acquireLease(fs, root, leaseTimeoutMs))
-      return current.map(_._2)
-    try {
 
     if (fresh.nonEmpty) {
       val version = math.max(ids.max, current.map(_._1 + 1).getOrElse(0L))
@@ -410,6 +473,6 @@ object LedgerCompaction {
         }
     }
     currentCompaction(spark, ledgerDir).map(_._2)
-    } finally fs.delete(new Path(root, "_compacting"), false)
+    } finally releaseLease(fs, root, token)
   }
 }

@@ -92,6 +92,15 @@ object NearDupStream {
     StructField("doc_id", LongType),
     StructField("admitted", BooleanType),
     StructField("first_match", LongType)))
+  // the incremental CLUSTER ledgers ([[clusterWriter]]): one label row per
+  // doc, written in its own wave, plus append-only merge redirects — see
+  // [[graft.dedup.IncrementalClusters]] for the state model
+  private val LabelsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("label", LongType)))
+  private val MergesSchema = StructType(Seq(
+    StructField("old_label", LongType),
+    StructField("new_label", LongType)))
 
   /** Committed band ledger (typed-empty on cold start): the (band,bkey)-
     * bucketed compacted table unioned with dirs committed since — the
@@ -214,6 +223,27 @@ object NearDupStream {
   /** Committed verdicts across all batches. */
   def verdicts(spark: SparkSession, verdictDir: String): DataFrame =
     IdempotentSink.readCommitted(spark, verdictDir, Some(VerdictSchema))
+
+  /** Committed per-doc label ledger (typed-empty on cold start);
+    * id-bucketed at rest after [[compactClusterLedgers]]. */
+  def ledgerLabels(spark: SparkSession, labelsDir: String): DataFrame =
+    LedgerCompaction.read(spark, labelsDir, LabelsSchema)
+
+  /** Committed merge-redirect ledger (typed-empty on cold start);
+    * old_label-bucketed and rewritten to depth-1 closure form by
+    * [[compactClusterLedgers]]. */
+  def ledgerMerges(spark: SparkSession, mergesDir: String): DataFrame =
+    LedgerCompaction.read(spark, mergesDir, MergesSchema)
+
+  /** Current cluster assignments from the ledger state — q107's output
+    * shape ((doc_id, comp, csize), clusters of ≥ 2 only), equal to the
+    * from-scratch pair plan + closure over everything the stream absorbed
+    * (spec-pinned parity; q108 gates the batch fold against the same
+    * oracle). */
+  def clusterAssignments(spark: SparkSession, labelsDir: String,
+      mergesDir: String): DataFrame =
+    graft.dedup.IncrementalClusters.clusters(
+      ledgerLabels(spark, labelsDir), ledgerMerges(spark, mergesDir))
 
   /** The `foreachBatch` function:
     * {{{
@@ -351,12 +381,17 @@ object NearDupStream {
           (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
            else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
         .persist()
+      // one count materializes the wave persist AND feeds the verify-
+      // broadcast gate (knownRows) — the admission plan then schedules no
+      // extra driver job per wave (spec-pinned: constructing the verdict
+      // frame with knownRows runs zero jobs)
+      val waveRows = sk.count()
       val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
       val waveScope: DataFrame => DataFrame =
         d => { val p = d.persist(); scoped.add(p); p }
       val verdict = Dedup.MinHashLsh.nearDupAdmitApproxSketched(
         sk, ledgerBandsApprox(spark, bandsDir), ledgerSigs(spark, sigsDir),
-        threshold, waveScope).persist()
+        threshold, waveScope, knownRows = Some(waveRows)).persist()
       try {
         IdempotentSink.writer(verdictDir,
           onReplay = _ => batch.foreach(_ => ()))(verdict, batchId)
@@ -376,4 +411,122 @@ object NearDupStream {
         compactLedgersApprox(spark, bandsDir, sigsDir)
       ()
     }
+
+  /** Incrementally-maintained APPROX duplicate CLUSTERS — the streaming
+    * consumer the admission writers don't cover: every arriving doc (no
+    * admission filter — clustering tracks the full corpus, as q107 does)
+    * is folded into persisted per-doc cluster labels, so
+    * [[clusterAssignments]] is current after every wave without re-running
+    * the corpus-wide pair plan + closure. State model and per-wave
+    * algorithm: [[graft.dedup.IncrementalClusters]]; the wave's edges come
+    * from the same banded-candidate + estimator-verify kernel as
+    * [[approxWriter]] (signature-only — no shingle set anywhere).
+    *
+    * Exactly-once across crash/replay, [[writer]]'s argument specialized:
+    * the fold is a pure function of (batch, COMMITTED ledgers), and the
+    * four sinks commit in the order labels → merges → bands → sigs. At any
+    * kill point the replay's fold re-derives the uncommitted suffix
+    * exactly: with the wave's labels already committed, edge endpoints
+    * resolve to their final components and the fold re-emits identical
+    * rows (a lost merge row re-emerges because the stale label it
+    * redirects still resolves to itself — [[graft.dedup.IncrementalClusters
+    * .foldWave]]'s replay analysis); committed sinks skip via markers.
+    * Cache safety needs no durable-verdict re-read here (contrast
+    * [[writer]]): the label rows are evaluated exactly once, by the FIRST
+    * sink, before any ledger dir is appended — the later sinks' frames
+    * read only the wave sketch (batch-source lineage) and the CC result
+    * (driver- or checkpoint-backed, lineage severed from the ledgers), so
+    * no recacheByPath invalidation can re-derive them against ledgers
+    * containing this batch.
+    *
+    * `compactEvery` runs [[compactClusterLedgers]] on [[writer]]'s cadence
+    * contract.
+    */
+  def clusterWriter(labelsDir: String, mergesDir: String, bandsDir: String,
+      sigsDir: String, textCol: String, idCol: String,
+      threshold: Double = 0.5, portable: Boolean = false,
+      compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val toks = graft.text.TextFunctions.tokens(col(textCol))
+      val sk = batch
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
+           else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
+        .persist()
+      // one count materializes the wave persist AND threads the verify-
+      // broadcast gate (knownRows) — no second driver job inside the fold
+      val waveRows = sk.count()
+      val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+      val waveScope: DataFrame => DataFrame =
+        d => { val p = d.persist(); scoped.add(p); p }
+      try {
+        // the fold is EAGER (resolution counts + the wave-local CC run
+        // inside), so the batch source is always evaluated on a replay
+        // before any marker check — the onReplay hooks can all no-op
+        val (labelRows, mergeRows) = graft.dedup.IncrementalClusters.foldWave(
+          sk, ledgerBandsApprox(spark, bandsDir), ledgerSigs(spark, sigsDir),
+          ledgerLabels(spark, labelsDir), ledgerMerges(spark, mergesDir),
+          threshold, waveScope, knownRows = Some(waveRows))
+        IdempotentSink.writer(labelsDir, onReplay = _ => ())(labelRows, batchId)
+        IdempotentSink.writer(mergesDir, onReplay = _ => ())(mergeRows, batchId)
+        IdempotentSink.writer(bandsDir, onReplay = _ => ())(
+          Dedup.MinHashLsh.bandRowsOfSigs(sk), batchId)
+        IdempotentSink.writer(sigsDir, onReplay = _ => ())(
+          sk.select("id", "sig"), batchId)
+      } finally {
+        sk.unpersist()
+        scoped.forEach(_.unpersist())
+      }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactClusterLedgers(spark, labelsDir, mergesDir, bandsDir, sigsDir)
+      ()
+    }
+
+  /** [[compactLedgersApprox]] extended to the cluster deployment's four
+    * ledgers. Labels compact id-bucketed with their stored labels
+    * REWRITTEN through the current merge closure (read from the merges
+    * ledger's committed rows at compact time — safe for the same reason
+    * [[compactLedgers]]' sz backfill reads the sset ledger: rows are only
+    * ever added, and applying a merge redirect twice is a no-op). Merges
+    * compact old_label-bucketed and rewritten to DEPTH-1 CLOSURE FORM
+    * (old_label → final root): rows are never dropped — labels batch dirs
+    * committed after the labels compaction still carry stale labels that
+    * must keep resolving — but every chain collapses, so per-wave
+    * resolution is one join until chains regrow. Bands/sigs compact as in
+    * [[compactLedgersApprox]]. The four compact INDEPENDENTLY (rows, not
+    * generations, carry the semantics); a crash between any two resumes
+    * idempotently.
+    */
+  def compactClusterLedgers(spark: SparkSession, labelsDir: String,
+      mergesDir: String, bandsDir: String, sigsDir: String,
+      buckets: Int = 8): (Option[String], Option[String], Option[String],
+        Option[String]) =
+    (LedgerCompaction.compact(spark, labelsDir, LabelsSchema, Seq("id"),
+        buckets, resolveLabelRows(ledgerMerges(spark, mergesDir))),
+      LedgerCompaction.compact(spark, mergesDir, MergesSchema,
+        Seq("old_label"), buckets, closureForm),
+      LedgerCompaction.compact(spark, bandsDir, ApproxBandsSchema,
+        Seq("band", "bkey"), buckets, backfillKpfx),
+      LedgerCompaction.compact(spark, sigsDir, SigsSchema,
+        Seq("id"), buckets))
+
+  /** Labels-compaction transform: redirect every stored label through the
+    * given merges ledger's closure. Pure and schema-preserving; no-op on
+    * already-resolved rows. */
+  private def resolveLabelRows(merges: DataFrame)(labels: DataFrame): DataFrame =
+    labels
+      .join(graft.dedup.IncrementalClusters.mergeClosure(merges)
+        .withColumnRenamed("old_label", "label"), Seq("label"), "left")
+      .select(col("id"),
+        org.apache.spark.sql.functions.coalesce(
+          col("root"), col("label")).as("label"))
+
+  /** Merges-compaction transform: rewrite each redirect to its transitive
+    * root (depth-1 closure form), keeping every old_label. Pure: the
+    * closure is computed from the transform's own input rows. */
+  private def closureForm(merges: DataFrame): DataFrame =
+    graft.dedup.IncrementalClusters.mergeClosure(merges)
+      .filter(col("old_label") =!= col("root"))
+      .select(col("old_label"), col("root").as("new_label"))
 }

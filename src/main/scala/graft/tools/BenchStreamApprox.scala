@@ -188,6 +188,43 @@ object BenchStreamApprox {
     val xfA = ledgerExchangeFree(probeA)
     val xfE = ledgerExchangeFree(probeE)
 
+    // ---- estimator-agreement threshold sweep (batch A/B) ------------------
+    // Quantifies the approx mode's verify-stage contract across thresholds
+    // so a deployment can budget it: both modes run the one-batch
+    // admission shape (even ids = corpus, odd = batch) at each t, and the
+    // disagreements split into their two classes. BOTH MODES SHARE THE
+    // BANDING (identical signatures → identical candidate pairs), so a
+    // disagreement is NEVER a band miss — it is always the estimator
+    // disagreeing with exact Jaccard on a shared-band candidate:
+    //   false_reject (approx rejects, exact admits) = estimator
+    //     OVER-estimated some candidate past t;
+    //   false_admit (approx admits, exact rejects) = estimator
+    //     UNDER-estimated every ≥-t candidate.
+    // (DedupSpec pins the class structure per disagreement doc.)
+    val sweep = Seq(0.5, 0.7, 0.8, 0.9).map { t =>
+      graft.core.TransientCache.scoped {
+        val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val ve = graft.dedup.Dedup.MinHashLsh.nearDupIncremental(
+          batch, corpus, "text", "doc_id", t)
+          .select(col("doc_id"), col("admitted").as("adm_e"))
+        val va = graft.dedup.Dedup.MinHashLsh.nearDupIncrementalApprox(
+          batch, corpus, "text", "doc_id", t)
+          .select(col("doc_id"), col("admitted").as("adm_a"))
+        val j = ve.join(va, Seq("doc_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("adm_a") === col("adm_e"), 1).otherwise(0)).as("agree"),
+            sum(when(col("adm_a") && !col("adm_e"), 1).otherwise(0)).as("fa"),
+            sum(when(!col("adm_a") && col("adm_e"), 1).otherwise(0)).as("fr"))
+          .head()
+        val n = j.getAs[Long]("n").toDouble
+        s"""{"t":$t,"docs":${j.getAs[Long]("n")},""" +
+          s""""agreement":${f"${j.getAs[Long]("agree") / n}%.6f"},""" +
+          s""""false_admit":${j.getAs[Long]("fa")},""" +
+          s""""false_reject":${j.getAs[Long]("fr")}}"""
+      }
+    }.mkString("[", ",", "]")
+
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val line =
       s"""{"sf":"$sfDir","docs":$nDocs,"doc_group":$groupN,"waves":$nWaves,""" +
@@ -202,7 +239,8 @@ object BenchStreamApprox {
       s""""state_bytes":${eBands + eSets},"admitted":$admittedE,""" +
       s""""ledgers_exchange_free":$xfE},""" +
       s""""verdict_agreement":${f"${agree.toDouble / nDocs}%.6f"},""" +
-      s""""verify_state_ratio":${f"${eSets.toDouble / math.max(aSigs, 1)}%.3f"}}"""
+      s""""verify_state_ratio":${f"${eSets.toDouble / math.max(aSigs, 1)}%.3f"},""" +
+      s""""threshold_sweep":$sweep}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))

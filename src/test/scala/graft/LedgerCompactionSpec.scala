@@ -136,6 +136,42 @@ class LedgerCompactionSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("lease ownership: an overrun (stolen-from) holder never deletes " +
+      "the thief's lease") {
+    val dir = freshDir("graft-ledger-lease-token")
+    writeBatch(dir, 0L, Seq(1L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(dir, "_compacting")
+    // simulate the overrun-holder window from inside the holder's own
+    // body: the transform hook runs mid-compaction, where it replaces the
+    // holder's lease with a thief's (what a timeout-steal does). The
+    // holder's release must then find a foreign token and LEAVE IT —
+    // the pre-fix unconditional finally-delete admitted a third writer
+    val swap: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        fs.delete(lease, false)
+        val o = fs.create(lease, false)
+        try o.write("thief-token".getBytes("UTF-8")) finally o.close()
+        df
+      }
+    assert(LedgerCompaction.compact(spark, dir, schema, Seq("k"), 2,
+      swap).isDefined)
+    assert(fs.exists(lease),
+      "the thief's lease must survive the stolen-from holder's release")
+    val in = fs.open(lease)
+    val held =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(held == "thief-token", s"lease content intact: $held")
+    fs.delete(lease, false)
+    // sanity: with the foreign lease cleared, compaction resumes normally
+    writeBatch(dir, 1L, Seq(2L))
+    assert(compact(dir).isDefined)
+    assert(LedgerCompaction.read(spark, dir, schema)
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("cross-database: a reader and sweeper whose current database " +
       "differs from the compactor's resolve the marker-stored table") {
     val dir = freshDir("graft-ledger-xdb")

@@ -472,4 +472,171 @@ class StreamingNearDupSpec extends AnyFunSuite {
         == verdictMap(batchVerdicts),
       "streamed approx verdicts must equal the batch-sequential recompute")
   }
+
+  // ---- incremental CLUSTER maintenance (clusterWriter) --------------------
+
+  // bridge fixture with pinned band structure (probed once, deterministic
+  // forever — xxhash sketches have no runtime randomness): pBridge and
+  // qBridge share ZERO signature bands (est 0); their concatenation
+  // cBridge agrees with pBridge on 19/32 components and with qBridge on
+  // 13/32, each across ≥ 1 full band — so at threshold 0.35 a late-
+  // arriving cBridge genuinely MERGES two existing clusters through
+  // mid-range estimator values, not just est-1.0 duplicates
+  private val pBridge = "alpha bravo charlie delta echo foxtrot golf hotel " +
+    "india juliet kilo lima mike november oscar papa quebec romeo sierra " +
+    "tango uniform victor whiskey xray yankee zulu anchor beacon copper jungle"
+  private val qBridge = "ember falcon garnet harbor island jasper kestrel " +
+    "lantern marble nectar onyx prism quartz raven saddle timber umber " +
+    "velvet willow zephyr basalt cinder dorsal ellipse fjord glacier " +
+    "hollow ingot emblem"
+  private val cBridge = pBridge + " " + qBridge
+  private val rText = "granite rivers wander beneath silver bridges while " +
+    "lanterns glow over quiet harbours and distant bells mark the passing " +
+    "hours tonight"
+
+  private val clusterWaves: Seq[Seq[(Long, String)]] = Seq(
+    Seq((0L, pBridge), (1L, other)), // two singletons
+    Seq((10L, qBridge), (11L, pBridge)), // 11 clusters with 0 (dup); 10 alone
+    Seq((20L, cBridge)), // bridges {0,11} and {10} → merge (10→0)
+    Seq((5L, "entirely novel content mentioning trains stations and " +
+      "platforms arriving every few minutes across the network tonight"),
+      (6L, "entirely novel content mentioning trains stations and " +
+        "platforms arriving every few minutes across the network tonight")),
+    Seq((2L, "entirely novel content mentioning trains stations and " +
+      "platforms arriving every few minutes across the network tonight")),
+    // a SMALLER id arriving later relabels {5,6} to 2 → merge (5→2)
+    Seq((50L, rText), (51L, rText)),
+    Seq((40L, rText)), // merge (50→40)
+    Seq((35L, rText))) // merge (40→35): depth-2 chain 50→40→35
+
+  private val expectedClusters: Set[(Long, Long, Long)] = Set(
+    (0L, 0L, 4L), (10L, 0L, 4L), (11L, 0L, 4L), (20L, 0L, 4L),
+    (2L, 2L, 3L), (5L, 2L, 3L), (6L, 2L, 3L),
+    (35L, 35L, 4L), (40L, 35L, 4L), (50L, 35L, 4L), (51L, 35L, 4L))
+
+  private def clusterSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("comp"),
+      r.getAs[Long]("csize"))).toSet
+
+  /** From-scratch reference: the corpus-wide estimator pair plan + CC +
+    * csize — what q107 computes, over exactly the docs the stream saw. */
+  private def scratchClusters(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val pairs = graft.dedup.Dedup.MinHashLsh.nearDupPairsApprox(
+      docs, "text", "doc_id", threshold = 0.35)
+    val cc = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+    cc.withColumn("csize", count(lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("comp"), col("csize"))
+  }
+
+  test("cluster stream: wave folds, cross-cluster bridge merge, depth-2 " +
+      "merge chain, restart no-op, parity with from-scratch closure, " +
+      "compaction closure-form rewrite") {
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("graft-neardup-clusters")
+    val in = s"$root/in"; val labels = s"$root/labels"
+    val merges = s"$root/merges"; val bands = s"$root/bands"
+    val sigs = s"$root/sigs"; val ckpt = s"$root/ckpt"
+    def runCycle(): Unit = {
+      val q = spark.readStream.schema("doc_id long, text string")
+        .parquet(s"$in/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(NearDupStream.clusterWriter(labels, merges, bands,
+          sigs, "text", "doc_id", threshold = 0.35))
+        .start()
+      assert(q.awaitTermination(120000), "query did not terminate")
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    clusterWaves.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").write.parquet(s"$in/wave$i")
+      runCycle() // fresh AvailableNow query per wave = kill-and-restart
+    }
+    val got = clusterSet(NearDupStream.clusterAssignments(spark, labels, merges))
+    assert(got == expectedClusters, s"ledger-maintained clusters: $got")
+    // parity with the corpus-wide from-scratch pair plan + closure
+    val allDocs = clusterWaves.flatten.toDF("doc_id", "text")
+    assert(got == clusterSet(scratchClusters(allDocs)),
+      "incremental ledger must equal the from-scratch q107 closure")
+    // every doc labeled exactly once (singletons included, with themselves)
+    val lbl = NearDupStream.ledgerLabels(spark, labels)
+    assert(lbl.count() == clusterWaves.flatten.size)
+    assert(lbl.filter(col("id") === 1L).head().getAs[Long]("label") == 1L)
+    // the raw merge ledger carries the un-collapsed history incl. a chain
+    val rawMerges = NearDupStream.ledgerMerges(spark, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rawMerges == Set(10L -> 0L, 5L -> 2L, 50L -> 40L, 40L -> 35L),
+      s"merge history: $rawMerges")
+    // restart with no new input: nothing appended anywhere
+    val batches = IdempotentSink.committedBatches(spark, labels)
+    runCycle()
+    assert(IdempotentSink.committedBatches(spark, labels) == batches)
+    // compaction: assignments identical; merges rewritten to depth-1
+    // closure form (the 50→40→35 chain collapses); labels resolved
+    val t = NearDupStream.compactClusterLedgers(spark, labels, merges,
+      bands, sigs)
+    assert(t._1.isDefined && t._2.isDefined && t._3.isDefined && t._4.isDefined)
+    assert(clusterSet(NearDupStream.clusterAssignments(spark, labels, merges))
+        == expectedClusters,
+      "compaction must not change cluster assignments")
+    val closed = NearDupStream.ledgerMerges(spark, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(closed == Set(10L -> 0L, 5L -> 2L, 50L -> 35L, 40L -> 35L),
+      s"closure-form merges: $closed")
+    assert(NearDupStream.ledgerLabels(spark, labels)
+      .filter(col("id") === 50L).head().getAs[Long]("label") == 35L,
+      "labels compaction resolves stored labels through the closure")
+    // stream continues against the compacted (bucketed) ledgers
+    Seq((60L, rText)).toDF("doc_id", "text").write.parquet(s"$in/wave9")
+    runCycle()
+    val got2 = clusterSet(NearDupStream.clusterAssignments(spark, labels, merges))
+    assert(got2 == expectedClusters.map {
+      case (d, 35L, _) => (d, 35L, 5L)
+      case o => o
+    } + ((60L, 35L, 5L)), s"post-compaction wave: $got2")
+  }
+
+  test("cluster writer crash windows: every commit-order prefix replays " +
+      "identically") {
+    val root = freshDir("graft-neardup-clusters-crash")
+    val labels = s"$root/labels"; val merges = s"$root/merges"
+    val bands = s"$root/bands"; val sigs = s"$root/sigs"
+    val w = NearDupStream.clusterWriter(labels, merges, bands, sigs,
+      "text", "doc_id", threshold = 0.35)
+    val fs = new org.apache.hadoop.fs.Path(labels)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def kill(dir: String, batch: Long): Unit = {
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_committed-$batch"), false))
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$batch"), true))
+    }
+    w(Seq((0L, pBridge), (1L, other)).toDF("doc_id", "text"), 0L)
+    w(Seq((10L, qBridge), (11L, pBridge)).toDF("doc_id", "text"), 1L)
+    // the bridge wave: run once, then simulate BOTH crash windows of the
+    // labels → merges → bands → sigs order and replay each time
+    val bridge = Seq((20L, cBridge)).toDF("doc_id", "text")
+    w(bridge, 2L)
+    // window A: labels committed, merges + bands + sigs lost — the lost
+    // merge row must re-derive even though the wave's labels are visible
+    for (d <- Seq(merges, bands, sigs)) kill(d, 2L)
+    w(bridge, 2L)
+    // window B: labels + merges committed, bands + sigs lost
+    for (d <- Seq(bands, sigs)) kill(d, 2L)
+    w(bridge, 2L)
+    val got = clusterSet(NearDupStream.clusterAssignments(spark, labels, merges))
+    assert(got == Set((0L, 0L, 4L), (10L, 0L, 4L), (11L, 0L, 4L),
+      (20L, 0L, 4L)), s"post-replay clusters: $got")
+    val m = NearDupStream.ledgerMerges(spark, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set(10L -> 0L), s"merge rows after replays: $m")
+    // ledgers track ALL docs (clustering has no admission filter)
+    assert(NearDupStream.ledgerSigs(spark, sigs)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 10L, 11L, 20L))
+    // a later wave keeps folding correctly against the replayed state
+    w(Seq((30L, pBridge)).toDF("doc_id", "text"), 3L)
+    val got2 = clusterSet(NearDupStream.clusterAssignments(spark, labels, merges))
+    assert(got2 == Set((0L, 0L, 5L), (10L, 0L, 5L), (11L, 0L, 5L),
+      (20L, 0L, 5L), (30L, 0L, 5L)), s"post-crash continuation: $got2")
+  }
 }

@@ -186,4 +186,27 @@ class TextSpec extends AnyFunSuite {
     assert(r(1L) == ((3L, d1, d1 / 3)))
     assert(r(2L) == ((2L, d2, d2 / 2)))
   }
+
+  test("orderBy-free queries (q77 decision): output is a deterministic " +
+      "ROW SET across partitionings — the invariant the gates' " +
+      "sort-before-hash relies on") {
+    // q77 (and q31/q32/q105 by the same decision) drops its trailing
+    // orderBy because both correctness gates (the driver's compare and
+    // dev/check.py) sort rows before hashing. That makes the engine-side
+    // contract "deterministic as a SET, any row order" — pinned here by
+    // running the registered q77 under two different partitionings and
+    // comparing SORTED rows exactly. If a future gate or consumer starts
+    // assuming ordered output, this test is the place that documents the
+    // contract it would be breaking.
+    def rows(parts: String) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.SparkEntry.queries("q77_repetition")(spark, TestSpark.sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = rows("2"); val b = rows("7")
+    assert(a.nonEmpty && a == b,
+      "q77 must be content-deterministic as a set across partitionings")
+  }
 }
