@@ -56,7 +56,8 @@ object IncrementalClusters {
     * (bucketed on old_label after compaction — the ledger side ships
     * nothing) and step to `new_label`, until a round matches no row.
     * Chain depth — and so the round count — is bounded by the number of
-    * waves since the last [[compactionClosure]] rewrite (which collapses
+    * waves since the last closure-form compaction
+    * ([[graft.streaming.NearDupStream.compactClusterLedgers]] rewrites
     * every chain to depth 1), so the steady-state cost is ONE wave-sized
     * join + one count per wave. Duplicate merge rows (crash replays)
     * multiply probe rows transiently; the per-round min-groupBy
@@ -87,21 +88,102 @@ object IncrementalClusters {
     cur
   }
 
+  /** Pair-row gate under which wave-local component closures run as an
+    * in-process driver union-find instead of [[Dedup.connectedComponents]].
+    * The full CC machinery CHECKPOINTS its edge list before anything else
+    * (necessary when the edge-producing plan is expensive and feeds
+    * log(d) rounds) — but a wave fold's edges derive from frames the
+    * writer already persisted, and the checkpoint + release round-trip
+    * is a fixed ~1-2 s that dominated q108's wall at small SF (5 CC
+    * invocations ≈ 8 s of pure orchestration on a 5,000-doc corpus).
+    * 12M pairs ≈ the 24M directed-edge budget connectedComponents'
+    * own driver gate documents; above it the full machinery (with its
+    * deployment-tunable gate) takes over.
+    */
+  private val DriverMaxPairs = 12L * 1000 * 1000
+
+  /** In-process min-label components over a SMALL pair list: same
+    * assignment as [[Dedup.connectedComponents]] (every node → min
+    * reachable id), fetched as packed per-partition long arrays in one
+    * job. Caller guarantees the frame is cheap to evaluate (persisted
+    * parents) and row-bounded by [[DriverMaxPairs]]. */
+  private def driverComponents(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val blocks: Array[Array[Long]] = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    blocks.foreach { b =>
+      var i = 0
+      while (i < b.length) {
+        val ra = find(b(i)); val rb = find(b(i + 1))
+        if (ra != rb) parent(ra) = rb
+        i += 2
+      }
+    }
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    val nodes = scala.collection.mutable.ArrayBuilder.make[Long]
+    val seen = scala.collection.mutable.LongMap.empty[Boolean]
+    blocks.foreach { b =>
+      var i = 0
+      while (i < b.length) {
+        val id = b(i)
+        if (!seen.contains(id)) { seen(id) = true; nodes += id }
+        val r = find(id)
+        if (id < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = id
+        i += 1
+      }
+    }
+    val rows = nodes.result().map(id =>
+      org.apache.spark.sql.Row(id, minOf(find(id))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          rows.length / 65536 + 1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** The merge forest's transitive ROOTS: (old_label, root) for every
     * label ever merged away. Each tree's root is its minimum label
     * (every merge row decreases), so the closure is exactly connected
-    * components over the merge rows as an undirected edge list —
-    * delegated to [[Dedup.connectedComponents]] (driver union-find under
-    * the gate, delta pointer-jumping above it). Root self-rows
-    * (root, root) ride along harmlessly: resolution coalesces through
-    * them as no-ops. Used by the read path ([[clusters]]) and by ledger
-    * compaction (rewriting merges to depth-1 closure form); the per-wave
-    * fold resolves its wave-sized probe iteratively instead
+    * components over the merge rows as an undirected edge list — an
+    * in-process union-find for the (typical) small ledger, delegated to
+    * [[Dedup.connectedComponents]] (delta pointer-jumping, its own
+    * driver gate) past [[DriverMaxPairs]]. Root self-rows (root, root)
+    * ride along harmlessly: resolution coalesces through them as no-ops.
+    * Used by the read path ([[clusters]]) and by ledger compaction
+    * (rewriting merges to depth-1 closure form); the per-wave fold
+    * resolves its wave-sized probe iteratively instead
     * ([[resolveThrough]]) so a wave never closes the whole forest.
     */
-  def mergeClosure(merges: DataFrame): DataFrame =
-    Dedup.connectedComponents(merges, "old_label", "new_label")
-      .select(col("id").as("old_label"), col("comp").as("root"))
+  def mergeClosure(merges: DataFrame): DataFrame = {
+    val m = merges.select(col("old_label"), col("new_label"))
+    val n = m.count()
+    if (n <= DriverMaxPairs)
+      driverComponents(m, "old_label", "new_label")
+        .select(col("id").as("old_label"), col("comp").as("root"))
+    else
+      Dedup.connectedComponents(m, "old_label", "new_label")
+        .select(col("id").as("old_label"), col("comp").as("root"))
+  }
 
   /** Current per-doc labels: stored labels redirected through the merge
     * closure. One corpus-sized left join against the (small) closure —
@@ -163,21 +245,157 @@ object IncrementalClusters {
     * verify-broadcast gate (no extra driver job); `scope` is the wave
     * persist for the mid-frames several subtrees consume.
     */
+  private def packedPairs(df: DataFrame, a: String,
+      b: String): Array[Array[Long]] =
+    df.select(col(a).cast("long"), col(b).cast("long"))
+      .rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
+
+  private def longsOf(df: DataFrame, c: String): Array[Long] = {
+    val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+    df.select(col(c).cast("long")).rdd.mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach(r => b += r.getLong(0))
+      Iterator.single(b.result())
+    }.collect().foreach(buf ++= _)
+    buf.result()
+  }
+
+  private def pairFrame(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, Long)], aName: String, bName: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.toIndexedSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)),
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          rows.length / 65536 + 1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(aName,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(bName,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+
   def foldWave(sk: DataFrame, corpusBands: DataFrame, corpusSigs: DataFrame,
       labels: DataFrame, merges: DataFrame, threshold: Double,
       scope: DataFrame => DataFrame = Dedup.cachedSketch,
       knownRows: Option[Long] = None): (DataFrame, DataFrame) = {
+    val spark = sk.sparkSession
     val edges = scope(Dedup.MinHashLsh.approxVerifiedPairs(
       sk, corpusBands, corpusSigs, threshold, scope, knownRows))
+    // The edge plan is the fold's ONE fat plan (band probe + estimator
+    // verify over the ledgers). Materialize it, then fetch the wave-sized
+    // edge list as packed long arrays and run the graph work ON THE
+    // DRIVER over primitive arrays + tiny parallelized probe frames.
+    // The previous all-DataFrame shape embedded the edge plan in every
+    // downstream frame (endpoints ∪, resolution probe, graph join, label
+    // rows) — at small waves the repeated analysis/canonicalization of
+    // those nested plans dominated the fold outright (measured at sf0.1:
+    // counting a 16-row derived frame took 2.5 s; whole folds 7-18 s on
+    // a 5,000-doc corpus — driver planning, not compute). Wave edges are
+    // wave-bounded by construction; past [[DriverMaxPairs]] (same budget
+    // class as connectedComponents' own driver gate) the distributed
+    // shape takes over.
+    val nPairs = edges.count()
+    if (nPairs > DriverMaxPairs)
+      return foldWaveDistributed(spark, sk, edges, labels, merges, scope)
+    val blocks = packedPairs(edges, "bid", "mid")
+    // distinct endpoints
+    val seenEp = scala.collection.mutable.LongMap.empty[Boolean]
+    val eps = scala.collection.mutable.ArrayBuilder.make[Long]
+    blocks.foreach { blk =>
+      var i = 0
+      while (i < blk.length) {
+        if (!seenEp.contains(blk(i))) { seenEp(blk(i)) = true; eps += blk(i) }
+        i += 1
+      }
+    }
+    val epArr = eps.result()
+    // resolve endpoint labels against the LEDGERS in Spark (the slim
+    // labels/merges scans are the wave's only corpus-sized reads; the
+    // probe side is a tiny parallelized leaf, so the plans stay small).
+    // The min-groupBy collapses the ledger's transient duplicate rows (a
+    // batch replayed after its dir was swept lives in table AND dir
+    // until the next sweep — identical rows, so min is exact).
+    val nodeMap = scala.collection.mutable.LongMap.empty[Long]
+    if (epArr.nonEmpty) {
+      val epsDf = pairFrame(spark, epArr.map(e => (e, e)), "id", "selfl")
+        .select(col("id"))
+      val stored = epsDf.join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("lbl"))
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+      packedPairs(resolveThrough(stored, merges, scope), "id", "lbl")
+        .foreach { blk =>
+          var i = 0
+          while (i < blk.length) { nodeMap(blk(i)) = blk(i + 1); i += 2 }
+        }
+    }
+    // union-find over the node-mapped, self-loop-free edges (min label
+    // per component — the connectedComponents assignment)
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    val seenNode = scala.collection.mutable.LongMap.empty[Boolean]
+    val graphNodes = scala.collection.mutable.ArrayBuilder.make[Long]
+    blocks.foreach { blk =>
+      var i = 0
+      while (i < blk.length) {
+        val na = nodeMap.getOrElse(blk(i), blk(i))
+        val nb = nodeMap.getOrElse(blk(i + 1), blk(i + 1))
+        if (na != nb) {
+          if (!seenNode.contains(na)) { seenNode(na) = true; graphNodes += na }
+          if (!seenNode.contains(nb)) { seenNode(nb) = true; graphNodes += nb }
+          val ra = find(na); val rb = find(nb)
+          if (ra != rb) parent(ra) = rb
+        }
+        i += 2
+      }
+    }
+    val gArr = graphNodes.result()
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    gArr.foreach { n =>
+      val r = find(n)
+      if (n < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = n
+    }
+    def compOf(n: Long): Long =
+      if (seenNode.contains(n)) minOf(find(n)) else n
+    // every wave doc labeled with its resolved node's component min (its
+    // own id when edgeless); merge redirects for every EXISTING label
+    // whose component min changed (wave doc ids excluded — their label
+    // rows already carry the final value; no stored row points at them)
+    val waveIds = longsOf(sk, "id")
+    val batchSet = scala.collection.mutable.LongMap.empty[Boolean]
+    waveIds.foreach(id => batchSet(id) = true)
+    val labelRows = waveIds.map { id =>
+      val node = nodeMap.getOrElse(id, id)
+      (id, compOf(node))
+    }
+    val mergeRows = gArr.iterator
+      .filter(n => !batchSet.contains(n))
+      .map(n => (n, compOf(n)))
+      .filter(t => t._2 != t._1)
+      .toArray
+    (pairFrame(spark, labelRows, "id", "label"),
+      pairFrame(spark, mergeRows, "old_label", "new_label"))
+  }
+
+  /** The all-DataFrame fold for waves past [[DriverMaxPairs]] — identical
+    * semantics, graph closed by [[Dedup.connectedComponents]] (delta
+    * pointer-jumping with its own deployment-tunable driver gate). */
+  private def foldWaveDistributed(spark: org.apache.spark.sql.SparkSession,
+      sk: DataFrame, edges: DataFrame, labels: DataFrame, merges: DataFrame,
+      scope: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val eps = edges.select(col("bid").as("id"))
       .unionByName(edges.select(col("mid").as("id")))
       .distinct()
-    // stored label (own id when unseen) → merge roots. The labels join is
-    // the wave's one corpus-ledger touch besides the band probe: id-
-    // bucketed at rest, so the ledger side plans exchange-free. The
-    // wave-sized min-groupBy collapses the ledger's transient duplicate
-    // rows (a batch replayed after its dir was swept lives in table AND
-    // dir until the next sweep — identical rows, so min is exact)
     val stored = eps.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("lbl"))
       .groupBy("id").agg(min(col("lbl")).as("lbl"))
@@ -188,8 +406,6 @@ object IncrementalClusters {
       .join(nodeOf.select(col("id").as("mid"), col("node").as("nb")), Seq("mid"))
       .filter(col("na") =!= col("nb"))
       .select("na", "nb")
-    // wave-local CC: nodes are current labels + wave doc ids, edge count
-    // is wave-sized — the driver union-find gate takes it in one pass
     val cc = Dedup.connectedComponents(g, "na", "nb")
     val labelRows = sk.select(col("id"))
       .join(nodeOf, Seq("id"), "left")

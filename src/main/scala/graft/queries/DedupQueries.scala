@@ -306,21 +306,30 @@ object DedupQueries extends QueryModule {
           col("id").as("new_label"))
         val cache: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
+        // band/sig state stays a PLAIN UNION of the per-wave cached
+        // sketch frames (cheap projections over TransientCache entries —
+        // no extra action, nothing to release); only labels/merges, which
+        // feed BACK through the fold and would nest their plans per wave,
+        // are lineage-truncated — and each wave releases its predecessor
+        // (localCheckpoint is eager, so the successor is materialized
+        // first; the connectedComponents release pattern). The first cut
+        // checkpointed all four per wave and released nothing: measured
+        // at the 100× tier as 52 → 130 s on the 2nd/3rd TimeQ samples
+        // (retained blocks), and ~20 s of fixed checkpoint orchestration
+        // at sf0.1.
+        var old: Seq[org.apache.spark.sql.DataFrame] = Nil
         (0 until 4).foreach { w =>
           val sk = cache(Dedup.MinHashLsh.sigsFor(
             docs.filter(pmod(col("doc_id"), lit(4)) === w),
             "text", "doc_id", portable = true))
           val (lr, mr) = graft.dedup.IncrementalClusters.foldWave(
             sk, bands, sigs, labels, merges, threshold = 0.35, cache)
-          // localCheckpoint: the fold's outputs reference the prior state
-          // frames, so un-truncated lineage would double per wave; the
-          // state is wave/corpus-slim (labels 16 B/doc, bands 8 rows/doc)
           labels = labels.unionByName(lr).localCheckpoint()
           merges = merges.unionByName(mr).localCheckpoint()
-          bands = bands
-            .unionByName(Dedup.MinHashLsh.bandRowsOfSigs(sk))
-            .localCheckpoint()
-          sigs = sigs.unionByName(sk).localCheckpoint()
+          bands = bands.unionByName(Dedup.MinHashLsh.bandRowsOfSigs(sk))
+          sigs = sigs.unionByName(sk)
+          old.foreach(_.unpersist(false))
+          old = Seq(labels, merges)
         }
         graft.dedup.IncrementalClusters.clusters(labels, merges)
           .orderBy("doc_id")

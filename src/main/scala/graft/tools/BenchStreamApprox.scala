@@ -201,7 +201,10 @@ object BenchStreamApprox {
     //   false_admit (approx admits, exact rejects) = estimator
     //     UNDER-estimated every ≥-t candidate.
     // (DedupSpec pins the class structure per disagreement doc.)
-    val sweep = Seq(0.5, 0.7, 0.8, 0.9).map { t =>
+    // (skipped on grouped/long-doc runs — the contract is per-verdict,
+    // doc length doesn't change it; the base artifact carries the table)
+    val sweep = (if (groupN > 1) Seq.empty[Double]
+      else Seq(0.5, 0.7, 0.8, 0.9)).map { t =>
       graft.core.TransientCache.scoped {
         val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
         val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
