@@ -98,15 +98,33 @@ object IncrementalClusters {
     * invocations ≈ 8 s of pure orchestration on a 5,000-doc corpus).
     * 12M pairs ≈ the 24M directed-edge budget connectedComponents'
     * own driver gate documents; above it the full machinery (with its
-    * deployment-tunable gate) takes over.
+    * deployment-tunable gate) takes over. Deployment-tunable like that
+    * gate: `spark.graft.dedup.waveCcMaxPairs` (pair-row count; 0 forces
+    * the distributed fold — e.g. a memory-tight driver ingesting
+    * dup-storm waves).
     */
-  private val DriverMaxPairs = 12L * 1000 * 1000
+  private val DriverMaxPairsDefault = 12L * 1000 * 1000
+
+  private def driverMaxPairs(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.waveCcMaxPairs").map { v =>
+      val n =
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.dedup.waveCcMaxPairs must be a plain pair-row " +
+              s"count (got '$v')")
+        }
+      require(n >= 0,
+        s"spark.graft.dedup.waveCcMaxPairs must be >= 0 (got $n); 0 " +
+          "forces the distributed fold")
+      n
+    }.getOrElse(DriverMaxPairsDefault)
 
   /** In-process min-label components over a SMALL pair list: same
     * assignment as [[Dedup.connectedComponents]] (every node → min
     * reachable id), fetched as packed per-partition long arrays in one
     * job. Caller guarantees the frame is cheap to evaluate (persisted
-    * parents) and row-bounded by [[DriverMaxPairs]]. */
+    * parents) and row-bounded by the wave gate. */
   private def driverComponents(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val spark = pairs.sparkSession
@@ -167,7 +185,7 @@ object IncrementalClusters {
     * components over the merge rows as an undirected edge list — an
     * in-process union-find for the (typical) small ledger, delegated to
     * [[Dedup.connectedComponents]] (delta pointer-jumping, its own
-    * driver gate) past [[DriverMaxPairs]]. Root self-rows (root, root)
+    * driver gate) past the wave gate. Root self-rows (root, root)
     * ride along harmlessly: resolution coalesces through them as no-ops.
     * Used by the read path ([[clusters]]) and by ledger compaction
     * (rewriting merges to depth-1 closure form); the per-wave fold
@@ -177,7 +195,7 @@ object IncrementalClusters {
   def mergeClosure(merges: DataFrame): DataFrame = {
     val m = merges.select(col("old_label"), col("new_label"))
     val n = m.count()
-    if (n <= DriverMaxPairs)
+    if (n <= driverMaxPairs(merges.sparkSession))
       driverComponents(m, "old_label", "new_label")
         .select(col("id").as("old_label"), col("comp").as("root"))
     else
@@ -294,11 +312,11 @@ object IncrementalClusters {
     // those nested plans dominated the fold outright (measured at sf0.1:
     // counting a 16-row derived frame took 2.5 s; whole folds 7-18 s on
     // a 5,000-doc corpus — driver planning, not compute). Wave edges are
-    // wave-bounded by construction; past [[DriverMaxPairs]] (same budget
+    // wave-bounded by construction; past the wave gate (same budget
     // class as connectedComponents' own driver gate) the distributed
     // shape takes over.
     val nPairs = edges.count()
-    if (nPairs > DriverMaxPairs)
+    if (nPairs > driverMaxPairs(spark))
       return foldWaveDistributed(spark, sk, edges, labels, merges, scope)
     val blocks = packedPairs(edges, "bid", "mid")
     // distinct endpoints
@@ -387,7 +405,7 @@ object IncrementalClusters {
       pairFrame(spark, mergeRows, "old_label", "new_label"))
   }
 
-  /** The all-DataFrame fold for waves past [[DriverMaxPairs]] — identical
+  /** The all-DataFrame fold for waves past the wave gate — identical
     * semantics, graph closed by [[Dedup.connectedComponents]] (delta
     * pointer-jumping with its own deployment-tunable driver gate). */
   private def foldWaveDistributed(spark: org.apache.spark.sql.SparkSession,

@@ -112,6 +112,22 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(resolvedDup == resolved)
   }
 
+  test("waveCcMaxPairs=0 forces the distributed fold — outputs identical " +
+      "to the driver-graph path") {
+    val sk0 = skOf(1L -> sigA); val sk1 = skOf(2L -> sigB)
+    val bands = Dedup.MinHashLsh.bandRowsOfSigs(sk0.unionByName(sk1))
+    val sigs = sk0.unionByName(sk1)
+    val labels = Seq(1L -> 1L, 2L -> 2L).toDF("id", "label")
+    val sk2 = skOf(3L -> sigC)
+    val (l, m) = fold(sk2, bands, sigs, labels, emptyMerges)
+    spark.conf.set("spark.graft.dedup.waveCcMaxPairs", "0")
+    try {
+      val (ld, md) = fold(sk2, bands, sigs, labels, emptyMerges)
+      assert(rows2(ld) == rows2(l) && rows2(md) == rows2(m),
+        "distributed fold must produce the driver path's exact rows")
+    } finally spark.conf.unset("spark.graft.dedup.waveCcMaxPairs")
+  }
+
   test("q108 fold ≡ q107 from-scratch closure on the sf0.001 fixture") {
     def run(name: String) = graft.core.TransientCache.scoped {
       SparkEntry.queries(name)(spark, TestSpark.sfDir)
