@@ -617,6 +617,33 @@ object Dedup {
         sizeHint: DataFrame, corpusBands: DataFrame, corpusSets: DataFrame,
         threshold: Double,
         scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
+      val verified = exactVerifiedPairs(sk, sizeHint, corpusBands,
+        corpusSets, threshold, scope)
+      sk.select(col("id").as("doc_id"))
+        .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg((count(col("mid")) === 0).as("admitted"),
+          min(col("mid")).as("first_match"))
+    }
+
+    /** The exact-Jaccard-VERIFIED (bid, mid) pairs of a sketched batch
+      * against the exact-mode ledgers — the shared kernel of
+      * [[nearDupAdmitSketched]] (verdict collapse) and
+      * [[IncrementalClusters.foldWaveExact]] (cluster-ledger folding):
+      * `bid` is a batch doc, `mid` a corpus doc or a smaller-id batch
+      * doc, the pair shares ≥ 1 signature band and verifies
+      * `jaccard ≥ threshold` on the shingle sets. With every doc's
+      * band/sset rows appended per wave, the union over waves is exactly
+      * [[nearDupPairs]]'s thresholded relation over the full corpus
+      * (uncollapsed: identical-set stars are ordinary verified pairs) —
+      * the identity q110 gates hash-exact against q109's oracle. Same
+      * multiplicity caveat as [[approxVerifiedPairs]] (null-kpfx rows
+      * emit per shared band; consumers absorb duplicates).
+      */
+    private[graft] def exactVerifiedPairs(sk: DataFrame,
+        sizeHint: DataFrame, corpusBands: DataFrame, corpusSets: DataFrame,
+        threshold: Double,
+        scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
       // `scope` = compute-once persist for the batch-bounded mid-frames
       // several subtrees consume (the banded batch rows feed the corpus
       // probe and both sides of the within-batch self-join; the candidate
@@ -735,18 +762,13 @@ object Dedup {
         .unionByName(cand
           .join(bs.as("vbm"), col("mid") === col("vbm.id"))
           .select(col("bid"), col("mid"), col("vbm.sset").as("set_b")))
-      val verified = withB
+      withB
         .join(bs.as("vba"), col("bid") === col("vba.id"))
         .withColumn("set_a", col("vba.sset"))
         .filter(
           (inter / (size(col("set_a")) + size(col("set_b")) - inter))
             >= threshold)
         .select("bid", "mid")
-      sk.select(col("id").as("doc_id"))
-        .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
-        .groupBy("doc_id")
-        .agg((count(col("mid")) === 0).as("admitted"),
-          min(col("mid")).as("first_match"))
     }
 
     // --- APPROXIMATE (signature-only) admission ---------------------------

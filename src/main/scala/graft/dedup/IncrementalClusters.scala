@@ -298,23 +298,50 @@ object IncrementalClusters {
   def foldWave(sk: DataFrame, corpusBands: DataFrame, corpusSigs: DataFrame,
       labels: DataFrame, merges: DataFrame, threshold: Double,
       scope: DataFrame => DataFrame = Dedup.cachedSketch,
-      knownRows: Option[Long] = None): (DataFrame, DataFrame) = {
+      knownRows: Option[Long] = None): (DataFrame, DataFrame) =
+    foldEdges(sk, scope(Dedup.MinHashLsh.approxVerifiedPairs(
+      sk, corpusBands, corpusSigs, threshold, scope, knownRows)),
+      labels, merges, scope)
+
+  /** [[foldWave]] with the EXACT-Jaccard edge kernel
+    * ([[Dedup.MinHashLsh.exactVerifiedPairs]] over band + shingle-set
+    * ledgers) — the fold is edge-source-agnostic, so the exact admission
+    * family gets incremental clusters under its own contract: the union
+    * of per-wave exact edge sets equals [[Dedup.MinHashLsh.nearDupPairs]]'
+    * relation over the full corpus, and q110 gates the fold hash-exact
+    * against q109's from-scratch closure oracle. `sizeHint` is the RAW
+    * wave frame, driving the exact path's verify-broadcast gate (its
+    * plan-time estimate honestly bounds sset bytes — see
+    * [[Dedup.MinHashLsh.nearDupAdmitSketched]]).
+    */
+  def foldWaveExact(sk: DataFrame, sizeHint: DataFrame,
+      corpusBands: DataFrame, corpusSets: DataFrame,
+      labels: DataFrame, merges: DataFrame, threshold: Double,
+      scope: DataFrame => DataFrame = Dedup.cachedSketch): (DataFrame, DataFrame) =
+    foldEdges(sk, scope(Dedup.MinHashLsh.exactVerifiedPairs(
+      sk, sizeHint, corpusBands, corpusSets, threshold, scope)),
+      labels, merges, scope)
+
+  /** The shared fold over an already-built (bid, mid) wave edge frame.
+    *
+    * The edge plan is the fold's ONE fat plan (band probe + verify over
+    * the ledgers). Materialize it, then fetch the wave-sized edge list as
+    * packed long arrays and run the graph work ON THE DRIVER over
+    * primitive arrays + tiny parallelized probe frames. The previous
+    * all-DataFrame shape embedded the edge plan in every downstream frame
+    * (endpoints ∪, resolution probe, graph join, label rows) — at small
+    * waves the repeated analysis/canonicalization of those nested plans
+    * dominated the fold outright (measured at sf0.1: counting a 16-row
+    * derived frame took 2.5 s; whole folds 7-18 s on a 5,000-doc corpus —
+    * driver planning, not compute). Wave edges are wave-bounded by
+    * construction; past the wave gate (same budget class as
+    * connectedComponents' own driver gate) the distributed shape takes
+    * over.
+    */
+  private def foldEdges(sk: DataFrame, edges: DataFrame,
+      labels: DataFrame, merges: DataFrame,
+      scope: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val spark = sk.sparkSession
-    val edges = scope(Dedup.MinHashLsh.approxVerifiedPairs(
-      sk, corpusBands, corpusSigs, threshold, scope, knownRows))
-    // The edge plan is the fold's ONE fat plan (band probe + estimator
-    // verify over the ledgers). Materialize it, then fetch the wave-sized
-    // edge list as packed long arrays and run the graph work ON THE
-    // DRIVER over primitive arrays + tiny parallelized probe frames.
-    // The previous all-DataFrame shape embedded the edge plan in every
-    // downstream frame (endpoints ∪, resolution probe, graph join, label
-    // rows) — at small waves the repeated analysis/canonicalization of
-    // those nested plans dominated the fold outright (measured at sf0.1:
-    // counting a 16-row derived frame took 2.5 s; whole folds 7-18 s on
-    // a 5,000-doc corpus — driver planning, not compute). Wave edges are
-    // wave-bounded by construction; past the wave gate (same budget
-    // class as connectedComponents' own driver gate) the distributed
-    // shape takes over.
     val nPairs = edges.count()
     if (nPairs > driverMaxPairs(spark))
       return foldWaveDistributed(spark, sk, edges, labels, merges, scope)

@@ -64,8 +64,12 @@ object DedupQueries extends QueryModule {
     * equally on both sides, so only the (negligible) 64-bit collision
     * class could diverge.
     */
-  private lazy val minhashOracleSql: String = {
-    s"""WITH $portableSetsSql, grp AS (
+  /** The q31 exact-verified pair pipeline as a reusable CTE chain
+    * (through `ver` and `stars`) — q31 selects the thresholded pairs
+    * directly; q109/q110 close their transitive hull (the exact-mode
+    * mirror of [[minhashApproxPairsCtes]]'s q105/q107/q108 sharing). */
+  private lazy val minhashExactPairsCtes: String =
+    s"""$portableSetsSql, grp AS (
        |  SELECT sset, min(doc_id) AS rep FROM sets GROUP BY sset
        |), stars AS (
        |  SELECT g.rep AS id_a, s.doc_id AS id_b, cast(1.0 AS double) AS jaccard
@@ -84,12 +88,38 @@ object DedupQueries extends QueryModule {
        |  FROM cand c
        |  JOIN grp gx ON c.id_a = gx.rep
        |  JOIN grp gy ON c.id_b = gy.rep
-       |)
+       |)""".stripMargin
+
+  private lazy val minhashOracleSql: String =
+    s"""WITH $minhashExactPairsCtes
        |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.35
        |UNION ALL
        |SELECT id_a, id_b, jaccard FROM stars
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** DuckDB mirror of q109 (exact-verified minhash duplicate clusters) —
+    * and of q110, which must be hash-identical by construction: the q31
+    * pair graph closed transitively with a recursive CTE (q107's shape
+    * over the exact-mode pair CTEs). */
+  private lazy val exactClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashExactPairsCtes, epairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM ver WHERE jaccard >= 0.35
+       |  UNION ALL
+       |  SELECT id_a, id_b FROM stars
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM epairs
+       |  UNION
+       |  SELECT id_b, id_a FROM epairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comps AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS comp
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
+       |FROM comps ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of q104: per-doc portable signatures/bands (no
     * star-collapse — the admission verdict is per BATCH DOC, so every doc
@@ -335,6 +365,68 @@ object DedupQueries extends QueryModule {
           .orderBy("doc_id")
       },
       Some(approxClustersOracleSql)),
+
+    // EXACT-verified minhash duplicate clusters: connected components
+    // over q31's exact-Jaccard-verified pair graph — q107's consumer
+    // shape under the exact contract, completing the pairs/admission/
+    // clusters × exact/approx matrix on the pair side.
+    "q109_dup_clusters_minhash" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.MinHashLsh.nearDupPairs(
+          Tables.documents(s, dir), "text", "doc_id",
+          threshold = 0.35, portable = true)
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+        cc.withColumn("csize", count(lit(1)).over(w))
+          .select(col("id").as("doc_id"), col("comp"), col("csize"))
+          .orderBy("doc_id")
+      },
+      Some(exactClustersOracleSql)),
+
+    // INCREMENTAL exact-verified clusters: q108's 4-wave ledger fold with
+    // the EXACT edge kernel (exactVerifiedPairs over band + shingle-set
+    // ledgers) — gated against q109's own oracle, so the hash proves the
+    // fold is mode-agnostic: the union of per-wave exact edge sets is
+    // q31's corpus relation, and the label/merge state closes it
+    // identically.
+    "q110_dup_clusters_minhash_incr" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val none = docs.filter(lit(false))
+        var bands = Dedup.MinHashLsh.bandsFor(
+          none, "text", "doc_id", portable = true)
+        var sets = Dedup.MinHashLsh.setsFor(
+          none, "text", "doc_id", portable = true)
+        var labels = s.range(0).select(col("id"), col("id").as("label"))
+        var merges = s.range(0).select(col("id").as("old_label"),
+          col("id").as("new_label"))
+        val cache: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
+        var old: Seq[org.apache.spark.sql.DataFrame] = Nil
+        (0 until 4).foreach { w =>
+          val wave = docs.filter(pmod(col("doc_id"), lit(4)) === w)
+          val toks = graft.text.TextFunctions.tokens(col("text"))
+          // one-pass sig+sset sketch, the nearDupIncrementalLedger shape
+          val sk = cache(wave
+            .select(col("doc_id").as("id"),
+              graft.functions.Sketches.minhashSigSetPortable(toks).as("ms"))
+            .select(col("id"), col("ms.sig").as("sig"),
+              col("ms.sset").as("sset"))
+            .withColumn("sz", size(col("sset"))))
+          val (lr, mr) = graft.dedup.IncrementalClusters.foldWaveExact(
+            sk, wave, bands, sets, labels, merges, threshold = 0.35, cache)
+          labels = labels.unionByName(lr).localCheckpoint()
+          merges = merges.unionByName(mr).localCheckpoint()
+          bands = bands.unionByName(
+            Dedup.MinHashLsh.bandRowsOf(sk.select("id", "sig", "sz")))
+          sets = sets.unionByName(sk.select("id", "sset"))
+          old.foreach(_.unpersist(false))
+          old = Seq(labels, merges)
+        }
+        graft.dedup.IncrementalClusters.clusters(labels, merges)
+          .orderBy("doc_id")
+      },
+      Some(exactClustersOracleSql)),
 
     // Exact dedup: normalized-fingerprint groupBy; survivor = min doc_id.
     "q30_dedup_exact" -> QueryDef(

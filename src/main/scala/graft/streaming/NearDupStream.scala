@@ -483,6 +483,76 @@ object NearDupStream {
       ()
     }
 
+  /** [[clusterWriter]] under the EXACT-Jaccard contract: the wave's edges
+    * come from [[graft.dedup.Dedup.MinHashLsh.exactVerifiedPairs]] (band
+    * candidates verified on shingle sets), and the corpus state is the
+    * exact admission mode's band + SSET ledgers — O(corpus tokens) at
+    * rest, the price of exact semantics ([[clusterWriter]] is the
+    * signature-only scale mode). Same labels → merges → bands → sets
+    * commit order and replay argument; the fold's label/merge outputs are
+    * driver-built frames with no ledger lineage at all, so the
+    * cache-invalidation analysis is trivial here. Gated end-to-end by
+    * q110 (the batch fold against q109's from-scratch-closure oracle) and
+    * the StreamingNearDupSpec exact-cluster case. `compactEvery` runs
+    * [[compactClusterLedgersExact]] on the usual cadence contract.
+    */
+  def clusterWriterExact(labelsDir: String, mergesDir: String,
+      bandsDir: String, setsDir: String, textCol: String, idCol: String,
+      threshold: Double = 0.5, portable: Boolean = false,
+      compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val toks = graft.text.TextFunctions.tokens(col(textCol))
+      val sk = batch
+        .select(col(idCol).as("id"),
+          (if (portable) graft.functions.Sketches.minhashSigSetPortable(toks)
+           else graft.functions.Sketches.minhashSigSet(toks)).as("ms"))
+        .select(col("id"), col("ms.sig").as("sig"), col("ms.sset").as("sset"))
+        .withColumn("sz", org.apache.spark.sql.functions.size(col("sset")))
+        .persist()
+      val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+      val waveScope: DataFrame => DataFrame =
+        d => { val p = d.persist(); scoped.add(p); p }
+      try {
+        val (labelRows, mergeRows) =
+          graft.dedup.IncrementalClusters.foldWaveExact(
+            sk, batch, ledgerBands(spark, bandsDir),
+            ledgerSets(spark, setsDir), ledgerLabels(spark, labelsDir),
+            ledgerMerges(spark, mergesDir), threshold, waveScope)
+        IdempotentSink.writer(labelsDir, onReplay = _ => ())(labelRows, batchId)
+        IdempotentSink.writer(mergesDir, onReplay = _ => ())(mergeRows, batchId)
+        IdempotentSink.writer(bandsDir, onReplay = _ => ())(
+          Dedup.MinHashLsh.bandRowsOf(sk.select("id", "sig", "sz")), batchId)
+        IdempotentSink.writer(setsDir, onReplay = _ => ())(
+          sk.select("id", "sset"), batchId)
+      } finally {
+        sk.unpersist()
+        scoped.forEach(_.unpersist())
+      }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactClusterLedgersExact(spark, labelsDir, mergesDir, bandsDir,
+          setsDir)
+      ()
+    }
+
+  /** [[compactClusterLedgers]] for the exact-mode cluster deployment:
+    * labels/merges as there; bands under the EXACT schema with the
+    * kpfx/sz backfill reading the sset ledger ([[compactLedgers]]' hook);
+    * ssets id-bucketed. */
+  def compactClusterLedgersExact(spark: SparkSession, labelsDir: String,
+      mergesDir: String, bandsDir: String, setsDir: String,
+      buckets: Int = 8): (Option[String], Option[String], Option[String],
+        Option[String]) =
+    (LedgerCompaction.compact(spark, labelsDir, LabelsSchema, Seq("id"),
+        buckets, resolveLabelRows(ledgerMerges(spark, mergesDir))),
+      LedgerCompaction.compact(spark, mergesDir, MergesSchema,
+        Seq("old_label"), buckets, closureForm),
+      LedgerCompaction.compact(spark, bandsDir, BandsSchema,
+        Seq("band", "bkey"), buckets,
+        backfillBands(ledgerSets(spark, setsDir))),
+      LedgerCompaction.compact(spark, setsDir, SetsSchema,
+        Seq("id"), buckets))
+
   /** [[compactLedgersApprox]] extended to the cluster deployment's four
     * ledgers. Labels compact id-bucketed with their stored labels
     * REWRITTEN through the current merge closure (read from the merges

@@ -598,6 +598,67 @@ class StreamingNearDupSpec extends AnyFunSuite {
     } + ((60L, 35L, 5L)), s"post-compaction wave: $got2")
   }
 
+  test("EXACT cluster stream: wave folds with real-Jaccard verification, " +
+      "bridge merge, restart no-op, from-scratch parity, compaction") {
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("graft-neardup-clusters-exact")
+    val in = s"$root/in"; val labels = s"$root/labels"
+    val merges = s"$root/merges"; val bands = s"$root/bands"
+    val sets = s"$root/sets"; val ckpt = s"$root/ckpt"
+    def runCycle(): Unit = {
+      val q = spark.readStream.schema("doc_id long, text string")
+        .parquet(s"$in/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(NearDupStream.clusterWriterExact(labels, merges,
+          bands, sets, "text", "doc_id", threshold = 0.5))
+        .start()
+      assert(q.awaitTermination(120000), "query did not terminate")
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    // exact contract: base/nearDup verify on REAL jaccard (1-token change,
+    // well above 0.5); cross-wave merge via a later small id (cluster
+    // {10,11} relabels to 2 when its duplicate arrives)
+    val waves = Seq(
+      Seq((0L, base), (1L, other)),
+      Seq((10L, otherNear), (11L, nearDup)), // 11 joins {0}; 10 joins {1}
+      Seq((2L, other.replace("joins", "unions")))) // merges {1,10} → 1... then 2<10? comp stays 1
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").write.parquet(s"$in/wave$i")
+      runCycle()
+    }
+    val got = clusterSet(NearDupStream.clusterAssignments(spark, labels, merges))
+    // from-scratch EXACT closure over everything the stream saw
+    val allDocs = waves.flatten.toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.MinHashLsh.nearDupPairs(
+      allDocs, "text", "doc_id", threshold = 0.5)
+    val cc = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+    val scratch = clusterSet(cc
+      .withColumn("csize",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("comp"), col("csize")))
+    assert(got == scratch,
+      s"exact incremental ledger must equal the from-scratch closure: " +
+        s"$got vs $scratch")
+    assert(got.exists(_._1 == 0L) && got.exists(_._1 == 11L),
+      s"the base/nearDup pair must cluster under exact verification: $got")
+    // restart no-op, then compaction parity
+    val batches = IdempotentSink.committedBatches(spark, labels)
+    runCycle()
+    assert(IdempotentSink.committedBatches(spark, labels) == batches)
+    val t = NearDupStream.compactClusterLedgersExact(spark, labels, merges,
+      bands, sets)
+    assert(t._1.isDefined && t._3.isDefined && t._4.isDefined)
+    assert(clusterSet(NearDupStream.clusterAssignments(spark, labels, merges))
+      == got, "compaction must not change exact cluster assignments")
+    // the sset ledger exists in this mode (the exact contract's price)
+    assert(NearDupStream.ledgerSets(spark, sets).count() ==
+      waves.flatten.size)
+  }
+
   test("cluster writer crash windows: every commit-order prefix replays " +
       "identically") {
     val root = freshDir("graft-neardup-clusters-crash")
