@@ -62,6 +62,13 @@ object IncrementalClusters {
     * join + one count per wave. Duplicate merge rows (crash replays)
     * multiply probe rows transiently; the per-round min-groupBy
     * re-collapses them (resolution is a function, so min is exact).
+    *
+    * A ledger whose chains run deeper than 64 (compaction disabled or
+    * long-deferred) falls back to ONE join against the FULL merge
+    * closure ([[mergeClosure]] — ledger-sized rather than wave-sized,
+    * but always finite): slower for that wave, never wedged — a
+    * long-running stream must not hard-fail, and permanently re-throw on
+    * every replay, just because maintenance fell behind.
     */
   private[graft] def resolveThrough(probe: DataFrame, merges: DataFrame,
       scope: DataFrame => DataFrame): DataFrame = {
@@ -81,12 +88,21 @@ object IncrementalClusters {
       }
       rounds += 1
     }
-    if (!done) throw new IllegalStateException(
-      "IncrementalClusters.resolveThrough: merge chains deeper than 64 — " +
-        "run compaction more often than every 64 waves, or the merges " +
-        "ledger violates the strictly-decreasing forest contract")
+    if (!done) {
+      log.warn("IncrementalClusters.resolveThrough: merge chains deeper " +
+        "than 64 — resolving through the full merge closure instead " +
+        "(ledger-sized work for this wave); run cluster-ledger " +
+        "compaction more often to restore wave-sized resolution")
+      cur = scope(cur
+        .join(mergeClosure(merges).withColumnRenamed("old_label", "lbl"),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("root"), col("lbl")).as("lbl"))
+        .groupBy("id").agg(min(col("lbl")).as("lbl")))
+    }
     cur
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Pair-row gate under which wave-local component closures run as an
     * in-process driver union-find instead of [[Dedup.connectedComponents]].
@@ -105,20 +121,36 @@ object IncrementalClusters {
     */
   private val DriverMaxPairsDefault = 12L * 1000 * 1000
 
-  private def driverMaxPairs(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.getOption("spark.graft.dedup.waveCcMaxPairs").map { v =>
+  /** The READ-path gate ([[mergeClosure]]) is separate from — and lower
+    * than — the wave-edge gate: the closure's driver collect recurs on
+    * EVERY resolve/clusters call and both compaction transforms, not
+    * once per wave, so its driver budget should be the cost a steady
+    * read cadence can afford (4M rows ≈ 64 MB packed), not the one-off
+    * wave budget. `spark.graft.dedup.mergeClosureDriverMaxRows`
+    * overrides; 0 forces the distributed closure. */
+  private val ClosureDriverMaxRowsDefault = 4L * 1000 * 1000
+
+  private def confGate(spark: org.apache.spark.sql.SparkSession,
+      key: String, default: Long): Long =
+    spark.conf.getOption(key).map { v =>
       val n =
         try v.trim.toLong
         catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
-            s"spark.graft.dedup.waveCcMaxPairs must be a plain pair-row " +
-              s"count (got '$v')")
+            s"$key must be a plain row count (got '$v')")
         }
       require(n >= 0,
-        s"spark.graft.dedup.waveCcMaxPairs must be >= 0 (got $n); 0 " +
-          "forces the distributed fold")
+        s"$key must be >= 0 (got $n); 0 forces the distributed path")
       n
-    }.getOrElse(DriverMaxPairsDefault)
+    }.getOrElse(default)
+
+  private def driverMaxPairs(spark: org.apache.spark.sql.SparkSession): Long =
+    confGate(spark, "spark.graft.dedup.waveCcMaxPairs", DriverMaxPairsDefault)
+
+  private def closureDriverMaxRows(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    confGate(spark, "spark.graft.dedup.mergeClosureDriverMaxRows",
+      ClosureDriverMaxRowsDefault)
 
   /** In-process min-label components over a SMALL pair list: same
     * assignment as [[Dedup.connectedComponents]] (every node → min
@@ -192,10 +224,15 @@ object IncrementalClusters {
     * resolves its wave-sized probe iteratively instead
     * ([[resolveThrough]]) so a wave never closes the whole forest.
     */
-  def mergeClosure(merges: DataFrame): DataFrame = {
+  def mergeClosure(merges: DataFrame,
+      knownRows: Option[Long] = None): DataFrame = {
     val m = merges.select(col("old_label"), col("new_label"))
-    val n = m.count()
-    if (n <= driverMaxPairs(merges.sparkSession))
+    // knownRows spares the per-call count job when the caller already
+    // materialized the ledger (the knownRows pattern of the admission
+    // kernels); the read-path gate is lower than the wave-edge gate —
+    // see [[ClosureDriverMaxRowsDefault]]
+    val n = knownRows.getOrElse(m.count())
+    if (n <= closureDriverMaxRows(merges.sparkSession))
       driverComponents(m, "old_label", "new_label")
         .select(col("id").as("old_label"), col("comp").as("root"))
     else

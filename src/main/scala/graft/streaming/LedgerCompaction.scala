@@ -314,16 +314,27 @@ object LedgerCompaction {
     * documented convention) — correctness never depends on it, it just
     * converts a contract violation into a clean no-op.
     *
-    * The lease file carries a unique HOLDER TOKEN, returned on success:
+    * The lease file carries a unique HOLDER TOKEN plus its CREATE
+    * TIMESTAMP (second line), returned on success:
     *  - release ([[releaseLease]]) deletes only a lease still carrying
     *    the caller's token, so a holder that overran `leaseTimeoutMs`
     *    and was stolen from can no longer delete the thief's lease and
     *    admit a third writer;
+    *  - staleness is judged from the EMBEDDED timestamp when present
+    *    (mtime only as a fallback for foreign/empty lease files): file
+    *    mtime is not rename-invariant on copy-based-rename stores
+    *    (e.g. S3A), where a steal's own rename would refresh a dead
+    *    lease into looking live and starve every subsequent steal;
     *  - stealing is RENAME-then-check, not delete+create: rename is
     *    atomic, so of two racing stealers exactly one moves the file
     *    (the loser defers), and a steal that accidentally grabbed a
     *    LIVE lease (created in the check→rename window) detects it by
-    *    the renamed file's age and puts it back.
+    *    the embedded timestamp and puts it back. If the put-back loses
+    *    to yet another lease, the displaced LIVE holder keeps running
+    *    while the new lease admits a second writer — that residual
+    *    two-writer window is logged loudly with the displaced holder's
+    *    token (the grabbed file is still deleted: leaving it leaks a
+    *    grab file forever and restores nobody's exclusivity).
     * One unavoidable TOCTOU remains in release (read-then-delete is two
     * calls) — within the advisory contract above.
     */
@@ -334,13 +345,32 @@ object LedgerCompaction {
     def tryCreate(): Boolean =
       try {
         val o = fs.create(lease, false)
-        try o.write(token.getBytes("UTF-8")) finally o.close()
+        try o.write(s"$token\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally o.close()
         true
       } catch { case _: java.io.IOException => false }
-    def ageStale(p: Path): Option[Boolean] =
-      try Some(System.currentTimeMillis() -
-        fs.getFileStatus(p).getModificationTime > leaseTimeoutMs)
-      catch { case _: java.io.FileNotFoundException => None }
+    // (holder token, embedded create time) — None when the file is gone
+    // or unreadable mid-race; a readable body with no/garbled second
+    // line (a pre-timestamp or hand-made lease) yields ts = None
+    def leaseBody(p: Path): Option[(String, Option[Long])] =
+      try {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = txt.split("\n", -1)
+        Some((lines(0).trim,
+          if (lines.length > 1) lines(1).trim.toLongOption else None))
+      } catch {
+        case _: java.io.FileNotFoundException => None
+        case _: java.io.IOException => None
+      }
+    def ageStale(p: Path): Option[Boolean] = {
+      val created = leaseBody(p).flatMap(_._2).orElse(
+        try Some(fs.getFileStatus(p).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None })
+      created.map(System.currentTimeMillis() - _ > leaseTimeoutMs)
+    }
     if (tryCreate()) return Some(token)
     ageStale(lease) match {
       case None => // holder released between create and stat: one retry
@@ -355,8 +385,19 @@ object LedgerCompaction {
         if (!won) None
         else if (ageStale(grabbed).contains(false)) {
           // grabbed a LIVE lease (fresh one landed in the check→rename
-          // window): put it back; if yet another lease appeared, drop ours
-          if (!fs.rename(grabbed, lease)) fs.delete(grabbed, false)
+          // window): put it back; if yet another lease appeared, the
+          // displaced holder can't be restored — surface it (two
+          // writers may now interleave; advisory contract) and drop
+          // the grab file rather than leak it
+          if (!fs.rename(grabbed, lease)) {
+            val displaced = leaseBody(grabbed).map(_._1).getOrElse("<unreadable>")
+            log.warn(s"ledger compaction lease at $lease: put-back of a " +
+              s"live lease (holder $displaced) lost to a newer lease — " +
+              "the displaced holder and the new holder may compact " +
+              "concurrently until one finishes (advisory single-writer " +
+              "contract; compaction itself is idempotent-resumable)")
+            fs.delete(grabbed, false)
+          }
           None
         } else {
           fs.delete(grabbed, false)
@@ -364,6 +405,8 @@ object LedgerCompaction {
         }
     }
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Delete the lease only while it still carries `token` — a stolen-from
     * holder finds the thief's token and leaves the lease alone. */
@@ -373,7 +416,8 @@ object LedgerCompaction {
     try {
       val in = fs.open(lease)
       val held =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .split("\n", -1)(0).trim
         finally in.close()
       if (held == token) fs.delete(lease, false)
     } catch {

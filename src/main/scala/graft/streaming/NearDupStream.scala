@@ -440,12 +440,18 @@ object NearDupStream {
     * containing this batch.
     *
     * `compactEvery` runs [[compactClusterLedgers]] on [[writer]]'s cadence
-    * contract.
+    * contract. Unlike the admission writers it DEFAULTS ON (every 16
+    * waves): uncompacted merge chains grow one level per merging wave,
+    * and while [[graft.dedup.IncrementalClusters.resolveThrough]] now
+    * degrades gracefully past depth 64 (full-closure fallback, never a
+    * wedge), a cluster deployment that never compacts pays
+    * ledger-sized resolution every wave — the cadence keeps steady-state
+    * chains shallow. Pass 0 to manage maintenance externally.
     */
   def clusterWriter(labelsDir: String, mergesDir: String, bandsDir: String,
       sigsDir: String, textCol: String, idCol: String,
       threshold: Double = 0.5, portable: Boolean = false,
-      compactEvery: Int = 0): (DataFrame, Long) => Unit =
+      compactEvery: Int = 16): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
       val toks = graft.text.TextFunctions.tokens(col(textCol))
@@ -494,12 +500,14 @@ object NearDupStream {
     * cache-invalidation analysis is trivial here. Gated end-to-end by
     * q110 (the batch fold against q109's from-scratch-closure oracle) and
     * the StreamingNearDupSpec exact-cluster case. `compactEvery` runs
-    * [[compactClusterLedgersExact]] on the usual cadence contract.
+    * [[compactClusterLedgersExact]] on the usual cadence contract,
+    * defaulting ON every 16 waves for [[clusterWriter]]'s chain-depth
+    * reason.
     */
   def clusterWriterExact(labelsDir: String, mergesDir: String,
       bandsDir: String, setsDir: String, textCol: String, idCol: String,
       threshold: Double = 0.5, portable: Boolean = false,
-      compactEvery: Int = 0): (DataFrame, Long) => Unit =
+      compactEvery: Int = 16): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
       val toks = graft.text.TextFunctions.tokens(col(textCol))
@@ -542,16 +550,19 @@ object NearDupStream {
   def compactClusterLedgersExact(spark: SparkSession, labelsDir: String,
       mergesDir: String, bandsDir: String, setsDir: String,
       buckets: Int = 8): (Option[String], Option[String], Option[String],
-        Option[String]) =
+        Option[String]) = {
+    lazy val closure = graft.dedup.IncrementalClusters
+      .mergeClosure(ledgerMerges(spark, mergesDir))
     (LedgerCompaction.compact(spark, labelsDir, LabelsSchema, Seq("id"),
-        buckets, resolveLabelRows(ledgerMerges(spark, mergesDir))),
+        buckets, resolveLabelRows(closure)),
       LedgerCompaction.compact(spark, mergesDir, MergesSchema,
-        Seq("old_label"), buckets, closureForm),
+        Seq("old_label"), buckets, closureFormOf(closure)),
       LedgerCompaction.compact(spark, bandsDir, BandsSchema,
         Seq("band", "bkey"), buckets,
         backfillBands(ledgerSets(spark, setsDir))),
       LedgerCompaction.compact(spark, setsDir, SetsSchema,
         Seq("id"), buckets))
+  }
 
   /** [[compactLedgersApprox]] extended to the cluster deployment's four
     * ledgers. Labels compact id-bucketed with their stored labels
@@ -571,32 +582,42 @@ object NearDupStream {
   def compactClusterLedgers(spark: SparkSession, labelsDir: String,
       mergesDir: String, bandsDir: String, sigsDir: String,
       buckets: Int = 8): (Option[String], Option[String], Option[String],
-        Option[String]) =
+        Option[String]) = {
+    lazy val closure = graft.dedup.IncrementalClusters
+      .mergeClosure(ledgerMerges(spark, mergesDir))
     (LedgerCompaction.compact(spark, labelsDir, LabelsSchema, Seq("id"),
-        buckets, resolveLabelRows(ledgerMerges(spark, mergesDir))),
+        buckets, resolveLabelRows(closure)),
       LedgerCompaction.compact(spark, mergesDir, MergesSchema,
-        Seq("old_label"), buckets, closureForm),
+        Seq("old_label"), buckets, closureFormOf(closure)),
       LedgerCompaction.compact(spark, bandsDir, ApproxBandsSchema,
         Seq("band", "bkey"), buckets, backfillKpfx),
       LedgerCompaction.compact(spark, sigsDir, SigsSchema,
         Seq("id"), buckets))
+  }
 
   /** Labels-compaction transform: redirect every stored label through the
-    * given merges ledger's closure. Pure and schema-preserving; no-op on
-    * already-resolved rows. */
-  private def resolveLabelRows(merges: DataFrame)(labels: DataFrame): DataFrame =
+    * merge closure. Pure and schema-preserving; no-op on already-resolved
+    * rows. The closure frame is SHARED with the merges transform of the
+    * same maintenance call (one closure computation per call, not two —
+    * the closure's driver union-find recurs on every read-path use, so
+    * sharing halves the maintenance cadence's recurring cost); under the
+    * driver gate it is a parallelized local result, free to reuse. */
+  private def resolveLabelRows(closure: => DataFrame)(labels: DataFrame): DataFrame =
     labels
-      .join(graft.dedup.IncrementalClusters.mergeClosure(merges)
-        .withColumnRenamed("old_label", "label"), Seq("label"), "left")
+      .join(closure.withColumnRenamed("old_label", "label"),
+        Seq("label"), "left")
       .select(col("id"),
         org.apache.spark.sql.functions.coalesce(
           col("root"), col("label")).as("label"))
 
   /** Merges-compaction transform: rewrite each redirect to its transitive
-    * root (depth-1 closure form), keeping every old_label. Pure: the
-    * closure is computed from the transform's own input rows. */
-  private def closureForm(merges: DataFrame): DataFrame =
-    graft.dedup.IncrementalClusters.mergeClosure(merges)
+    * root (depth-1 closure form), keeping every old_label. The shared
+    * closure is computed from the LEDGER's committed rows at apply time —
+    * the same row SET as the transform's own input (batch dirs at or
+    * below the generation version duplicate generation rows, and the
+    * closure is duplicate-insensitive), so the rewrite stays pure. */
+  private def closureFormOf(closure: => DataFrame)(merges: DataFrame): DataFrame =
+    closure
       .filter(col("old_label") =!= col("root"))
       .select(col("old_label"), col("root").as("new_label"))
 }

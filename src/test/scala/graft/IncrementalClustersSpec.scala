@@ -112,6 +112,35 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(resolvedDup == resolved)
   }
 
+  test("merge chains deeper than 64 resolve through the full-closure " +
+      "fallback instead of wedging") {
+    // a 100-deep strictly-decreasing chain 101 → 100 → … → 1: what a
+    // cluster stream with compaction disabled accumulates. The iterative
+    // resolver caps at 64 rounds; past it the wave must fall back to one
+    // join against the merge closure — a permanent throw would wedge
+    // every replay of the wave until manual compaction.
+    val deep = (1 to 100).map(i => (i + 1).toLong -> i.toLong)
+      .toDF("old_label", "new_label")
+    val probe = Seq(7L -> 101L, 8L -> 50L, 9L -> 999L).toDF("id", "lbl")
+    val resolved = rows2(
+      IncrementalClusters.resolveThrough(probe, deep, identity))
+    assert(resolved == Set(7L -> 1L, 8L -> 1L, 9L -> 999L), s"$resolved")
+  }
+
+  test("mergeClosureDriverMaxRows=0 forces the distributed closure; " +
+      "knownRows skips nothing semantically") {
+    val merges = Seq(5L -> 3L, 3L -> 1L, 9L -> 2L).toDF("old_label", "new_label")
+    val driver = rows2(IncrementalClusters.mergeClosure(merges))
+    val known = rows2(IncrementalClusters.mergeClosure(merges, Some(3L)))
+    assert(known == driver)
+    spark.conf.set("spark.graft.dedup.mergeClosureDriverMaxRows", "0")
+    try {
+      val dist = rows2(IncrementalClusters.mergeClosure(merges))
+      assert(dist == driver,
+        "distributed closure must produce the driver path's exact rows")
+    } finally spark.conf.unset("spark.graft.dedup.mergeClosureDriverMaxRows")
+  }
+
   test("waveCcMaxPairs=0 forces the distributed fold — outputs identical " +
       "to the driver-graph path") {
     val sk0 = skOf(1L -> sigA); val sk1 = skOf(2L -> sigB)

@@ -136,6 +136,44 @@ class LedgerCompactionSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("lease staleness reads the embedded create timestamp, not mtime: " +
+      "a copy-based-rename store can't starve steals") {
+    val dir = freshDir("graft-ledger-lease-ts")
+    writeBatch(dir, 0L, Seq(1L, 2L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(dir, "_compacting")
+    // a dead holder's lease whose CREATE timestamp (embedded, second
+    // line) is hours old while the file mtime is FRESH — what an object
+    // store's copy-based rename produces after a failed steal attempt
+    // refreshed the file. Staleness must come from the body: the lease
+    // is stolen, not deferred to forever.
+    val o = fs.create(lease, false)
+    try o.write(s"dead-holder\n${System.currentTimeMillis() - 2L * 60 * 60 * 1000}"
+      .getBytes("UTF-8")) finally o.close()
+    assert(compact(dir).isDefined,
+      "body-stale lease must be stolen despite fresh mtime")
+    assert(!fs.exists(lease), "lease released after compaction")
+    assert(LedgerCompaction.read(spark, dir, schema)
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // and the inverse: a FRESH embedded timestamp defends the lease even
+    // when the file mtime is ancient (mtime is only the fallback for
+    // foreign/empty lease files) — the deferring compactor returns the
+    // CURRENT generation and writes no new one
+    val genBefore = LedgerCompaction.currentCompaction(spark, dir)
+    writeBatch(dir, 1L, Seq(3L))
+    val o2 = fs.create(lease, false)
+    try o2.write(s"live-holder\n${System.currentTimeMillis()}"
+      .getBytes("UTF-8")) finally o2.close()
+    fs.setTimes(lease, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    assert(compact(dir) == genBefore.map(_._2),
+      "body-fresh lease must defer despite stale mtime")
+    assert(LedgerCompaction.currentCompaction(spark, dir).map(_._1)
+      == genBefore.map(_._1),
+      "deferring compactor must not write a new generation")
+    fs.delete(lease, false)
+  }
+
   test("lease ownership: an overrun (stolen-from) holder never deletes " +
       "the thief's lease") {
     val dir = freshDir("graft-ledger-lease-token")
