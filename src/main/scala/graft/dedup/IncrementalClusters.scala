@@ -336,7 +336,7 @@ object IncrementalClusters {
       labels: DataFrame, merges: DataFrame, threshold: Double,
       scope: DataFrame => DataFrame = Dedup.cachedSketch,
       knownRows: Option[Long] = None): (DataFrame, DataFrame) =
-    foldEdges(sk, scope(Dedup.MinHashLsh.approxVerifiedPairs(
+    foldEdgeFrame(sk, scope(Dedup.MinHashLsh.approxVerifiedPairs(
       sk, corpusBands, corpusSigs, threshold, scope, knownRows)),
       labels, merges, scope)
 
@@ -355,11 +355,20 @@ object IncrementalClusters {
       corpusBands: DataFrame, corpusSets: DataFrame,
       labels: DataFrame, merges: DataFrame, threshold: Double,
       scope: DataFrame => DataFrame = Dedup.cachedSketch): (DataFrame, DataFrame) =
-    foldEdges(sk, scope(Dedup.MinHashLsh.exactVerifiedPairs(
+    foldEdgeFrame(sk, scope(Dedup.MinHashLsh.exactVerifiedPairs(
       sk, sizeHint, corpusBands, corpusSets, threshold, scope)),
       labels, merges, scope)
 
-  /** The shared fold over an already-built (bid, mid) wave edge frame.
+  /** The shared fold over an already-built (bid, mid) wave edge frame —
+    * PUBLIC because the fold is genuinely edge-source-agnostic: any
+    * kernel that emits, per wave, every thresholded pair whose later
+    * endpoint is in the wave (minhash estimator edges in [[foldWave]],
+    * exact-Jaccard edges in [[foldWaveExact]], within-IVF-cell cosine
+    * edges in [[SemanticDedup.foldWaveSemantic]]) folds into the same
+    * label/merge ledgers with the same union-over-waves ≡ from-scratch
+    * closure guarantee. `sk` supplies the wave's ids (column `id`);
+    * `edges` must be cheap to re-evaluate (scoped/persisted by the
+    * caller or built over persisted parents).
     *
     * The edge plan is the fold's ONE fat plan (band probe + verify over
     * the ledgers). Materialize it, then fetch the wave-sized edge list as
@@ -375,9 +384,9 @@ object IncrementalClusters {
     * connectedComponents' own driver gate) the distributed shape takes
     * over.
     */
-  private def foldEdges(sk: DataFrame, edges: DataFrame,
+  def foldEdgeFrame(sk: DataFrame, edges: DataFrame,
       labels: DataFrame, merges: DataFrame,
-      scope: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+      scope: DataFrame => DataFrame = Dedup.cachedSketch): (DataFrame, DataFrame) = {
     val spark = sk.sparkSession
     val nPairs = edges.count()
     if (nPairs > driverMaxPairs(spark))

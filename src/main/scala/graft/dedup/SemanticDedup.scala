@@ -122,23 +122,25 @@ object SemanticDedup {
     * is undefined and raw pairwise filtered those pairs out via its
     * null-propagating comparison; the star edges must not resurrect them.
     */
+  /** Canonicalized vector fingerprint — the identical-vector collapse
+    * key shared by the batch edge kernel, the incremental rep/fp ledgers,
+    * and admission. One long through every group-by and join shuffle
+    * instead of a 256-byte float-array key (measured at sf0.1: array keys
+    * cost ~1.7× wall and +55% tasks on q91); a 64-bit collision between
+    * two DIFFERENT vectors in the same corpus is ~n²/2⁶⁵ — negligible
+    * against the operator's own parameter-bounded approximation. The
+    * hash runs over a CANONICALIZED array: xxhash64 sees raw float bits,
+    * so -0.0 vs 0.0 (bit-distinct, == -equal) would land one vector
+    * group in two collapse keys and silently never pair them. `x + 0.0f`
+    * maps -0.0 to +0.0 and re-quiets any exotic NaN payload to the JVM's
+    * canonical NaN. */
+  private[graft] def cefp(ce: Column): Column =
+    xxhash64(transform(ce, x => x + lit(0.0f)))
+
   private[graft] def dupEdges(members: DataFrame,
       threshold: Double): DataFrame = {
-    // the collapse keys on xxhash64(ce) — one long through the group-by
-    // and join-back shuffles instead of a 256-byte float-array key
-    // (measured at sf0.1: array keys cost ~1.7× wall and +55% tasks on
-    // q91). Same trade as [[Dedup.embeddingNearDupLsh]]'s vfp: a 64-bit
-    // collision between two DIFFERENT vectors in the same corpus is
-    // ~n²/2⁶⁵ — negligible against the operator's own parameter-bounded
-    // approximation. Zero vectors stay excluded on BOTH sides of the
+    // Zero vectors stay excluded on BOTH sides of the
     // star join (cn2 > 0), never by luck of the hash.
-    // hash over a CANONICALIZED array: xxhash64 sees raw float bits, so
-    // -0.0 vs 0.0 (bit-distinct, == -equal) would land one vector group
-    // in two collapse keys and silently never pair them — semantics the
-    // previous array-equality groupBy key (NormalizeFloatingNumbers) gave
-    // for free. `x + 0.0f` maps -0.0 to +0.0 and re-quiets any exotic
-    // NaN payload to the JVM's canonical NaN.
-    def cefp(ce: Column): Column = xxhash64(transform(ce, x => x + lit(0.0f)))
     val nz = members.filter(col("cn2") > 0)
     val groups = nz.groupBy(cefp(col("ce")).as("cefp"))
       .agg(min("nid").as("rep"))
@@ -157,5 +159,234 @@ object SemanticDedup {
         >= lit(threshold))
       .select(col("id_a"), col("id_b"))
     stars.unionByName(repPairs)
+  }
+
+  // ==== incremental / streaming semantic dedup =============================
+  //
+  // The semantic mirror of the minhash family's incremental close
+  // (pairs → admission → clusters, q105-q110): against FROZEN centroids
+  // (a persisted IVF coordinate system — the same maintenance contract as
+  // [[graft.similarity.Ann.addToIvfIndex]]), the within-cell pair relation
+  // decomposes over arriving waves (each unordered pair surfaces once, in
+  // its later endpoint's wave), so SemDeDup clusters fold incrementally
+  // into [[IncrementalClusters]]' label/merge ledgers instead of re-running
+  // the corpus-wide pairwise per refresh. Persisted state, all O(corpus
+  // rows) or O(distinct vectors):
+  //
+  //  - `reps`  (cell, rep, ce, cn2): one row per DISTINCT vector ever
+  //    seen, rep = its first-seen min id — the pairwise side, bucketed on
+  //    `cell` so the wave-vs-corpus cosine join ships nothing at rest;
+  //  - `fps`   (cefp, rep): slim fingerprint → rep membership map (16 B a
+  //    row), bucketed on `cefp` — an arriving duplicate of a known vector
+  //    star-edges to its rep WITHOUT entering the pairwise at all (the
+  //    dominant mass of a dedup workload: [[dupEdges]]' collapse,
+  //    incrementally);
+  //  - `members` (id, cell, centroid_sim): per-vector output metadata for
+  //    the exemplar pick, id-bucketed;
+  //  - labels/merges: [[IncrementalClusters]]' ledgers, unchanged.
+
+  /** Wave assignment against frozen centroids, with the per-member
+    * centroid cosine [[fromIndex]] computes: (nid, cell, ce, cn2,
+    * centroid_sim). `wave` needs (vec_id, embedding); zero vectors get a
+    * null centroid_sim (double /0 is null) and never edge, exactly as in
+    * the batch path. */
+  def assignWithSim(wave: DataFrame, centroids: DataFrame): DataFrame = {
+    val idx = Ann.indexWithCentroids(wave, centroids)
+    idx.assigned
+      .join(broadcast(idx.centroids), Seq("cell"))
+      .select(col("nid"), col("cell"), col("ce"), col("cn2"),
+        VectorFunctions.cosinePrenormed(
+          FloatVecDot.dot(col("ce"), col("cvec")), col("cn2"), col("cvn2"))
+          .as("centroid_sim"))
+  }
+
+  /** One wave's semantic-duplicate edges against the persisted rep state,
+    * plus the wave's NEW reps: `(edges (bid, mid), newReps (cefp, rep,
+    * cell, ce, cn2))`.
+    *
+    * Wave vectors collapse by [[cefp]]; each group probes the `fps`
+    * ledger. A KNOWN group's members star-edge to the corpus rep (no
+    * pairwise — cosine is 1 by identity); an UNKNOWN group's wave-min
+    * becomes its rep: star edges within the wave, and the rep enters the
+    * within-cell cosine pairwise against corpus reps and the wave's other
+    * new reps. Union over waves = exactly [[dupEdges]]' pair relation up
+    * to component equivalence: star anchors differ (first-seen rep vs
+    * global min) but identical vectors always chain to their group's
+    * every rep, and rep-level cosine is a function of the VECTOR, so the
+    * transitive closure — and with it every cluster label (component min)
+    * — is identical to the from-scratch batch run (q111's gate).
+    *
+    * Replay note: `bid =!= mid` on the cross pairwise (not `<`) — a
+    * replay after the reps ledger committed sees the wave's own reps on
+    * the corpus side; the guard drops only the self-pair, and the extra
+    * symmetric duplicates are harmless to the fold (CC is idempotent
+    * under duplicate edges).
+    */
+  private[graft] def semanticWaveDelta(asg: DataFrame, corpusReps: DataFrame,
+      corpusFps: DataFrame, threshold: Double,
+      scope: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    require(threshold > 0 && threshold <= 1,
+      s"semantic-dup cosine threshold must lie in (0, 1], got $threshold")
+    val nz = asg.filter(col("cn2") > 0)
+    val groups = nz
+      .groupBy(cefp(col("ce")).as("cefp"))
+      .agg(min_by(struct(col("nid"), col("cell"), col("ce"), col("cn2")),
+        col("nid")).as("g"))
+      .select(col("cefp"), col("g.nid").as("wrep"), col("g.cell").as("cell"),
+        col("g.ce").as("ce"), col("g.cn2").as("cn2"))
+    // wave-sized probe of the cefp-bucketed fps ledger: ledger side ships
+    // nothing at rest; scoped because anchors + newReps both consume it
+    val probed = scope(groups
+      .join(corpusFps.select(col("cefp"), col("rep").as("crep")),
+        Seq("cefp"), "left"))
+    val anchors = probed
+      .select(col("cefp"), coalesce(col("crep"), col("wrep")).as("anchor"))
+    val stars = nz
+      .select(cefp(col("ce")).as("cefp"), col("nid"))
+      .join(anchors, Seq("cefp"))
+      .filter(col("nid") =!= col("anchor"))
+      .select(col("nid").as("bid"), col("anchor").as("mid"))
+    val newReps = probed
+      .filter(col("crep").isNull)
+      .select(col("cefp"), col("wrep").as("rep"), col("cell"),
+        col("ce"), col("cn2"))
+    val cos = VectorFunctions.cosinePrenormed(
+      FloatVecDot.dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
+    val l = newReps.select(col("cell"), col("rep").as("bid"),
+      col("ce").as("e_a"), col("cn2").as("n_a"))
+    val crossPairs = l
+      .join(corpusReps.select(col("cell"), col("rep").as("mid"),
+        col("ce").as("e_b"), col("cn2").as("n_b")), Seq("cell"))
+      .filter(col("bid") =!= col("mid") && cos >= lit(threshold))
+      .select("bid", "mid")
+    val withinPairs = l
+      .join(newReps.select(col("cell"), col("rep").as("mid"),
+        col("ce").as("e_b"), col("cn2").as("n_b")), Seq("cell"))
+      .filter(col("mid") < col("bid") && cos >= lit(threshold))
+      .select("bid", "mid")
+    (stars.unionByName(crossPairs).unionByName(withinPairs), newReps)
+  }
+
+  /** One wave's semantic fold: the five wave-sized ledger deltas
+    * `(labelRows, mergeRows, memberRows (id, cell, centroid_sim),
+    * repRows (cell, rep, ce, cn2), fpRows (cefp, rep))`, a PURE function
+    * of (wave assignment, committed ledgers) — the exactly-once property
+    * the streaming writer needs. Commit order for crash-replay safety:
+    * labels → merges → members → reps → fps. Labels/merges first is
+    * [[IncrementalClusters.foldWave]]'s argument verbatim (the fold is
+    * edge-source-agnostic); members is wave-pure (identical on any
+    * replay); reps BEFORE fps because new-rep detection probes `fps` — a
+    * crash after fps committed but reps not would make every replay see
+    * its own groups as known and never write their vectors into the
+    * pairwise state, whereas the chosen order only adds replay-window
+    * duplicate edges the fold tolerates.
+    *
+    * `asg` = [[assignWithSim]] of the wave, persisted by the caller
+    * (several subtrees consume it). */
+  def foldWaveSemantic(asg: DataFrame, corpusReps: DataFrame,
+      corpusFps: DataFrame, labels: DataFrame, merges: DataFrame,
+      threshold: Double,
+      scope: DataFrame => DataFrame = Dedup.cachedSketch)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (edges, newReps) =
+      semanticWaveDelta(asg, corpusReps, corpusFps, threshold, scope)
+    val (labelRows, mergeRows) = IncrementalClusters.foldEdgeFrame(
+      asg.select(col("nid").as("id")), scope(edges), labels, merges, scope)
+    (labelRows, mergeRows,
+      asg.select(col("nid").as("id"), col("cell"), col("centroid_sim")),
+      newReps.select(col("cell"), col("rep"), col("ce"), col("cn2")),
+      newReps.select(col("cefp"), col("rep")))
+  }
+
+  /** [[semanticDedup]]'s exact output shape from the incremental ledger
+    * state: every member with its resolved cluster (component min through
+    * the label/merge ledgers), centroid_sim, and the exemplar flag —
+    * byte-identical to running [[fromIndex]] from scratch over the corpus
+    * the ledgers absorbed (q111's gate). Read-consistency matches the
+    * family's other read paths: a doc whose wave crashed between the
+    * labels and members commits is absent until the wave replays. */
+  def clustersFromLedgers(members: DataFrame, labels: DataFrame,
+      merges: DataFrame): DataFrame = {
+    val labeled = members
+      // one row per doc even while a replayed-after-sweep batch
+      // transiently duplicates rows (identical, so min is exact)
+      .groupBy("id").agg(min(col("centroid_sim")).as("centroid_sim"))
+      .join(IncrementalClusters.resolve(labels, merges)
+        .withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("comp"), col("id")).as("cluster"), col("centroid_sim"))
+    val keeper = labeled.groupBy("cluster")
+      .agg(min_by(col("vec_id"), struct(col("centroid_sim"), col("vec_id")))
+        .as("keep_id"))
+    labeled.join(keeper, Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("centroid_sim"),
+        (col("vec_id") === col("keep_id")).as("keep"))
+  }
+
+  /** Incremental semantic ADMISSION — SemDeDup as a one-pass filter
+    * (q112), the semantic mirror of the minhash admission verdicts
+    * (q104/q106): a batch vector is admitted unless some corpus vector,
+    * or a SMALLER-id batch vector, shares its IVF cell with cosine ≥
+    * `threshold` (the order-free rule that makes the verdict
+    * SQL-expressible; zero vectors are always admitted — cosine with
+    * them is undefined). Returns (vec_id, admitted, first_match).
+    *
+    * Scale shape: BOTH sides collapse to distinct-vector reps before the
+    * within-cell pairwise — exact, including `first_match`, because a
+    * rep is its group's min id and every group member's cosine to
+    * anything equals its rep's (identical vectors), so the min matching
+    * id over raw members is the min over matched reps. A dup-storm batch
+    * therefore pays |distinct|² per cell, never |members|².
+    */
+  def semanticAdmit(batch: DataFrame, corpus: DataFrame, threshold: Double,
+      centroids: DataFrame,
+      scope: DataFrame => DataFrame = Dedup.cachedSketch): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"semantic-dup cosine threshold must lie in (0, 1], got $threshold")
+    def repsOf(asg: DataFrame) = asg
+      .filter(col("cn2") > 0)
+      .groupBy(cefp(col("ce")).as("cefp"))
+      .agg(min_by(struct(col("nid"), col("cell"), col("ce"), col("cn2")),
+        col("nid")).as("g"))
+      .select(col("g.nid").as("rep"), col("g.cell").as("cell"),
+        col("g.ce").as("ce"), col("g.cn2").as("cn2"))
+    val ba = scope(Ann.indexWithCentroids(batch, centroids).assigned)
+    val br = scope(repsOf(ba))
+    val cr = repsOf(Ann.indexWithCentroids(corpus, centroids).assigned)
+    val cos = VectorFunctions.cosinePrenormed(
+      FloatVecDot.dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
+    val probe = br.select(col("cell"), col("rep").as("bid"),
+      col("ce").as("e_a"), col("cn2").as("n_a"))
+    val matches = probe
+      .join(cr.select(col("cell"), col("rep").as("mid"), col("ce").as("e_b"),
+        col("cn2").as("n_b")), Seq("cell"))
+      .filter(cos >= lit(threshold))
+      .select("bid", "mid")
+      .unionByName(probe
+        .join(br.select(col("cell"), col("rep").as("mid"), col("ce").as("e_b"),
+          col("cn2").as("n_b")), Seq("cell"))
+        .filter(col("mid") < col("bid") && cos >= lit(threshold))
+        .select("bid", "mid"))
+    // verdicts resolve per REP, then fan back to the rep's group members:
+    // a non-rep member's matches are its rep's matches plus the rep
+    // itself (identical vector, smaller id — so every non-rep member is
+    // rejected with first_match ≤ its rep)
+    val repVerdict = br.select(col("rep").as("bid"))
+      .join(scope(matches), Seq("bid"), "left")
+      .groupBy("bid")
+      .agg((count(col("mid")) === 0).as("admitted"),
+        min(col("mid")).as("first_match"))
+    ba.select(cefp(col("ce")).as("bfp"), col("nid").as("vec_id"))
+      .join(br.select(cefp(col("ce")).as("bfp"), col("rep")), Seq("bfp"), "left")
+      .join(repVerdict.withColumnRenamed("bid", "rep"), Seq("rep"), "left")
+      .select(col("vec_id"),
+        // zero vectors (rep null) are always admitted; a non-rep member
+        // is rejected by its own rep when the rep itself matched nothing
+        when(col("rep").isNull, lit(true))
+          .when(col("vec_id") === col("rep"), col("admitted"))
+          .otherwise(lit(false)).as("admitted"),
+        when(col("rep").isNull, lit(null).cast("long"))
+          .when(col("vec_id") === col("rep"), col("first_match"))
+          .otherwise(least(col("first_match"), col("rep"))).as("first_match"))
   }
 }

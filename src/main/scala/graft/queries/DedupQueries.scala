@@ -267,6 +267,97 @@ object DedupQueries extends QueryModule {
        |GROUP BY b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Shared DuckDB CTE chain of the semantic-dedup oracles (q91, q111,
+    * q112): stride-drawn centroids, argmax cell assignment (cosine DESC,
+    * cell DESC tie — the IvfArgmaxCell kernel's rule), per-member
+    * centroid cosine. `mem` is multi-referenced downstream, so it is
+    * MATERIALIZED (DuckDB inlines CTEs per reference otherwise — the
+    * documented oracle-OOM class). */
+  private val semanticMemCtes: String =
+    """n AS (SELECT count(*) AS cnt FROM embeddings),
+      |s AS (
+      |  SELECT greatest(1, cast(floor(cnt / ceil(sqrt(cnt))) AS bigint)) AS stride
+      |  FROM n
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+      |    embedding AS cvec,
+      |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS cvn2
+      |  FROM embeddings WHERE vec_id % (SELECT stride FROM s) = 0
+      |), base AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
+      |  FROM embeddings
+      |), mem AS MATERIALIZED (
+      |  SELECT vec_id AS nid, embedding AS ce, n2 AS cn2, cell,
+      |    (list_reduce(list_transform(range(1, len(embedding) + 1),
+      |        i -> embedding[i]::double * cvec[i]::double), (x, y) -> x + y)
+      |     / (sqrt(n2) * sqrt(cvn2))) AS centroid_sim
+      |  FROM (
+      |    SELECT b.vec_id, b.embedding, b.n2, c.cell, c.cvec, c.cvn2,
+      |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |        (list_reduce(list_transform(range(1, len(b.embedding) + 1),
+      |            i -> b.embedding[i]::double * c.cvec[i]::double), (x, y) -> x + y)
+      |         / (sqrt(b.n2) * sqrt(c.cvn2))) DESC, c.cell DESC) AS arn
+      |    FROM base b CROSS JOIN cent c
+      |  ) WHERE arn = 1
+      |)""".stripMargin
+
+  /** The full q91 oracle — raw within-cell pairwise edges, recursive-CTE
+    * component closure, farthest-from-centroid exemplar. q111 gates the
+    * 4-wave incremental ledger fold against the SAME oracle: the
+    * ledger-maintained output must be hash-identical to the from-scratch
+    * closure. */
+  private val semanticDedupOracleSql: String =
+    s"""WITH RECURSIVE $semanticMemCtes, prs AS (
+       |  SELECT a.nid AS id_a, b.nid AS id_b
+       |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.nid < b.nid
+       |  WHERE a.cn2 > 0 AND b.cn2 > 0 AND
+       |    (list_reduce(list_transform(range(1, len(a.ce) + 1),
+       |        i -> a.ce[i]::double * b.ce[i]::double), (x, y) -> x + y)
+       |     / (sqrt(a.cn2) * sqrt(b.cn2))) >= 0.4
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION
+       |  SELECT id_b, id_a FROM prs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comps AS (
+       |  SELECT src AS nid, least(src, min(dst)) AS comp FROM reach GROUP BY src
+       |), labeled AS (
+       |  SELECT m.nid AS vec_id, coalesce(c.comp, m.nid) AS cluster,
+       |    m.centroid_sim
+       |  FROM mem m LEFT JOIN comps c ON m.nid = c.nid
+       |)
+       |SELECT vec_id, cluster, centroid_sim,
+       |  row_number() OVER (PARTITION BY cluster
+       |    ORDER BY centroid_sim, vec_id) = 1 AS keep
+       |FROM labeled ORDER BY vec_id""".stripMargin
+
+  /** q112's oracle: the one-pass semantic admission verdict over the
+    * odd/even halves — a batch (odd) vector is admitted unless some
+    * corpus (even) vector or a smaller-id batch vector shares its cell
+    * with cosine >= 0.4; zero vectors are always admitted. Raw pairwise:
+    * the engine's distinct-vector collapse must be invisible here. */
+  private val semanticAdmitOracleSql: String =
+    s"""WITH $semanticMemCtes, ver AS (
+       |  SELECT x.nid AS bid, y.nid AS mid
+       |  FROM mem x JOIN mem y ON x.cell = y.cell
+       |  WHERE x.nid % 2 = 1
+       |    AND (y.nid % 2 = 0 OR y.nid < x.nid)
+       |    AND x.cn2 > 0 AND y.cn2 > 0
+       |    AND (list_reduce(list_transform(range(1, len(x.ce) + 1),
+       |        i -> x.ce[i]::double * y.ce[i]::double), (u, w) -> u + w)
+       |     / (sqrt(x.cn2) * sqrt(y.cn2))) >= 0.4
+       |)
+       |SELECT m.nid AS vec_id, count(v.mid) = 0 AS admitted,
+       |  min(v.mid) AS first_match
+       |FROM (SELECT nid FROM mem WHERE nid % 2 = 1) m
+       |LEFT JOIN ver v ON m.nid = v.bid
+       |GROUP BY m.nid
+       |ORDER BY m.nid""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
 
     // APPROXIMATE incremental near-dup ADMISSION: q104's one-pass verdict
@@ -672,58 +763,77 @@ object DedupQueries extends QueryModule {
             emb, graft.similarity.Ann.strideCentroids(emb)), threshold = 0.4)
           .orderBy("vec_id")
       },
-      Some("""WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM embeddings),
-             |s AS (
-             |  SELECT greatest(1, cast(floor(cnt / ceil(sqrt(cnt))) AS bigint)) AS stride
-             |  FROM n
-             |), cent AS (
-             |  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
-             |    embedding AS cvec,
-             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS cvn2
-             |  FROM embeddings WHERE vec_id % (SELECT stride FROM s) = 0
-             |), base AS (
-             |  SELECT vec_id, embedding,
-             |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
-             |  FROM embeddings
-             |), mem AS (
-             |  SELECT vec_id AS nid, embedding AS ce, n2 AS cn2, cell,
-             |    (list_reduce(list_transform(range(1, len(embedding) + 1),
-             |        i -> embedding[i]::double * cvec[i]::double), (x, y) -> x + y)
-             |     / (sqrt(n2) * sqrt(cvn2))) AS centroid_sim
-             |  FROM (
-             |    SELECT b.vec_id, b.embedding, b.n2, c.cell, c.cvec, c.cvn2,
-             |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
-             |        (list_reduce(list_transform(range(1, len(b.embedding) + 1),
-             |            i -> b.embedding[i]::double * c.cvec[i]::double), (x, y) -> x + y)
-             |         / (sqrt(b.n2) * sqrt(c.cvn2))) DESC, c.cell DESC) AS arn
-             |    FROM base b CROSS JOIN cent c
-             |  ) WHERE arn = 1
-             |), prs AS (
-             |  SELECT a.nid AS id_a, b.nid AS id_b
-             |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.nid < b.nid
-             |  WHERE a.cn2 > 0 AND b.cn2 > 0 AND
-             |    (list_reduce(list_transform(range(1, len(a.ce) + 1),
-             |        i -> a.ce[i]::double * b.ce[i]::double), (x, y) -> x + y)
-             |     / (sqrt(a.cn2) * sqrt(b.cn2))) >= 0.4
-             |), edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM prs
-             |  UNION
-             |  SELECT id_b, id_a FROM prs
-             |), reach AS (
-             |  SELECT src, dst FROM edges
-             |  UNION
-             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-             |), comps AS (
-             |  SELECT src AS nid, least(src, min(dst)) AS comp FROM reach GROUP BY src
-             |), labeled AS (
-             |  SELECT m.nid AS vec_id, coalesce(c.comp, m.nid) AS cluster,
-             |    m.centroid_sim
-             |  FROM mem m LEFT JOIN comps c ON m.nid = c.nid
-             |)
-             |SELECT vec_id, cluster, centroid_sim,
-             |  row_number() OVER (PARTITION BY cluster
-             |    ORDER BY centroid_sim, vec_id) = 1 AS keep
-             |FROM labeled ORDER BY vec_id""".stripMargin)),
+      Some(semanticDedupOracleSql)),
+
+    // INCREMENTALLY-MAINTAINED semantic dedup: the corpus arrives as 4
+    // waves (vec_id mod 4) against FROZEN stride centroids, each wave
+    // folded into persisted rep/fingerprint/member/label/merge state by
+    // SemanticDedup.foldWaveSemantic — per-wave work is the wave's
+    // assignment, a fingerprint probe, and within-cell cosine for the
+    // wave's NEW distinct vectors only, never q91's corpus-wide pairwise.
+    // Gated against the SAME oracle as q91: the union of per-wave edge
+    // sets closes to the identical components (star anchors differ from
+    // the batch collapse but chain to the same groups), so the
+    // ledger-derived (vec_id, cluster, centroid_sim, keep) must be
+    // hash-identical to the from-scratch run.
+    "q111_semantic_dedup_incr" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cent = graft.similarity.Ann.strideCentroids(emb)
+        val cache: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
+        var reps = s.range(0).select(col("id").cast("int").as("cell"),
+          col("id").as("rep"), lit(Array.empty[Float]).as("ce"),
+          lit(0.0).as("cn2"))
+        var fps = s.range(0).select(col("id").as("cefp"), col("id").as("rep"))
+        var labels = s.range(0).select(col("id"), col("id").as("label"))
+        var merges = s.range(0).select(col("id").as("old_label"),
+          col("id").as("new_label"))
+        var members = s.range(0).select(col("id"),
+          lit(null).cast("int").as("cell"),
+          lit(null).cast("double").as("centroid_sim"))
+        // q108's lineage discipline: labels/merges feed BACK through the
+        // fold and are truncated per wave (predecessor released after the
+        // eager localCheckpoint materializes the successor); reps/fps/
+        // members stay plain unions of projections over per-wave cached
+        // frames
+        var old: Seq[org.apache.spark.sql.DataFrame] = Nil
+        (0 until 4).foreach { w =>
+          val asg = cache(graft.dedup.SemanticDedup.assignWithSim(
+            emb.filter(pmod(col("vec_id"), lit(4)) === w), cent))
+          val (lr, mr, mem, nr, nf) =
+            graft.dedup.SemanticDedup.foldWaveSemantic(
+              asg, reps, fps, labels, merges, threshold = 0.4, cache)
+          labels = labels.unionByName(lr).localCheckpoint()
+          merges = merges.unionByName(mr).localCheckpoint()
+          members = members.unionByName(mem)
+          reps = reps.unionByName(nr)
+          fps = fps.unionByName(nf)
+          old.foreach(_.unpersist(false))
+          old = Seq(labels, merges)
+        }
+        graft.dedup.SemanticDedup
+          .clustersFromLedgers(members, labels, merges)
+          .orderBy("vec_id")
+      },
+      Some(semanticDedupOracleSql)),
+
+    // Incremental semantic ADMISSION: SemDeDup as a one-pass filter —
+    // q104/q106's verdict protocol with within-IVF-cell cosine in place
+    // of the minhash machinery. Both sides collapse to distinct-vector
+    // reps before the pairwise (exact, including first_match — a rep is
+    // its group's min id and cosine is a function of the vector), so a
+    // dup-storm batch pays |distinct|² per cell, never |members|².
+    "q112_semantic_admit_incr" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.dedup.SemanticDedup.semanticAdmit(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+            threshold = 0.4, graft.similarity.Ann.strideCentroids(emb))
+          .orderBy("vec_id")
+      },
+      Some(semanticAdmitOracleSql)),
 
     // Duplicate clusters: connected components over the oracle-verified
     // exact-Jaccard pair graph (q33's pairs), assigning every paired doc

@@ -95,10 +95,10 @@ object NearDupStream {
   // the incremental CLUSTER ledgers ([[clusterWriter]]): one label row per
   // doc, written in its own wave, plus append-only merge redirects — see
   // [[graft.dedup.IncrementalClusters]] for the state model
-  private val LabelsSchema = StructType(Seq(
+  private[streaming] val LabelsSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("label", LongType)))
-  private val MergesSchema = StructType(Seq(
+  private[streaming] val MergesSchema = StructType(Seq(
     StructField("old_label", LongType),
     StructField("new_label", LongType)))
 
@@ -602,7 +602,7 @@ object NearDupStream {
     * the closure's driver union-find recurs on every read-path use, so
     * sharing halves the maintenance cadence's recurring cost); under the
     * driver gate it is a parallelized local result, free to reuse. */
-  private def resolveLabelRows(closure: => DataFrame)(labels: DataFrame): DataFrame =
+  private[streaming] def resolveLabelRows(closure: => DataFrame)(labels: DataFrame): DataFrame =
     labels
       .join(closure.withColumnRenamed("old_label", "label"),
         Seq("label"), "left")
@@ -616,7 +616,7 @@ object NearDupStream {
     * the same row SET as the transform's own input (batch dirs at or
     * below the generation version duplicate generation rows, and the
     * closure is duplicate-insensitive), so the rewrite stays pure. */
-  private def closureFormOf(closure: => DataFrame)(merges: DataFrame): DataFrame =
+  private[streaming] def closureFormOf(closure: => DataFrame)(merges: DataFrame): DataFrame =
     closure
       .filter(col("old_label") =!= col("root"))
       .select(col("old_label"), col("root").as("new_label"))

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType,
+  IntegerType, LongType, StructField, StructType}
+
+import graft.dedup.{IncrementalClusters, SemanticDedup}
+
+/** Streaming SEMANTIC duplicate clusters — the SemDeDup mirror of
+  * [[NearDupStream.clusterWriter]], completing the streaming story for the
+  * dedup ladder's third rung (exact: [[DedupStream]], near:
+  * [[NearDupStream]], semantic: here). Each micro-batch of embeddings is
+  * assigned against FROZEN centroids (the caller's persisted IVF
+  * coordinate system — [[graft.similarity.Ann.addToIvfIndex]]'s
+  * maintenance contract: centroids drift with the distribution, the
+  * remedy is periodic rebuild, not per-batch retraining), folded into the
+  * persisted cluster ledgers by [[SemanticDedup.foldWaveSemantic]], and
+  * committed exactly-once.
+  *
+  * State = five ledgers on the sink filesystem ([[IdempotentSink]] /
+  * [[LedgerCompaction]] contracts), all O(corpus rows) or
+  * O(distinct vectors):
+  *
+  *  - labels/merges: [[IncrementalClusters]]' cluster state, identical to
+  *    the minhash cluster writers';
+  *  - `membersDir` (id, cell, centroid_sim): per-vector output metadata
+  *    for the exemplar pick, id-bucketed at rest;
+  *  - `repsDir` (cell, rep, ce, cn2): one row per DISTINCT vector — the
+  *    within-cell pairwise side, cell-bucketed so the wave-vs-corpus
+  *    cosine join ships nothing at rest;
+  *  - `fpsDir` (cefp, rep): 16 B/row fingerprint → rep membership,
+  *    cefp-bucketed — an arriving duplicate of a known vector star-edges
+  *    to its rep without entering the pairwise at all.
+  *
+  * Exactly-once across crash/replay by [[NearDupStream.clusterWriter]]'s
+  * argument with the semantic commit order labels → merges → members →
+  * reps → fps ([[SemanticDedup.foldWaveSemantic]] derives why reps must
+  * precede fps: new-rep detection probes `fps`, and the reverse order
+  * would let a crash window silently drop the wave's vectors from the
+  * pairwise state on every replay).
+  */
+object SemanticStream {
+
+  private[streaming] val MembersSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("cell", IntegerType),
+    // null for zero vectors (cosine with them is undefined) — exactly the
+    // batch path's value
+    StructField("centroid_sim", DoubleType, nullable = true)))
+  private[streaming] val RepsSchema = StructType(Seq(
+    StructField("cell", IntegerType),
+    StructField("rep", LongType),
+    StructField("ce", ArrayType(FloatType)),
+    StructField("cn2", DoubleType)))
+  private[streaming] val FpsSchema = StructType(Seq(
+    StructField("cefp", LongType),
+    StructField("rep", LongType)))
+
+  /** Committed member-metadata ledger (typed-empty on cold start);
+    * id-bucketed at rest after [[compactSemanticLedgers]]. */
+  def ledgerMembers(spark: SparkSession, membersDir: String): DataFrame =
+    LedgerCompaction.read(spark, membersDir, MembersSchema)
+
+  /** Committed distinct-vector rep ledger (typed-empty on cold start);
+    * cell-bucketed at rest after [[compactSemanticLedgers]]. */
+  def ledgerReps(spark: SparkSession, repsDir: String): DataFrame =
+    LedgerCompaction.read(spark, repsDir, RepsSchema)
+
+  /** Committed fingerprint→rep ledger (typed-empty on cold start);
+    * cefp-bucketed at rest after [[compactSemanticLedgers]]. */
+  def ledgerFps(spark: SparkSession, fpsDir: String): DataFrame =
+    LedgerCompaction.read(spark, fpsDir, FpsSchema)
+
+  /** Current semantic-dedup output from the ledger state — q91's exact
+    * shape ((vec_id, cluster, centroid_sim, keep), every member, exactly
+    * one keeper per cluster), equal to running
+    * [[SemanticDedup.fromIndex]] from scratch over everything the stream
+    * absorbed (spec-pinned parity; q111 gates the batch fold against the
+    * same oracle). */
+  def semanticAssignments(spark: SparkSession, membersDir: String,
+      labelsDir: String, mergesDir: String): DataFrame =
+    SemanticDedup.clustersFromLedgers(
+      ledgerMembers(spark, membersDir),
+      NearDupStream.ledgerLabels(spark, labelsDir),
+      NearDupStream.ledgerMerges(spark, mergesDir))
+
+  /** The `foreachBatch` function. `batch` needs `idCol` (long) and
+    * `vecCol` (array<float>); `centroids` is the frozen (cell, cvec)
+    * coordinate system, collected per batch (√n rows — the argmax kernel
+    * embeds it as a literal). `compactEvery` defaults ON every 16 waves
+    * for [[NearDupStream.clusterWriter]]'s chain-depth reason.
+    */
+  def writer(labelsDir: String, mergesDir: String, membersDir: String,
+      repsDir: String, fpsDir: String, vecCol: String, idCol: String,
+      centroids: DataFrame, threshold: Double = 0.97,
+      compactEvery: Int = 16): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val asg = SemanticDedup.assignWithSim(
+        batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        centroids).persist()
+      val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+      val waveScope: DataFrame => DataFrame =
+        d => { val p = d.persist(); scoped.add(p); p }
+      try {
+        // the fold is EAGER (edge counts + the wave-local CC run inside),
+        // so the batch source is evaluated on a replay before any marker
+        // check, and the wave-scoped mid-frames (the fps probe the
+        // rep/fp deltas project from) are materialized BEFORE any ledger
+        // dir is appended — the later sinks read cached blocks, never a
+        // re-derivation against ledgers already containing this batch
+        val (labelRows, mergeRows, memberRows, repRows, fpRows) =
+          SemanticDedup.foldWaveSemantic(asg,
+            ledgerReps(spark, repsDir), ledgerFps(spark, fpsDir),
+            NearDupStream.ledgerLabels(spark, labelsDir),
+            NearDupStream.ledgerMerges(spark, mergesDir),
+            threshold, waveScope)
+        IdempotentSink.writer(labelsDir, onReplay = _ => ())(labelRows, batchId)
+        IdempotentSink.writer(mergesDir, onReplay = _ => ())(mergeRows, batchId)
+        IdempotentSink.writer(membersDir, onReplay = _ => ())(memberRows, batchId)
+        IdempotentSink.writer(repsDir, onReplay = _ => ())(repRows, batchId)
+        IdempotentSink.writer(fpsDir, onReplay = _ => ())(fpRows, batchId)
+      } finally {
+        asg.unpersist()
+        scoped.forEach(_.unpersist())
+      }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactSemanticLedgers(spark, labelsDir, mergesDir, membersDir,
+          repsDir, fpsDir)
+      ()
+    }
+
+  /** [[NearDupStream.compactClusterLedgers]] for the semantic deployment's
+    * five ledgers: labels id-bucketed with stored labels rewritten through
+    * the shared merge closure, merges old_label-bucketed in depth-1
+    * closure form, members on id, reps on cell, fps on cefp. The five
+    * compact INDEPENDENTLY (rows, not generations, carry the semantics);
+    * a crash between any two resumes idempotently. */
+  def compactSemanticLedgers(spark: SparkSession, labelsDir: String,
+      mergesDir: String, membersDir: String, repsDir: String,
+      fpsDir: String, buckets: Int = 8): (Option[String], Option[String],
+        Option[String], Option[String], Option[String]) = {
+    lazy val closure = IncrementalClusters
+      .mergeClosure(NearDupStream.ledgerMerges(spark, mergesDir))
+    (LedgerCompaction.compact(spark, labelsDir, NearDupStream.LabelsSchema,
+        Seq("id"), buckets, NearDupStream.resolveLabelRows(closure)),
+      LedgerCompaction.compact(spark, mergesDir, NearDupStream.MergesSchema,
+        Seq("old_label"), buckets, NearDupStream.closureFormOf(closure)),
+      LedgerCompaction.compact(spark, membersDir, MembersSchema,
+        Seq("id"), buckets),
+      LedgerCompaction.compact(spark, repsDir, RepsSchema,
+        Seq("cell"), buckets),
+      LedgerCompaction.compact(spark, fpsDir, FpsSchema,
+        Seq("cefp"), buckets))
+  }
+}

@@ -110,6 +110,44 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(r.find(_._1 == 5000L).exists(_._3), "the singleton is kept")
   }
 
+  test("semanticAdmit: one-pass verdict — corpus match, within-batch " +
+      "smaller id, identical-vector collapse, zero vector admitted") {
+    // unit-norm dim-4 fixture: vx/vy at cos 0.92 (below t=0.97), vz the
+    // bridge at cos ≈ 0.9798 to both, vw/vu at cos 0.9 — all pinned
+    val vx = Seq(1f, 0f, 0f, 0f)
+    val vy = Seq(0.92f, 0.392f, 0f, 0f)
+    val vz = Seq(0.97979f, 0.200041f, 0f, 0f)
+    val vw = Seq(0f, 1f, 0f, 0f)
+    val vu = Seq(0f, 0.9f, 0.43589f, 0f)
+    val zero = Seq(0f, 0f, 0f, 0f)
+    val cent = Seq((1, Seq(1f, 0f, 0f, 0f)), (2, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cell", "cvec")
+    val corpus = Seq(0L -> vy, 2L -> vw).toDF("vec_id", "embedding")
+    val batch = Seq(1L -> vx, 3L -> vx, 5L -> vz, 7L -> zero, 9L -> vu)
+      .toDF("vec_id", "embedding")
+    val got = SemanticDedup.semanticAdmit(batch, corpus, 0.97, cent)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Boolean]("admitted"), r.getAs[Any]("first_match"))).toSet
+    assert(got == Set(
+      (1L, true, null), // cell 1; corpus vy at 0.92 < t — novel
+      (3L, false, 1L), // identical to smaller batch id 1 (fps collapse)
+      (5L, false, 0L), // bridge: matches corpus 0 AND batch 1/3 — min = 0
+      (7L, true, null), // zero vector: cosine undefined, always admitted
+      (9L, true, null)), // cell 2; corpus vw at 0.9 < t — novel
+      s"verdicts: $got")
+  }
+
+  test("q111 incremental fold ≡ q91 from-scratch SemDeDup on the " +
+      "sf0.001 fixture") {
+    def run(name: String) = graft.core.TransientCache.scoped {
+      SparkEntry.queries(name)(spark, TestSpark.sfDir).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+          r.getAs[Any]("centroid_sim"), r.getAs[Boolean]("keep"))).toSet
+    }
+    assert(run("q111_semantic_dedup_incr") == run("q91_semantic_dedup"),
+      "ledger-maintained semantic clusters must equal the from-scratch run")
+  }
+
   test("fixture run: total function, one keeper per cluster, rule holds") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val n = emb.count()

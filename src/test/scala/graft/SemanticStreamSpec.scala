@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.dedup.SemanticDedup
+import graft.similarity.Ann
+import graft.streaming.{NearDupStream, SemanticStream}
+
+/** Streaming semantic duplicate clusters ([[SemanticStream]]): wave folds
+  * against frozen centroids, identical-vector fps stars, cross-cluster
+  * bridge merges, kill/restart no-op, parity with the from-scratch
+  * SemDeDup run, ledger compaction, and every crash window of the
+  * labels → merges → members → reps → fps commit order —
+  * [[StreamingNearDupSpec]]'s proof shape on the semantic operator.
+  */
+class SemanticStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String) = Files.createTempDirectory(tag).toString
+
+  // dim-4 fixture with pinned cosine structure (all unit-norm, so the
+  // thresholds are exact dot products): vx/vy share cell 1 at cos 0.92
+  // (separate at t=0.97); vz is their normalized midpoint, cos ≈ 0.9798
+  // to BOTH — a genuine bridge. vw/vu share cell 2 at cos 0.9. zero is
+  // the undefined-cosine singleton.
+  private val c1 = Seq(1f, 0f, 0f, 0f)
+  private val c2 = Seq(0f, 1f, 0f, 0f)
+  private val vx = Seq(1f, 0f, 0f, 0f)
+  private val vy = Seq(0.92f, 0.392f, 0f, 0f)
+  private val vz = Seq(0.97979f, 0.200041f, 0f, 0f)
+  private val vw = Seq(0f, 1f, 0f, 0f)
+  private val vu = Seq(0f, 0.9f, 0.43589f, 0f)
+  private val zero = Seq(0f, 0f, 0f, 0f)
+
+  private def centroids = Seq((1, c1), (2, c2)).toDF("cell", "cvec")
+
+  private val waves: Seq[Seq[(Long, Seq[Float])]] = Seq(
+    Seq((0L, vx), (1L, vw)), // two singletons in different cells
+    Seq((10L, vy), (11L, vx)), // 11 fps-stars to 0; 10 alone (cos 0.92)
+    Seq((20L, vz)), // bridges {0,11} and {10} → merge (10→0)
+    Seq((5L, vu), (6L, vu)), // within-wave identical pair
+    Seq((2L, vu)), // smaller id arriving later relabels {5,6} → merge (5→2)
+    Seq((99L, zero))) // zero vector: null sim, always a singleton
+
+  private def outSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+      r.getAs[Any]("centroid_sim"), r.getAs[Boolean]("keep"))).toSet
+
+  /** From-scratch reference: [[SemanticDedup.fromIndex]] over exactly the
+    * vectors the stream saw, same frozen centroids. */
+  private def scratch(vecs: Seq[(Long, Seq[Float])]) =
+    SemanticDedup.fromIndex(
+      Ann.indexWithCentroids(vecs.toDF("vec_id", "embedding"), centroids),
+      threshold = 0.97)
+
+  test("semantic cluster stream: fps stars, bridge merge, late smaller id, " +
+      "restart no-op, parity with from-scratch SemDeDup, compaction") {
+    val root = freshDir("graft-semantic-stream")
+    val in = s"$root/in"; val labels = s"$root/labels"
+    val merges = s"$root/merges"; val members = s"$root/members"
+    val reps = s"$root/reps"; val fps = s"$root/fps"; val ckpt = s"$root/ckpt"
+    def runCycle(): Unit = {
+      val q = spark.readStream
+        .schema("vec_id long, embedding array<float>")
+        .parquet(s"$in/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(SemanticStream.writer(labels, merges, members, reps,
+          fps, "embedding", "vec_id", centroids, threshold = 0.97))
+        .start()
+      assert(q.awaitTermination(120000), "query did not terminate")
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("vec_id", "embedding").write.parquet(s"$in/wave$i")
+      runCycle() // fresh AvailableNow query per wave = kill-and-restart
+    }
+    val got = outSet(
+      SemanticStream.semanticAssignments(spark, members, labels, merges))
+    assert(got == outSet(scratch(waves.flatten)),
+      s"ledger-maintained output vs from-scratch: $got")
+    // hand-pinned structure: one 4-cluster through the bridge (exemplar =
+    // farthest from centroid = vy's doc 10), the relabeled {2,5,6} with
+    // the identical-sim tie broken to the smaller id, and the zero-vector
+    // singleton with null sim
+    val clusters = got.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.map(_._1) }
+    assert(clusters(0L) == Set(0L, 10L, 11L, 20L), s"$clusters")
+    assert(clusters(2L) == Set(2L, 5L, 6L), s"$clusters")
+    assert(got.filter(_._4).map(_._1) == Set(10L, 2L, 1L, 99L),
+      s"keepers: ${got.filter(_._4)}")
+    assert(got.find(_._1 == 99L).get._3 == null, "zero vector: null sim")
+    // restart with nothing new: a fresh AvailableNow run adds nothing
+    runCycle()
+    assert(outSet(SemanticStream.semanticAssignments(
+      spark, members, labels, merges)) == got)
+    // compaction: merges rewritten to depth-1 closure form, reps
+    // cell-bucketed, output unchanged; a later wave still folds
+    val (tl, tm, tmm, tr, tf) = SemanticStream.compactSemanticLedgers(
+      spark, labels, merges, members, reps, fps)
+    assert(tl.isDefined && tm.isDefined && tmm.isDefined &&
+      tr.isDefined && tf.isDefined)
+    assert(outSet(SemanticStream.semanticAssignments(
+      spark, members, labels, merges)) == got)
+    val mrows = NearDupStream.ledgerMerges(spark, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mrows == Set(10L -> 0L, 5L -> 2L), s"closure-form merges: $mrows")
+    // the reps ledger holds one row per DISTINCT nonzero vector,
+    // first-seen min id
+    val repIds = SemanticStream.ledgerReps(spark, reps)
+      .select("rep").as[Long].collect().toSet
+    assert(repIds == Set(0L, 1L, 10L, 20L, 5L), s"rep ids: $repIds")
+    // post-compaction wave: an identical vector fps-stars to its rep and
+    // joins the existing cluster
+    Seq((30L, vx)).toDF("vec_id", "embedding").write.parquet(s"$in/wave9")
+    runCycle()
+    val got2 = outSet(SemanticStream.semanticAssignments(
+      spark, members, labels, merges))
+    assert(got2 == outSet(scratch(waves.flatten :+ (30L -> vx))),
+      s"post-compaction fold parity: $got2")
+  }
+
+  test("semantic writer crash windows: every commit-order prefix replays " +
+      "identically") {
+    val root = freshDir("graft-semantic-crash")
+    val labels = s"$root/labels"; val merges = s"$root/merges"
+    val members = s"$root/members"; val reps = s"$root/reps"
+    val fps = s"$root/fps"
+    val w = SemanticStream.writer(labels, merges, members, reps, fps,
+      "embedding", "vec_id", centroids, threshold = 0.97)
+    val fs = new org.apache.hadoop.fs.Path(labels)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def kill(dir: String, batch: Long): Unit = {
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_committed-$batch"), false))
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$batch"), true))
+    }
+    w(Seq((0L, vx), (1L, vw)).toDF("vec_id", "embedding"), 0L)
+    w(Seq((10L, vy), (11L, vx)).toDF("vec_id", "embedding"), 1L)
+    // the bridge wave: run once, then simulate EVERY crash window of the
+    // labels → merges → members → reps → fps order and replay each time
+    val bridge = Seq((20L, vz)).toDF("vec_id", "embedding")
+    w(bridge, 2L)
+    for (window <- Seq(
+        Seq(merges, members, reps, fps), // labels committed, rest lost
+        Seq(members, reps, fps),
+        Seq(reps, fps),
+        Seq(fps))) { // reps committed, fps lost — the order-critical one
+      window.foreach(kill(_, 2L))
+      w(bridge, 2L)
+    }
+    val got = outSet(SemanticStream.semanticAssignments(
+      spark, members, labels, merges))
+    assert(got == outSet(scratch(Seq(0L -> vx, 1L -> vw, 10L -> vy,
+      11L -> vx, 20L -> vz))), s"post-replay parity: $got")
+    val m = NearDupStream.ledgerMerges(spark, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set(10L -> 0L), s"merge rows after replays: $m")
+    // every distinct vector reached the pairwise state exactly once per
+    // vector (the reps-before-fps commit order's whole point)
+    val repRows = SemanticStream.ledgerReps(spark, reps)
+      .select("rep").as[Long].collect().toSeq
+    assert(repRows.toSet == Set(0L, 1L, 10L, 20L), s"rep rows: $repRows")
+    val fpRows = SemanticStream.ledgerFps(spark, fps)
+      .select("rep").as[Long].collect().toSet
+    assert(fpRows == Set(0L, 1L, 10L, 20L), s"fp reps: $fpRows")
+    // a later wave keeps folding correctly against the replayed state
+    w(Seq((30L, vx)).toDF("vec_id", "embedding"), 3L)
+    val got2 = outSet(SemanticStream.semanticAssignments(
+      spark, members, labels, merges))
+    assert(got2 == outSet(scratch(Seq(0L -> vx, 1L -> vw, 10L -> vy,
+      11L -> vx, 20L -> vz, 30L -> vx))), s"post-crash continuation: $got2")
+  }
+}
