@@ -315,12 +315,15 @@ object SemanticDedup {
         .withColumnRenamed("doc_id", "id"), Seq("id"), "left")
       .select(col("id").as("vec_id"),
         coalesce(col("comp"), col("id")).as("cluster"), col("centroid_sim"))
-    val keeper = labeled.groupBy("cluster")
-      .agg(min_by(col("vec_id"), struct(col("centroid_sim"), col("vec_id")))
-        .as("keep_id"))
-    labeled.join(keeper, Seq("cluster"))
-      .select(col("vec_id"), col("cluster"), col("centroid_sim"),
-        (col("vec_id") === col("keep_id")).as("keep"))
+    // exemplar via ONE window pass (min centroid_sim, ties to the smaller
+    // id — only unique-vec_id rank 1, so this is exactly [[fromIndex]]'s
+    // min_by rule), not a groupBy + join-back: the self-join shape
+    // re-derived the whole members path once per consumer (measured at
+    // sf0.1: two duplicate 128-task member scans, ~1 s of q111's wall)
+    labeled.select(col("vec_id"), col("cluster"), col("centroid_sim"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+        .orderBy(col("centroid_sim"), col("vec_id"))) === 1).as("keep"))
   }
 
   /** Incremental semantic ADMISSION — SemDeDup as a one-pass filter

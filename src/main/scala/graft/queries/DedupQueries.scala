@@ -779,9 +779,12 @@ object DedupQueries extends QueryModule {
     "q111_semantic_dedup_incr" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val cent = graft.similarity.Ann.strideCentroids(emb)
         val cache: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
+        // the frozen coordinate system, CACHED: every per-wave assignment
+        // collects it (the argmax kernel embeds it as a literal), and the
+        // uncached stride draw re-runs its count + window sort per wave
+        val cent = cache(graft.similarity.Ann.strideCentroids(emb))
         var reps = s.range(0).select(col("id").cast("int").as("cell"),
           col("id").as("rep"), lit(Array.empty[Float]).as("ce"),
           lit(0.0).as("cn2"))
