@@ -246,7 +246,22 @@ object Bench {
     val forkedJson = forked.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"failed":$failed,"aborted":$aborted,"sf":"$sfDir","warm_sf":"$warmDir","remeasured":$remeasuredJson,"forked":$forkedJson}"""
-    println(line)
+    // The full per-query line is ~11 KB; the driver tail-captures only the
+    // LAST ~2000 chars of stdout, so printing it leaves the driver with an
+    // unparseable fragment (every BENCH_r*.json through r13 carries
+    // "parsed": null). Stdout gets a COMPACT line instead — qNN-prefix
+    // keys (unique across the suite), 3-decimal walls, numeric sf — that
+    // fits the tail buffer even after sbt's "[success]" trailer; the full
+    // line (long names + plan metrics) still lands in the artifact file.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    val qsCompact = results.map { case (k, v, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"failed":$failed,"aborted":$aborted,"sf":$sfNum}""")
     // stdout tail-capture can truncate the (long) per-query map — keep a
     // full parseable copy next to the build for anyone reading the numbers.
     // The path is overridable (first arg, or SPARK_GRAFT_BENCH_OUT): a
