@@ -332,6 +332,86 @@ object IncrementalClusters {
         org.apache.spark.sql.types.StructField(bName,
           org.apache.spark.sql.types.LongType, nullable = false))))
 
+  private def longFrame(spark: org.apache.spark.sql.SparkSession,
+      vals: Array[Long], name: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vals.toIndexedSeq.map(org.apache.spark.sql.Row(_)),
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          vals.length / 65536 + 1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+
+  /** Parallelized probe frames carry no stats, so Spark won't pick the
+    * broadcast side on its own; the driver knows the exact row count, so
+    * hint it whenever the probe is comfortably under the broadcast budget
+    * (1M longs ≈ 8 MB) and leave the planner alone near the wave gate
+    * (12M-pair waves → up to 24M endpoints, too big to force). */
+  private def probeHint(df: DataFrame, rows: Int): DataFrame =
+    if (rows <= 1000000) broadcast(df) else df
+
+  /** Driver-side merge-forest resolution for the wave-gated fold path:
+    * walks the redirect chains of the given (wave-bounded, already
+    * collected) labels with one frontier-pruned ledger scan per chain
+    * level — each round is ONE job (collect the merge rows whose
+    * `old_label` is in the frontier), against [[resolveThrough]]'s
+    * per-round scoped join + count + groupBy. Same chain-depth bound and
+    * full-closure fallback as [[resolveThrough]]; self-rows (root, root)
+    * are skipped so a closure-form ledger can't spin the walk. Returns
+    * the redirect map — callers follow it to the root (chains strictly
+    * decrease, so the walk terminates). */
+  private def resolveLabelsOnDriver(spark: org.apache.spark.sql.SparkSession,
+      lbls: Array[Long], merges: DataFrame): scala.collection.mutable.LongMap[Long] = {
+    val redirect = scala.collection.mutable.LongMap.empty[Long]
+    val seen = scala.collection.mutable.LongMap.empty[Boolean]
+    var frontier = {
+      val b = scala.collection.mutable.ArrayBuilder.make[Long]
+      lbls.foreach { l => if (!seen.contains(l)) { seen(l) = true; b += l } }
+      b.result()
+    }
+    var rounds = 0
+    while (frontier.nonEmpty && rounds < 64) {
+      val nxt = scala.collection.mutable.ArrayBuilder.make[Long]
+      packedPairs(
+        merges.join(probeHint(longFrame(spark, frontier, "old_label"),
+          frontier.length), Seq("old_label"), "left_semi"),
+        "old_label", "new_label")
+        .foreach { blk =>
+          var i = 0
+          while (i < blk.length) {
+            val o = blk(i); val n = blk(i + 1)
+            if (n != o) {
+              redirect(o) = n
+              if (!seen.contains(n)) { seen(n) = true; nxt += n }
+            }
+            i += 2
+          }
+        }
+      frontier = nxt.result()
+      rounds += 1
+    }
+    if (frontier.nonEmpty) {
+      log.warn("IncrementalClusters: merge chains deeper than 64 — " +
+        "resolving the remainder through the full merge closure " +
+        "(ledger-sized work for this wave); run cluster-ledger " +
+        "compaction more often to restore wave-sized resolution")
+      packedPairs(
+        mergeClosure(merges).join(probeHint(
+          longFrame(spark, frontier, "old_label"), frontier.length),
+          Seq("old_label"), "left_semi"),
+        "old_label", "root")
+        .foreach { blk =>
+          var i = 0
+          while (i < blk.length) {
+            if (blk(i + 1) != blk(i)) redirect(blk(i)) = blk(i + 1)
+            i += 2
+          }
+        }
+    }
+    redirect
+  }
+
   def foldWave(sk: DataFrame, corpusBands: DataFrame, corpusSigs: DataFrame,
       labels: DataFrame, merges: DataFrame, threshold: Double,
       scope: DataFrame => DataFrame = Dedup.cachedSketch,
@@ -403,24 +483,44 @@ object IncrementalClusters {
       }
     }
     val epArr = eps.result()
-    // resolve endpoint labels against the LEDGERS in Spark (the slim
-    // labels/merges scans are the wave's only corpus-sized reads; the
-    // probe side is a tiny parallelized leaf, so the plans stay small).
-    // The min-groupBy collapses the ledger's transient duplicate rows (a
-    // batch replayed after its dir was swept lives in table AND dir
-    // until the next sweep — identical rows, so min is exact).
+    // resolve endpoint labels against the LEDGERS: the slim labels/merges
+    // scans are the wave's only corpus-sized reads; the probe side stays a
+    // broadcast-pruned semi-join filter, and everything wave-sized lives
+    // on the driver (the gate already bounded it). One labels-scan job,
+    // then one merges-scan job per merge-chain level — no per-round
+    // persists, counts, or groupBys (the previous resolveThrough shape
+    // spent 2-3 jobs per round on a ~100-row probe; measured at sf0.1 as
+    // the bulk of a 1-2 s fold on a 105-edge wave). Duplicate ledger rows
+    // (a batch replayed after its dir was swept lives in table AND dir
+    // until the next sweep) are identical, so the driver-side min-fold is
+    // exact.
     val nodeMap = scala.collection.mutable.LongMap.empty[Long]
     if (epArr.nonEmpty) {
-      val epsDf = pairFrame(spark, epArr.map(e => (e, e)), "id", "selfl")
-        .select(col("id"))
-      val stored = epsDf.join(labels, Seq("id"), "left")
-        .select(col("id"), coalesce(col("label"), col("id")).as("lbl"))
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
-      packedPairs(resolveThrough(stored, merges, scope), "id", "lbl")
+      val storedLbl = scala.collection.mutable.LongMap.empty[Long]
+      packedPairs(
+        labels.join(probeHint(longFrame(spark, epArr, "id"), epArr.length),
+          Seq("id"), "left_semi"),
+        "id", "label")
         .foreach { blk =>
           var i = 0
-          while (i < blk.length) { nodeMap(blk(i)) = blk(i + 1); i += 2 }
+          while (i < blk.length) {
+            val id = blk(i); val l = blk(i + 1)
+            if (l < storedLbl.getOrElse(id, Long.MaxValue)) storedLbl(id) = l
+            i += 2
+          }
         }
+      val lbls = epArr.map(id => storedLbl.getOrElse(id, id))
+      val redirect = resolveLabelsOnDriver(spark, lbls, merges)
+      def root(l0: Long): Long = {
+        var r = l0
+        while (redirect.contains(r) && redirect(r) != r) r = redirect(r)
+        r
+      }
+      var i = 0
+      while (i < epArr.length) {
+        nodeMap(epArr(i)) = root(lbls(i))
+        i += 1
+      }
     }
     // union-find over the node-mapped, self-loop-free edges (min label
     // per component — the connectedComponents assignment)
