@@ -283,15 +283,54 @@ object Text extends QueryModule {
     // no engine pair can honestly promise on ln(). Library callers
     // ([[graft.text.Retrieval.bm25]]) get the full-precision doubles.
     "q92_bm25" -> QueryDef(
+      (s, dir) => quantizeBm25(graft.text.Retrieval.bm25(
+        Tables.documents(s, dir),
+        "text", "doc_id", Seq("spark", "merge", "stream"))),
+      Some(bm25OracleSql)),
+
+    // INCREMENTALLY-INDEXED BM25: the corpus arrives as 4 waves (doc_id
+    // mod 4), each folded into the inverted-index ledgers (postings
+    // bucketable by token, docstats, per-wave totals) by
+    // graft.text.IncrementalBm25 — per-wave work is one wave tokenize +
+    // groupBy, and the QUERY path reads only the query terms' postings
+    // plus the tiny totals ledger, never re-tokenizing the corpus the way
+    // q92 must. Gated against q92's OWN oracle: tf/dl/N/Σdl are
+    // integer-exact under any wave split and scoring shares q92's
+    // expression tree, so ledger-maintained scores hash-match the
+    // from-scratch corpus pass.
+    "q113_bm25_incremental" -> QueryDef(
       (s, dir) => {
-        val full = graft.text.Retrieval.bm25(Tables.documents(s, dir),
-          "text", "doc_id", Seq("spark", "merge", "stream"))
-        def u(c: String) = floor(col(c) * lit(1e6)).cast("long").as(c + "_u")
-        full.select(col("doc_id"), col("dl"),
-            u("s_spark"), u("s_merge"), u("s_stream"), u("score"))
-          .orderBy(col("score_u").desc, col("doc_id"))
+        val docs = Tables.documents(s, dir)
+        var postings: org.apache.spark.sql.DataFrame = null
+        var stats: org.apache.spark.sql.DataFrame = null
+        var totals: org.apache.spark.sql.DataFrame = null
+        (0 until 4).foreach { w =>
+          val (p, st) = graft.text.IncrementalBm25.indexWave(
+            docs.filter(pmod(col("doc_id"), lit(4)) === w), "text", "doc_id")
+          val stc = graft.core.TransientCache.persist(st)
+          val t = graft.text.IncrementalBm25.totalsDelta(stc, w.toLong)
+          postings = if (postings == null) p else postings.unionByName(p)
+          stats = if (stats == null) stc else stats.unionByName(stc)
+          totals = if (totals == null) t else totals.unionByName(t)
+        }
+        quantizeBm25(graft.text.IncrementalBm25.scoreFromIndex(
+          postings, stats, Seq("spark", "merge", "stream"),
+          totalsLedger = Some(totals)))
       },
-      Some("""WITH d AS (
+      Some(bm25OracleSql)),
+  ) ++ queries2
+
+  /** q92/q113's shared output quantization — integer micro-units over the
+    * one cross-engine transcendental (see the q92 comment). */
+  private def quantizeBm25(full: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def u(c: String) = floor(col(c) * lit(1e6)).cast("long").as(c + "_u")
+    full.select(col("doc_id"), col("dl"),
+        u("s_spark"), u("s_merge"), u("s_stream"), u("score"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+  }
+
+  private val bm25OracleSql: String = ("""WITH d AS (
              |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
              |  FROM documents
              |), dl AS (
@@ -331,8 +370,9 @@ object Text extends QueryModule {
              |  cast(floor(s_merge * 1e6) AS bigint) AS s_merge_u,
              |  cast(floor(s_stream * 1e6) AS bigint) AS s_stream_u,
              |  cast(floor(score * 1e6) AS bigint) AS score_u
-             |FROM wide ORDER BY score_u DESC, doc_id""".stripMargin)),
+             |FROM wide ORDER BY score_u DESC, doc_id""").stripMargin
 
+  private def queries2: Map[String, QueryDef] = Map(
     // Corpus-adaptive unigram-LM quality score (CCNet-style perplexity
     // filter trained in-pass): per-doc mean token NLL under the corpus'
     // own add-one-smoothed unigram model. Token NLLs quantized to integer

@@ -44,6 +44,19 @@ object Retrieval {
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    scoreCore(tf, dl, totals, terms, k1, b)
+  }
+
+  /** The shared BM25 scoring core over already-aggregated inputs:
+    * `tf` (doc_id, token, tf) pre-filtered to the query terms, `dl`
+    * (doc_id, dl), `totals` a single-row (n_docs, sum_dl). Factored out so
+    * [[bm25]] (tf from an inline tokenize pass) and
+    * [[IncrementalBm25.scoreFromIndex]] (tf from the postings ledger)
+    * produce hash-identical scores — every double op is the same
+    * expression tree against the same oracle parenthesization.
+    */
+  private[text] def scoreCore(tf: DataFrame, dl: DataFrame, totals: DataFrame,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // avgdl = sum_dl / n_docs; K = k1 * (1 - b + b * (dl / avgdl));
     // s = idf * ((tf * (k1+1)) / (tf + K)) — parenthesization mirrored
