@@ -1227,6 +1227,88 @@ object Dedup {
     stars.unionByName(repPairs)
   }
 
+  // --- fingerprint admission (multimodal near-dup, incremental) -------------
+
+  /** Pigeonhole chunk-key rows (chunk, ckey, id, fp) of a 64-bit
+    * fingerprint table — the persistable blocking index for INCREMENTAL
+    * fingerprint admission ([[fingerprintAdmit]]): `nChunks` rows per
+    * fingerprint, key derivation identical to [[hammingPairs]]' single-
+    * level blocking so the same losslessness argument applies (hamming ≤
+    * maxHamming < nChunks ⇒ ≥ 1 chunk agrees). The fingerprint itself
+    * rides IN the row: at 8 bytes it is cheaper to denormalize than the
+    * second (id-keyed) ledger join the text path needs for its 240 B
+    * signatures — verification happens right on the candidate join's
+    * output, no sig/sset lookaside ledger at all.
+    */
+  def fingerprintChunkRows(fps: DataFrame, idCol: String, fpCol: String,
+      nChunks: Int = 4, totalBits: Int = 64): DataFrame = {
+    require(totalBits % nChunks == 0,
+      s"nChunks must divide totalBits=$totalBits, got $nChunks")
+    val bits = totalBits / nChunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val keys = array((0 until nChunks).map(c => struct(
+      lit(c).as("k"),
+      shiftright(col("fp"), c * bits).bitwiseAND(lit(mask)).as("v"))): _*)
+    fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .select(col("id"), col("fp"), explode(keys).as("kv"))
+      .select(col("kv.k").as("chunk"), col("kv.v").as("ckey"),
+        col("id"), col("fp"))
+  }
+
+  /** Incremental near-dup ADMISSION on 64-bit perceptual fingerprints
+    * (image dHash, audio fingerprint, any [[hammingPairs]]-compatible
+    * sketch): a batch doc is rejected iff its fingerprint lies within
+    * `maxHamming` of a LEDGERED fingerprint or of a smaller-id doc in the
+    * same batch — the one-pass verdict protocol of
+    * [[MinHashLsh.nearDupIncrementalLedger]] (q104) transplanted to the
+    * hamming metric, giving the multimodal family the same incremental/
+    * streaming admission the text family has.
+    *
+    * Returns one (doc_id, admitted, first_match) row per batch doc
+    * (first_match = min matching id, null when admitted). EXACT within
+    * the hamming contract: the chunk blocking is lossless for
+    * maxHamming < nChunks (pigeonhole), verification is a codegen
+    * `bit_count(xor)` on the candidate row itself — the 8-byte
+    * fingerprints ride in the chunk rows, so admission is ONE candidate
+    * equi-join + an aggregate: no second ledger, no array kernels, no
+    * broadcast gate to size.
+    *
+    * Scale shape: per-batch cost is the wave's chunk rows probing the
+    * (chunk, ckey)-bucketed ledger (exchange-free on the ledger side once
+    * compacted — [[graft.streaming.MediaDedupStream]]) plus a wave-sized
+    * self-join; candidate volume is bounded by bucket occupancy, and the
+    * admitted ledger can never develop identical-fingerprint hot buckets:
+    * admitted docs are pairwise > maxHamming apart BY CONSTRUCTION, so
+    * the dup-storm collapse the batch pair plans need
+    * ([[hammingClusterEdges]]) is structurally unnecessary here.
+    */
+  def fingerprintAdmit(batch: DataFrame, idCol: String, fpCol: String,
+      ledgerChunks: DataFrame, maxHamming: Int = 3, nChunks: Int = 4,
+      totalBits: Int = 64,
+      scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
+    require(maxHamming < nChunks,
+      s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
+        s"$nChunks chunks — need maxHamming < nChunks")
+    val sh = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
+    val bb = scope(fingerprintChunkRows(sh, "id", "fp", nChunks, totalBits))
+    val probe = bb.select(col("chunk"), col("ckey"),
+      col("id").as("bid"), col("fp").as("fp_b"))
+    def matchSide(src: DataFrame) = src.select(col("chunk"), col("ckey"),
+      col("id").as("mid"), col("fp").as("fp_m"))
+    val cand = probe.join(matchSide(ledgerChunks), Seq("chunk", "ckey"))
+      .unionByName(probe.join(matchSide(bb), Seq("chunk", "ckey"))
+        .filter(col("mid") < col("bid")))
+    // a pair meeting in several chunks duplicates — min() absorbs it
+    val matches = cand
+      .filter(bit_count(col("fp_b").bitwiseXOR(col("fp_m"))) <= maxHamming)
+      .groupBy(col("bid").as("doc_id"))
+      .agg(min(col("mid")).as("first_match"))
+    sh.select(col("id").as("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("first_match").isNull.as("admitted"),
+        col("first_match"))
+  }
+
   // --- exact n-gram Jaccard (oracle-verifiable reference path) --------------
 
   /** Exact token-set Jaccard for all pairs within a blocking column, made
