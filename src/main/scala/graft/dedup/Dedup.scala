@@ -1286,27 +1286,61 @@ object Dedup {
       ledgerChunks: DataFrame, maxHamming: Int = 3, nChunks: Int = 4,
       totalBits: Int = 64,
       scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
-    require(maxHamming < nChunks,
-      s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
-        s"$nChunks chunks — need maxHamming < nChunks")
     val sh = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
-    val bb = scope(fingerprintChunkRows(sh, "id", "fp", nChunks, totalBits))
-    val probe = bb.select(col("chunk"), col("ckey"),
-      col("id").as("bid"), col("fp").as("fp_b"))
-    def matchSide(src: DataFrame) = src.select(col("chunk"), col("ckey"),
-      col("id").as("mid"), col("fp").as("fp_m"))
-    val cand = probe.join(matchSide(ledgerChunks), Seq("chunk", "ckey"))
-      .unionByName(probe.join(matchSide(bb), Seq("chunk", "ckey"))
-        .filter(col("mid") < col("bid")))
     // a pair meeting in several chunks duplicates — min() absorbs it
-    val matches = cand
-      .filter(bit_count(col("fp_b").bitwiseXOR(col("fp_m"))) <= maxHamming)
+    val matches =
+      fingerprintMatches(sh, ledgerChunks, maxHamming, nChunks, totalBits,
+        scope)
       .groupBy(col("bid").as("doc_id"))
       .agg(min(col("mid")).as("first_match"))
     sh.select(col("id").as("doc_id"))
       .join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"), col("first_match").isNull.as("admitted"),
         col("first_match"))
+  }
+
+  /** Per-wave verified fingerprint PAIRS — the edge kernel the incremental
+    * media CLUSTER fold consumes ([[IncrementalClusters.foldEdgeFrame]] is
+    * edge-source-agnostic): every hamming-≤-`maxHamming` pair whose LATER
+    * endpoint is in the wave, against a chunk ledger of ALL prior docs
+    * (not just admitted ones — clusters are over the full corpus, the
+    * q108/q110 fixture shape) plus smaller ids within the wave. The union
+    * over waves is exactly [[hammingPairs]]' relation over the full
+    * corpus, so folding each wave's edges maintains
+    * [[hammingClusterEdges]]-identical components incrementally (gated
+    * hash-exact by q115 against q85's brute-force closure oracle).
+    */
+  def fingerprintVerifiedPairs(wave: DataFrame, idCol: String, fpCol: String,
+      corpusChunks: DataFrame, maxHamming: Int = 3, nChunks: Int = 4,
+      totalBits: Int = 64,
+      scope: DataFrame => DataFrame = cachedSketch): DataFrame =
+    fingerprintMatches(
+      wave.select(col(idCol).as("id"), col(fpCol).as("fp")),
+      corpusChunks, maxHamming, nChunks, totalBits, scope)
+      .dropDuplicates("bid", "mid")
+
+  /** Shared candidate+verify kernel of [[fingerprintAdmit]] /
+    * [[fingerprintVerifiedPairs]]: (bid, mid) rows with possible
+    * chunk-meeting duplicates (callers min-aggregate or dedup — both
+    * wave-sized). ONE equi-join against the ledger + one within-wave
+    * self-join; verification inline on the join output (fingerprints ride
+    * in the chunk rows). */
+  private def fingerprintMatches(sh: DataFrame, ledgerChunks: DataFrame,
+      maxHamming: Int, nChunks: Int, totalBits: Int,
+      scope: DataFrame => DataFrame): DataFrame = {
+    require(maxHamming < nChunks,
+      s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
+        s"$nChunks chunks — need maxHamming < nChunks")
+    val bb = scope(fingerprintChunkRows(sh, "id", "fp", nChunks, totalBits))
+    val probe = bb.select(col("chunk"), col("ckey"),
+      col("id").as("bid"), col("fp").as("fp_b"))
+    def matchSide(src: DataFrame) = src.select(col("chunk"), col("ckey"),
+      col("id").as("mid"), col("fp").as("fp_m"))
+    probe.join(matchSide(ledgerChunks), Seq("chunk", "ckey"))
+      .unionByName(probe.join(matchSide(bb), Seq("chunk", "ckey"))
+        .filter(col("mid") < col("bid")))
+      .filter(bit_count(col("fp_b").bitwiseXOR(col("fp_m"))) <= maxHamming)
+      .select("bid", "mid")
   }
 
   // --- exact n-gram Jaccard (oracle-verifiable reference path) --------------

@@ -119,6 +119,69 @@ object MediaDedupStream {
       ()
     }
 
+  /** Incremental media CLUSTER maintenance — [[NearDupStream.clusterWriter]]
+    * with the fingerprint edge kernel
+    * ([[graft.dedup.Dedup.fingerprintVerifiedPairs]]): each wave's
+    * hamming-≤-`maxHamming` edges fold into the SAME label/merge cluster
+    * ledgers as the text and semantic families
+    * ([[graft.dedup.IncrementalClusters]] is edge-source-agnostic), so
+    * cluster assignments ([[NearDupStream.clusterAssignments]]) stay
+    * current per wave instead of re-running the corpus-wide pair plan.
+    * The chunk ledger here holds ALL docs (clusters are over the full
+    * corpus), unlike [[writer]]'s admitted-only ledger. Gated by q115
+    * (the batch fold against q85's brute-force closure oracle) and the
+    * MediaDedupStreamSpec wave-parity case. Same labels → merges →
+    * chunks commit order and replay argument as the text cluster
+    * writers: the fold is eager and its label/merge outputs are
+    * driver-built frames with no ledger lineage.
+    */
+  def clusterWriter(labelsDir: String, mergesDir: String, chunksDir: String,
+      idCol: String, fpCol: String, maxHamming: Int = 3,
+      compactEvery: Int = 16): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val fps = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
+        .persist()
+      val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+      val waveScope: DataFrame => DataFrame =
+        d => { val p = d.persist(); scoped.add(p); p }
+      try {
+        val edges = waveScope(Dedup.fingerprintVerifiedPairs(
+          fps, "id", "fp", ledgerChunks(spark, chunksDir), maxHamming,
+          scope = waveScope))
+        val (labelRows, mergeRows) =
+          graft.dedup.IncrementalClusters.foldEdgeFrame(
+            fps, edges, NearDupStream.ledgerLabels(spark, labelsDir),
+            NearDupStream.ledgerMerges(spark, mergesDir), waveScope)
+        IdempotentSink.writer(labelsDir, onReplay = _ => ())(labelRows, batchId)
+        IdempotentSink.writer(mergesDir, onReplay = _ => ())(mergeRows, batchId)
+        IdempotentSink.writer(chunksDir, onReplay = _ => ())(
+          Dedup.fingerprintChunkRows(fps, "id", "fp"), batchId)
+      } finally {
+        fps.unpersist()
+        scoped.forEach(_.unpersist())
+      }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactClusterLedgers(spark, labelsDir, mergesDir, chunksDir)
+      ()
+    }
+
+  /** Cluster-ledger maintenance for the media deployment: labels/merges
+    * compacted with the shared closure-form transforms
+    * ([[NearDupStream.compactClusterLedgers]]' contract), chunks
+    * (chunk, ckey)-bucketed. */
+  def compactClusterLedgers(spark: SparkSession, labelsDir: String,
+      mergesDir: String, chunksDir: String, buckets: Int = 8)
+      : (Option[String], Option[String], Option[String]) = {
+    lazy val closure = graft.dedup.IncrementalClusters
+      .mergeClosure(NearDupStream.ledgerMerges(spark, mergesDir))
+    (LedgerCompaction.compact(spark, labelsDir, NearDupStream.LabelsSchema,
+        Seq("id"), buckets, NearDupStream.resolveLabelRows(closure)),
+      LedgerCompaction.compact(spark, mergesDir, NearDupStream.MergesSchema,
+        Seq("old_label"), buckets, NearDupStream.closureFormOf(closure)),
+      compactLedger(spark, chunksDir, buckets))
+  }
+
   /** [[writer]] over RAW IMAGE batches (doc_id, bytes): the real
     * ImageIO-decode → dHash pass runs inline as a stateless
     * partition-local map (bytes never on the driver, decoded exactly

@@ -165,6 +165,39 @@ class MediaDedupStreamSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("clusterWriter: ledger-maintained clusters == from-scratch after every wave; kill/restart adds nothing") {
+    val root = freshDir("graft-media-clusters")
+    val labels = s"$root/labels"; val merges = s"$root/merges"
+    val chunks = s"$root/chunks"
+    val w = MediaDedupStream.clusterWriter(labels, merges, chunks,
+      "doc_id", "dhash", compactEvery = 2)
+    def fromScratch(upTo: Int): Map[Long, (Long, Long)] = {
+      val fps = waves.take(upTo).flatten.toDF("doc_id", "dhash")
+      val pairs = graft.dedup.Dedup.hammingClusterEdges(
+        fps, "doc_id", "dhash", maxHamming = 3)
+      val cc = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .toDF("doc_id", "comp")
+      val sizes = cc.groupBy("comp").count()
+      cc.join(sizes, "comp").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("comp"), r.getAs[Long]("count")))).toMap
+    }
+    waves.zipWithIndex.foreach { case (wv, i) =>
+      w(wv.toDF("doc_id", "dhash"), i.toLong)
+      val got = graft.streaming.NearDupStream
+        .clusterAssignments(spark, labels, merges).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("comp"), r.getAs[Long]("csize")))).toMap
+      assert(got == fromScratch(i + 1),
+        s"ledger clusters diverge from from-scratch after wave $i")
+      // replay the wave (kill/restart): markers hit, nothing changes
+      w(wv.toDF("doc_id", "dhash"), i.toLong)
+      assert(graft.streaming.NearDupStream
+        .clusterAssignments(spark, labels, merges).collect()
+        .map(r => r.getAs[Long]("doc_id")).toSet == got.keySet)
+    }
+  }
+
   test("imageWriter: real PNG decode inline, verdicts match the dHash protocol") {
     val root = freshDir("graft-media-image")
     val out = s"$root/out"; val chunks = s"$root/chunks"
