@@ -285,7 +285,8 @@ object Text extends QueryModule {
     "q92_bm25" -> QueryDef(
       (s, dir) => quantizeBm25(graft.text.Retrieval.bm25(
         Tables.documents(s, dir),
-        "text", "doc_id", Seq("spark", "merge", "stream"))),
+        "text", "doc_id", Seq("spark", "merge", "stream"),
+        scope = graft.core.TransientCache.persist)),
       Some(bm25OracleSql)),
 
     // INCREMENTALLY-INDEXED BM25: the corpus arrives as 4 waves (doc_id
@@ -306,7 +307,8 @@ object Text extends QueryModule {
         var totals: org.apache.spark.sql.DataFrame = null
         (0 until 4).foreach { w =>
           val (p, st) = graft.text.IncrementalBm25.indexWave(
-            docs.filter(pmod(col("doc_id"), lit(4)) === w), "text", "doc_id")
+            docs.filter(pmod(col("doc_id"), lit(4)) === w), "text", "doc_id",
+            scope = graft.core.TransientCache.persist)
           val stc = graft.core.TransientCache.persist(st)
           val t = graft.text.IncrementalBm25.totalsDelta(stc, w.toLong)
           postings = if (postings == null) p else postings.unionByName(p)
@@ -315,7 +317,8 @@ object Text extends QueryModule {
         }
         quantizeBm25(graft.text.IncrementalBm25.scoreFromIndex(
           postings, stats, Seq("spark", "merge", "stream"),
-          totalsLedger = Some(totals)))
+          totalsLedger = Some(totals),
+          scope = graft.core.TransientCache.persist))
       },
       Some(bm25OracleSql)),
   ) ++ queries2

@@ -44,12 +44,16 @@ object IncrementalBm25 {
     * functions of the batch (the property the streaming writer's
     * exactly-once argument needs). Tokenization is [[Retrieval.bm25]]'s
     * exactly (lowercased whitespace tokens). */
-  def indexWave(wave: DataFrame, textCol: String,
-      idCol: String): (DataFrame, DataFrame) = {
+  def indexWave(wave: DataFrame, textCol: String, idCol: String,
+      scope: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     val toks = TextFunctions.tokens(lower(col(textCol)))
-    val base = graft.core.Parallelism.ensure(
+    // `scope` shares ONE tokenize pass between the two outputs (postings
+    // explode+groupBy and docstats both consume `base`); the streaming
+    // writer persists its deltas directly instead, so it keeps the
+    // default identity
+    val base = scope(graft.core.Parallelism.ensure(
         wave.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col(idCol).as("doc_id"), toks.as("toks")))
     val postings = base
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
@@ -79,10 +83,15 @@ object IncrementalBm25 {
     */
   def scoreFromIndex(postings: DataFrame, docstats: DataFrame,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      totalsLedger: Option[DataFrame] = None): DataFrame = {
+      totalsLedger: Option[DataFrame] = None,
+      scope: DataFrame => DataFrame = identity): DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct,
       s"query terms must be non-empty and distinct: $terms")
-    val dl = docstats.groupBy("doc_id").agg(min(col("dl")).as("dl"))
+    // `scope` wraps the two multiply-consumed frames: dl feeds the tf
+    // prune, the scoring join, and (absent a totals ledger) the totals
+    // aggregate; tf feeds df and the scoring join — unscoped, the
+    // postings/stats reads run once per consumer. Values identical.
+    val dl = scope(docstats.groupBy("doc_id").agg(min(col("dl")).as("dl")))
     // the semi-join against docstats keeps df PURE under a torn wave
     // (postings committed, stats not yet — the streaming writer's crash
     // window): scoreCore's inner tf⋈dl join already hides a stats-less
@@ -92,10 +101,10 @@ object IncrementalBm25 {
     // passes everything through. Cost: the small query-term tf frame
     // exchanges to doc_id — the same partitioning scoreCore's join needs
     // anyway; the docstats side is bucketed on doc_id after compaction.
-    val tf = postings
+    val tf = scope(postings
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(min(col("tf")).as("tf"))
-      .join(dl.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(dl.select("doc_id"), Seq("doc_id"), "left_semi"))
     val totals = totalsLedger match {
       case Some(t) => t
         .groupBy("batch_id")
