@@ -306,5 +306,164 @@ object CurationQueries extends QueryModule {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS bigint) AS cum_tokens
              |  FROM base)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // END-TO-END incremental curation pipeline: quality gate (composite
+    // score >= 0.7) -> exact dedup against a fingerprint ledger of every
+    // SEEN survivor -> approximate near-dup admission against sig/band
+    // ledgers of every ADMITTED doc — the full ingest path a training-
+    // data pipeline runs, composed from the same stage kernels the
+    // per-stage queries gate (q83's score, q100's fp protocol, q106's
+    // estimator admission), folded over 4 waves (doc_id mod 4). Per-doc
+    // verdict rows carry STAGE ATTRIBUTION (quality, q_pass, exact_new,
+    // admitted, first_match), so the oracle — which unrolls all four
+    // waves' admission against the sequentially-admitted ledgers in SQL —
+    // gates every stage boundary, not just the final admitted set. The
+    // streaming form is graft.streaming.CurationStream.
+    "q116_curation_pipeline_incr" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.Dedup
+        import graft.text.TextFunctions
+        val docs = Tables.documents(s, dir)
+        val cache: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
+        val none = docs.filter(lit(false))
+        var fpLedger = none.select(
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        var bands = Dedup.MinHashLsh.bandsForApprox(
+          none, "text", "doc_id", portable = true)
+        var sigs = Dedup.MinHashLsh.sigsFor(
+          none, "text", "doc_id", portable = true)
+        var out: org.apache.spark.sql.DataFrame = null
+        (0 until 4).foreach { w =>
+          val wave = docs.filter(pmod(col("doc_id"), lit(4)) === w)
+          val scored = cache(wave.select(col("doc_id"), col("text"),
+            TextFunctions.qualityScore(col("text")).as("quality")))
+          val qp = scored.filter(col("quality") >= 0.7)
+          val exactNew = cache(qp
+            .select(col("doc_id"), col("text"),
+              TextFunctions.fingerprint(col("text")).as("fp"))
+            .join(fpLedger, Seq("fp"), "left_anti")
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("fp").orderBy("doc_id")))
+            .filter(col("rn") === 1).drop("rn"))
+          val sk = cache(Dedup.MinHashLsh.sigsFor(
+            exactNew, "text", "doc_id", portable = true))
+          val verdict = cache(Dedup.MinHashLsh.nearDupAdmitApproxSketched(
+            sk, bands, sigs, threshold = 0.35, cache))
+          val waveOut = scored.select(col("doc_id"), col("quality"),
+              (col("quality") >= 0.7).as("q_pass"))
+            .join(exactNew.select(col("doc_id"), lit(true).as("en")),
+              Seq("doc_id"), "left")
+            .join(verdict.select(col("doc_id"),
+              col("admitted").as("adm"), col("first_match")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), col("quality"), col("q_pass"),
+              coalesce(col("en"), lit(false)).as("exact_new"),
+              coalesce(col("adm"), lit(false)).as("admitted"),
+              col("first_match"))
+          // q108's lineage discipline, but for ALL THREE feedback ledgers:
+          // every wave's stage plans reference the previous wave's ledgers,
+          // which reference that wave's stage caches, which reference the
+          // wave before — without a hard lineage cut the (DAG-shaped) plan
+          // renders as an exponentially-nested TREE (measured at sf0.001:
+          // 120 s of plan analysis, then OOM inside explainString).
+          // localCheckpoint is eager, so each wave's work also executes
+          // here, wave by wave, exactly like the streaming writer would.
+          out = (if (out == null) waveOut else out.unionByName(waveOut))
+            .localCheckpoint()
+          fpLedger = fpLedger.unionByName(exactNew.select("fp"))
+            .localCheckpoint()
+          val admittedSk = sk.join(
+            verdict.filter(col("admitted")).select(col("doc_id").as("id")),
+            Seq("id"))
+          bands = bands.unionByName(Dedup.MinHashLsh.bandRowsOfSigs(admittedSk))
+            .localCheckpoint()
+          sigs = sigs.unionByName(admittedSk.select("id", "sig"))
+            .localCheckpoint()
+        }
+        out.orderBy("doc_id")
+      },
+      Some(curationPipelineOracleSql)))
+
+  /** DuckDB mirror of q116: quality + fingerprint stages are relational
+    * (the exact-dedup ledger fold collapses to ONE window — the first
+    * (wave, id)-ordered quality-passing doc per fingerprint is the
+    * survivor), and the admission stage is UNROLLED wave by wave, each
+    * wave's candidate/verify running against the UNION of previous
+    * waves' admitted docs (the sequentially-maintained ledger) plus
+    * smaller stage-input ids within the wave — q106's estimator verify
+    * over the shared portable-sig CTEs.
+    */
+  private lazy val curationPipelineOracleSql: String = {
+    def waveVer(w: Int, prevAdmitted: Seq[String]): String = {
+      val ledgerSide =
+        if (prevAdmitted.isEmpty) s"(y.doc_id % 4 = $w AND y.doc_id < x.doc_id)"
+        else prevAdmitted.map(a => s"y.doc_id IN (SELECT doc_id FROM $a)")
+          .mkString("(", " OR ", s" OR (y.doc_id % 4 = $w AND y.doc_id < x.doc_id))")
+      s"""v$w AS (
+         |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS mid
+         |  FROM enb x JOIN enb y ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.doc_id % 4 = $w AND $ledgerSide
+         |), r$w AS MATERIALIZED (
+         |  SELECT c.bid, c.mid FROM v$w c
+         |  JOIN sigl sa ON c.bid = sa.doc_id
+         |  JOIN sigl sb ON c.mid = sb.doc_id
+         |  WHERE cast(len(list_filter(range(1, len(sa.sigv) + 1),
+         |    i -> sa.sigv[i] = sb.sigv[i])) AS double) / 32.0 >= 0.35
+         |), a$w AS MATERIALIZED (
+         |  SELECT doc_id FROM en
+         |  WHERE doc_id % 4 = $w AND doc_id NOT IN (SELECT bid FROM r$w)
+         |)""".stripMargin
+    }
+    val waves = (0 until 4).map(w =>
+      waveVer(w, (0 until w).map(p => s"a$p"))).mkString(",\n")
+    s"""WITH ${DedupQueries.portableSetsSql},
+       |coeff(j, a, b) AS (VALUES ${DedupQueries.coeffValues}
+       |), ${DedupQueries.sigBandsSql("sets", "doc_id")}, sigl AS MATERIALIZED (
+       |  SELECT doc_id, list(mv ORDER BY j) AS sigv FROM sig GROUP BY doc_id
+       |), qm AS MATERIALIZED (
+       |  SELECT doc_id, (dv + ls + (1.0 - least(pd * 10.0, 1.0))) / 3.0 AS quality
+       |  FROM (
+       |    SELECT doc_id,
+       |      cast(len(list_distinct(toks)) AS double) / cast(len(toks) AS double) AS dv,
+       |      least(cast(len(toks) AS double) / 64.0, 1.0) AS ls,
+       |      cast(length(text) - length(regexp_replace(text, '${graft.text.TextFunctions.punctClass}', '', 'g')) AS double)
+       |        / cast(length(text) AS double) AS pd
+       |    FROM (SELECT doc_id, text,
+       |            regexp_split_to_array(trim(text), '\\s+') AS toks
+       |          FROM documents)
+       |  )
+       |), en AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT q.doc_id, row_number() OVER (
+       |        PARTITION BY f.fp ORDER BY q.doc_id % 4, q.doc_id) AS rn
+       |    FROM (SELECT doc_id FROM qm WHERE quality >= 0.7) q
+       |    JOIN (SELECT doc_id,
+       |            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       |          FROM documents) f ON q.doc_id = f.doc_id
+       |  ) WHERE rn = 1
+       |), enb AS MATERIALIZED (
+       |  SELECT b.* FROM bands b JOIN en ON b.doc_id = en.doc_id
+       |),
+       |$waves,
+       |rej AS (
+       |  SELECT bid, min(mid) AS first_match FROM (
+       |    SELECT * FROM r0 UNION ALL SELECT * FROM r1
+       |    UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+       |  ) GROUP BY bid
+       |), adm AS (
+       |  SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1
+       |  UNION ALL SELECT doc_id FROM a2 UNION ALL SELECT doc_id FROM a3
+       |)
+       |SELECT d.doc_id, qm.quality, qm.quality >= 0.7 AS q_pass,
+       |  d.doc_id IN (SELECT doc_id FROM en) AS exact_new,
+       |  d.doc_id IN (SELECT doc_id FROM adm) AS admitted,
+       |  rej.first_match
+       |FROM documents d
+       |JOIN qm ON d.doc_id = qm.doc_id
+       |LEFT JOIN rej ON d.doc_id = rej.bid
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

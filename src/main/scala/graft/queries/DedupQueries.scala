@@ -20,12 +20,12 @@ object DedupQueries extends QueryModule {
   /** Shared CTE fragments of the portable-MinHash oracles (q31, q104):
     * md5-60 shingle sets and the embedded permutation coefficients.
     */
-  private lazy val coeffValues: String =
+  private[queries] lazy val coeffValues: String =
     graft.functions.MinHashSig.coefficients(32, 42L).zipWithIndex
       .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
 
-  private val portableSetsSql: String =
+  private[queries] val portableSetsSql: String =
     s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
@@ -41,7 +41,7 @@ object DedupQueries extends QueryModule {
     * engine's 32-min signature + 8×4 banding, parameterized on the id
     * column so q31 (per-rep) and q104 (per-doc) share it verbatim.
     */
-  private def sigBandsSql(src: String, key: String): String =
+  private[queries] def sigBandsSql(src: String, key: String): String =
     s"""hs AS (
        |  SELECT $key, unnest(sset) AS h FROM $src
        |), sig AS (
