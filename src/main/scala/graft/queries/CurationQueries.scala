@@ -371,8 +371,11 @@ object CurationQueries extends QueryModule {
           // 120 s of plan analysis, then OOM inside explainString).
           // localCheckpoint is eager, so each wave's work also executes
           // here, wave by wave, exactly like the streaming writer would.
-          out = (if (out == null) waveOut else out.unionByName(waveOut))
-            .localCheckpoint()
+          // `out` needs NO cut: with the ledgers checkpointed, each
+          // waveOut bottoms out at that wave's caches + checkpoint leaves
+          // — linear nesting, and one fewer eager materialization of the
+          // verdict join per wave.
+          out = if (out == null) waveOut else out.unionByName(waveOut)
           fpLedger = fpLedger.unionByName(exactNew.select("fp"))
             .localCheckpoint()
           val admittedSk = sk.join(
