@@ -256,12 +256,28 @@ object Bench {
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
+    // qNN-prefix keys must be UNIQUE or two walls silently shadow each
+    // other in the driver's parsed tail — enforced, with a fall-back to
+    // full keys on collision (a collision costs tail bytes, never data)
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val compactKey: String => String =
+      if (prefixes.distinct.length == prefixes.length) _.takeWhile(_ != '_')
+      else { System.err.println(
+        "[bench] duplicate qNN prefixes — compact line uses full keys: " +
+          prefixes.diff(prefixes.distinct).distinct.mkString(","))
+        identity }
     val qsCompact = results.map { case (k, v, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + compactKey(k) + "\":" + r3(v)
     }.mkString("{", ",", "}")
+    // the top-10 shuffle writers, so a driver tail ALONE can spot a
+    // shuffle regression without the artifact file (a plan change big
+    // enough to matter moves one of these, and 10 entries fit the buffer)
+    val shufTop = results.filter(_._3 >= 0).sortBy(-_._3).take(10)
+      .map { case (k, _, sb, _) => "\"" + compactKey(k) + "\":" + sb }
+      .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"failed":$failed,"aborted":$aborted,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"shuffleTop":$shufTop,"failed":$failed,"aborted":$aborted,"sf":$sfNum}""")
     // stdout tail-capture can truncate the (long) per-query map — keep a
     // full parseable copy next to the build for anyone reading the numbers.
     // The path is overridable (first arg, or SPARK_GRAFT_BENCH_OUT): a

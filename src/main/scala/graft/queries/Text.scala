@@ -282,11 +282,18 @@ object Text extends QueryModule {
     // BM25 to 1e-6 absolute, measured, rather than claiming bit-equality
     // no engine pair can honestly promise on ln(). Library callers
     // ([[graft.text.Retrieval.bm25]]) get the full-precision doubles.
+    // NOTE on scope: the one-shot path deliberately does NOT pass a
+    // persist scope. Persisting the tokenized base materializes every
+    // doc's token ARRAY into the block store, and for a single query
+    // that build (two 32-task stages at sf0.1) costs more wall than the
+    // two codegen re-tokenizes it saves — measured 2.17 s persisted vs
+    // ~1.3 s unscoped (r13 shape) at sf0.1. q113 keeps the persist: its
+    // scoring path re-reads the UNION of 4 wave ledgers, where the
+    // re-computation is 4 wave tokenizes per consumer, not one.
     "q92_bm25" -> QueryDef(
       (s, dir) => quantizeBm25(graft.text.Retrieval.bm25(
         Tables.documents(s, dir),
-        "text", "doc_id", Seq("spark", "merge", "stream"),
-        scope = graft.core.TransientCache.persist)),
+        "text", "doc_id", Seq("spark", "merge", "stream"))),
       Some(bm25OracleSql)),
 
     // INCREMENTALLY-INDEXED BM25: the corpus arrives as 4 waves (doc_id

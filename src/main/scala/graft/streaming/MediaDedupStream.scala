@@ -70,6 +70,13 @@ object MediaDedupStream {
     LedgerCompaction.compact(spark, chunksDir, ChunksSchema,
       Seq("chunk", "ckey"), buckets)
 
+  /** `first_match` value marking a QUARANTINED doc — one whose
+    * fingerprint is null (e.g. an undecodable payload in [[imageWriter]]).
+    * Real doc ids are non-negative, dup rejects carry the matched id, so
+    * -1 is unambiguous: consumers can split decode-rejects from
+    * dup-rejects on `first_match = -1` alone. */
+  val QuarantinedMatch: Long = -1L
+
   /** The `foreachBatch` function over batches that already carry a
     * fingerprint column:
     * {{{
@@ -79,6 +86,15 @@ object MediaDedupStream {
     * Emits one (doc_id, admitted, first_match) verdict row per batch doc
     * under `verdictDir/batch=<id>` and the chunk rows of ADMITTED docs
     * under `chunksDir/batch=<id>`.
+    *
+    * NULL fingerprints are QUARANTINED, not thrown on: a long-running
+    * stream must never hard-fail inside the micro-batch (the batch could
+    * then never commit and every replay would re-throw — the
+    * [[graft.dedup.IncrementalClusters]] principle). A null-fp doc gets a
+    * verdict row (admitted=false, first_match=[[QuarantinedMatch]]) and
+    * never enters the admission kernel or the ledger, so it can neither
+    * be admitted nor block a later doc. Replay-deterministic: quarantine
+    * is a pure function of the batch.
     */
   def writer(verdictDir: String, chunksDir: String, idCol: String,
       fpCol: String, maxHamming: Int = 3,
@@ -89,14 +105,20 @@ object MediaDedupStream {
       // ledger write both read it from cache, and its lineage reads only
       // the batch source — safe from the recacheByPath invalidation the
       // ledger append fires (the NearDupStream argument)
-      val fps = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      val all = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
         .persist()
+      val fps = all.filter(col("fp").isNotNull)
+      val quarantined = all.filter(col("fp").isNull)
+        .select(col("id").as("doc_id"),
+          org.apache.spark.sql.functions.lit(false).as("admitted"),
+          org.apache.spark.sql.functions.lit(QuarantinedMatch)
+            .as("first_match"))
       val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
       val waveScope: DataFrame => DataFrame =
         d => { val p = d.persist(); scoped.add(p); p }
       val verdict = Dedup.fingerprintAdmit(fps, "id", "fp",
         ledgerChunks(spark, chunksDir), maxHamming,
-        scope = waveScope).persist()
+        scope = waveScope).unionByName(quarantined).persist()
       try {
         IdempotentSink.writer(verdictDir,
           onReplay = _ => batch.foreach(_ => ()))(verdict, batchId)
@@ -111,7 +133,7 @@ object MediaDedupStream {
         IdempotentSink.writer(chunksDir, onReplay = _ => ())(
           Dedup.fingerprintChunkRows(admitted, "id", "fp"), batchId)
       } finally {
-        verdict.unpersist(); fps.unpersist()
+        verdict.unpersist(); all.unpersist()
         scoped.forEach(_.unpersist())
       }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
@@ -185,7 +207,13 @@ object MediaDedupStream {
   /** [[writer]] over RAW IMAGE batches (doc_id, bytes): the real
     * ImageIO-decode → dHash pass runs inline as a stateless
     * partition-local map (bytes never on the driver, decoded exactly
-    * once per batch — admission state is fingerprints, not payloads). */
+    * once per batch — admission state is fingerprints, not payloads).
+    * An UNDECODABLE payload (ImageIO returns null or throws) maps to a
+    * null fingerprint and is QUARANTINED by [[writer]]
+    * (admitted=false, first_match=[[QuarantinedMatch]]) rather than
+    * thrown on — a throw here would wedge the stream permanently: the
+    * batch could never commit and every replay would re-decode the same
+    * poison payload and re-throw. */
   def imageWriter(verdictDir: String, chunksDir: String,
       maxHamming: Int = 3, compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
@@ -194,10 +222,12 @@ object MediaDedupStream {
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, bytes) =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            require(img != null, s"doc $id: payload is not a decodable image")
-            (id, graft.multimodal.Multimodal.dHash64(img))
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            (id, if (img == null) None
+                 else Some(graft.multimodal.Multimodal.dHash64(img)))
           }
         }.toDF("doc_id", "dhash")
       writer(verdictDir, chunksDir, "doc_id", "dhash", maxHamming,

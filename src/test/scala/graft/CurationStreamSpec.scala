@@ -154,6 +154,36 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(got(out) == sequential(3))
   }
 
+  test("invariant pin: a sink append never invalidates a cached plan reading that ledger") {
+    // CurationStream.writer's bands/sigs appends read the persisted
+    // sk/exactNew frames, whose LINEAGE includes the fps ledger dir the
+    // fps append touched moments earlier. That is safe only because
+    // (a) IdempotentSink writes through a scratch `.inflight-*` path, so
+    // the write-path recacheByPath never matches a cached plan's
+    // `batch=N` root paths, and (b) the cached plan's file listing is
+    // frozen at plan build. This test pins BOTH halves of the invariant
+    // directly: if a future sink change writes into the ledger dir (or a
+    // batch=N path) without the scratch indirection, the cache entry
+    // drops and/or the cached read sees the new batch, and this fails —
+    // before the real symptom (admitted docs producing EMPTY bands/sigs
+    // appends) could silently ship.
+    val root = freshDir("graft-curation-recache")
+    val fpsDir = s"$root/fps"
+    IdempotentSink.writer(fpsDir)(Seq("fp-a").toDF("fp"), 0L)
+    val ledger = graft.streaming.DedupStream.ledgerFps(spark, fpsDir).persist()
+    try {
+      assert(ledger.count() == 1) // materialize the cache
+      IdempotentSink.writer(fpsDir)(Seq("fp-b").toDF("fp"), 1L)
+      assert(spark.sharedState.cacheManager.lookupCachedData(
+          ledger.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined,
+        "sink append invalidated a cached ledger plan — the .inflight " +
+          "scratch-path property of IdempotentSink broke")
+      assert(ledger.select("fp").as[String].collect().toSeq == Seq("fp-a"),
+        "cached ledger plan re-listed the appended batch — frozen-listing " +
+          "property broke")
+    } finally ledger.unpersist()
+  }
+
   test("compaction: verdicts of subsequent waves unchanged") {
     val root = freshDir("graft-curation-compact")
     val out = s"$root/out"; val fps = s"$root/fps"

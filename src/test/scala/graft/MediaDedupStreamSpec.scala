@@ -216,4 +216,43 @@ class MediaDedupStreamSpec extends AnyFunSuite {
         Seq((10L, "alpha doc")).toDF("doc_id", "text")), 1L)
     assert(got(out)(10L) == Some(0L))
   }
+
+  test("imageWriter: undecodable payload is quarantined, stream does not wedge") {
+    val root = freshDir("graft-media-poison")
+    val out = s"$root/out"; val chunks = s"$root/chunks"
+    val goodPng = graft.multimodal.Multimodal.syntheticPngTable(spark,
+      Seq((0L, "alpha doc")).toDF("doc_id", "text"))
+      .select("doc_id", "bytes")
+    val poison = Seq(
+      (1L, Array[Byte](0x13, 0x37, -1, 0, 42)), // garbage, not an image
+      (2L, Array.empty[Byte]))                   // empty payload
+      .toDF("doc_id", "bytes")
+    // the poison batch must COMMIT (no throw), quarantining the bad docs
+    MediaDedupStream.imageWriter(out, chunks)(
+      goodPng.unionByName(poison), 0L)
+    val v = MediaDedupStream.verdicts(spark, out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("admitted"),
+          Option(r.get(r.fieldIndex("first_match")))))).toMap
+    assert(v(0L) == ((true, None)), "decodable doc admits normally")
+    assert(v(1L) == ((false, Some(MediaDedupStream.QuarantinedMatch))))
+    assert(v(2L) == ((false, Some(MediaDedupStream.QuarantinedMatch))))
+    // quarantined docs never enter the ledger
+    assert(MediaDedupStream.ledgerChunks(spark, chunks)
+      .select("id").as[Long].collect().toSet == Set(0L))
+    // replay is deterministic: marker hit, verdicts unchanged
+    MediaDedupStream.imageWriter(out, chunks)(
+      goodPng.unionByName(poison), 0L)
+    assert(MediaDedupStream.verdicts(spark, out).count() == 3)
+    // a later wave is unaffected by the quarantine rows: a dup of the
+    // admitted doc still rejects against the ledger
+    MediaDedupStream.imageWriter(out, chunks)(
+      graft.multimodal.Multimodal.syntheticPngTable(spark,
+        Seq((10L, "alpha doc")).toDF("doc_id", "text"))
+        .select("doc_id", "bytes"), 1L)
+    assert(MediaDedupStream.verdicts(spark, out).collect()
+      .find(_.getAs[Long]("doc_id") == 10L)
+      .exists(r => !r.getAs[Boolean]("admitted") &&
+        r.getAs[Long]("first_match") == 0L))
+  }
 }
