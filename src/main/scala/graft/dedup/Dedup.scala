@@ -913,6 +913,21 @@ object Dedup {
       require(threshold > 0 && threshold <= 1,
         s"similarity threshold must lie in (0, 1], got $threshold")
       val spark = sk.sparkSession
+      // honest gate reused for every wave-sized broadcast below; count
+      // from the caller when it already materialized the wave sketch
+      val batchRows = knownRows.getOrElse(sk.count())
+      val fits = sigTableFits(batchRows, spark)
+      val cand = approxCandidates(sk, corpusBands, scope, fits)
+      verifyApproxCandidates(sk, cand, corpusSigs, threshold, fits)
+    }
+
+    /** Candidate (bid, mid) emission of [[approxVerifiedPairs]] — split
+      * out so BandStormSpec can pin the per-partition row distribution of
+      * the hot-key guard directly. Returns the SCOPED candidate frame. */
+    private[graft] def approxCandidates(sk: DataFrame,
+        corpusBands: DataFrame, scope: DataFrame => DataFrame,
+        fits: Boolean): DataFrame = {
+      val spark = sk.sparkSession
       // batch band rows — consumed by the corpus probe and both sides of
       // the within-batch self-join (same scoped-persist rationale as
       // [[nearDupAdmitSketched]]: differently-aliased consumer subtrees
@@ -928,17 +943,77 @@ object Dedup {
         col("kpfx_m").isNull || col("kpfx_b").isNull || !sharesEarlierBand
       val probe = bb.select(col("band"), col("bkey"), col("id").as("bid"),
         col("kpfx").as("kpfx_b"))
-      val candCorpus = probe
-        .join(cb.select(col("band"), col("bkey"), col("id").as("mid"),
-          col("kpfx").as("kpfx_m")), Seq("band", "bkey"))
+      val cbm = cb.select(col("band"), col("bkey"), col("id").as("mid"),
+        col("kpfx").as("kpfx_m"))
+      // HOT-BUCKET GUARD (the band ledger's dup-storm exposure): unlike
+      // the media family's admitted fingerprints — pairwise > maxHamming
+      // by construction, so identical ledger keys are structurally
+      // impossible — ADMITTED docs can legally share a band key while
+      // estimating below threshold (an adversarial storm of
+      // near-identical-but-distinct docs plants exactly that), and every
+      // such ledger row lands in ONE (band, bkey) bucket. The plain
+      // bucketed equi-join then emits that bucket's candidates from ONE
+      // task (occupancy × probes-on-key rows — the straggler
+      // BENCH_BAND_STORM.json measures). Guard: per-key ledger occupancy
+      // over the WAVE'S OWN keys (one extra band-ledger probe per wave,
+      // wave-key-pruned — never a corpus-wide aggregate); keys past
+      // `spark.graft.dedup.hotBandCap` (default 4096, 0 disables) leave
+      // the bucketed join for a SALTED shuffled join — ledger rows salt
+      // by mid, probe rows replicate per salt — spreading each hot key
+      // over defaultParallelism tasks. Key-disjoint split + identical
+      // per-row filters ⇒ the emitted pair relation is IDENTICAL (the
+      // oracle gates q105/q106 either way); only the plan changes.
+      val hotCap = spark.conf.getOption("spark.graft.dedup.hotBandCap")
+        .map(_.toInt).getOrElse(4096)
+      val candCorpus = if (hotCap <= 0) probe
+        .join(cbm, Seq("band", "bkey"))
         .filter(firstSharedOnly)
         .select("bid", "mid")
+      else {
+        val par = spark.sparkContext.defaultParallelism
+        val probeKeys0 = bb.select("band", "bkey").distinct()
+        val probeKeys = if (fits) broadcast(probeKeys0) else probeKeys0
+        val hotKeys = scope(cbm
+          .join(probeKeys, Seq("band", "bkey"), "left_semi")
+          .groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > hotCap)
+          .select("band", "bkey"))
+        val cold = probe
+          .join(cbm.join(broadcast(hotKeys), Seq("band", "bkey"), "left_anti"),
+            Seq("band", "bkey"))
+          .filter(firstSharedOnly)
+          .select("bid", "mid")
+        val hotLedger = cbm
+          .join(broadcast(hotKeys), Seq("band", "bkey"), "left_semi")
+          .withColumn("salt", pmod(xxhash64(col("mid")), lit(par.toLong)))
+          // the EXPLICIT spread: when the (small) replicated probe side
+          // broadcasts, the join output inherits THIS partitioning — and
+          // without it that is the bucketed layout with the whole hot key
+          // in one partition, i.e. the straggler the guard exists to kill.
+          // O(hot ledger rows) exchange, linear in occupancy.
+          .repartition(par, col("salt"))
+        val hotProbe = probe
+          .join(broadcast(hotKeys), Seq("band", "bkey"), "left_semi")
+          .withColumn("salt",
+            explode(sequence(lit(0L), lit(par.toLong - 1))))
+        val hot = hotProbe
+          .join(hotLedger, Seq("band", "bkey", "salt"))
+          .filter(firstSharedOnly)
+          .select("bid", "mid")
+        cold.unionByName(hot)
+      }
       val candBatch = probe
         .join(bb.select(col("band"), col("bkey"), col("id").as("mid"),
           col("kpfx").as("kpfx_m")), Seq("band", "bkey"))
         .filter(col("mid") < col("bid") && firstSharedOnly)
         .select("bid", "mid")
-      val cand = scope(candCorpus.unionByName(candBatch))
+      scope(candCorpus.unionByName(candBatch))
+    }
+
+    /** Estimator-verify tail of [[approxVerifiedPairs]] over an emitted
+      * candidate frame. */
+    private def verifyApproxCandidates(sk: DataFrame, cand: DataFrame,
+        corpusSigs: DataFrame, threshold: Double, fits: Boolean): DataFrame = {
       // batch sigs pruned to candidate-involved ids, ONE broadcast
       // relation referenced through aliases on both verify sides
       // (BroadcastExchange + ReusedExchange, as in the exact path)
@@ -947,12 +1022,9 @@ object Dedup {
       val prunedBatchSigs = sk.select(col("id"), col("sig"))
         .join(candIds, Seq("id"), "left_semi")
       // honest gate: batch rows × SigRowBytes; the candidate-pruned
-      // relation is a subset, so the estimate bounds it from above. The
-      // count comes from the caller when it already materialized the wave
-      // sketch (knownRows — the streaming writers count their persist
-      // once per wave), else one cached aggregate on the persisted sketch
-      val batchRows = knownRows.getOrElse(sk.count())
-      val bs = if (sigTableFits(batchRows, spark)) broadcast(prunedBatchSigs)
+      // relation is a subset, so the estimate bounds it from above (the
+      // shared `fits` from the caller)
+      val bs = if (fits) broadcast(prunedBatchSigs)
         else prunedBatchSigs
       // match-side sig attached PER SOURCE, never through a batch∪corpus
       // union (which would discard the compacted sig ledger's id-bucketed

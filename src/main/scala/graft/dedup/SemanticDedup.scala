@@ -326,6 +326,54 @@ object SemanticDedup {
         .orderBy(col("centroid_sim"), col("vec_id"))) === 1).as("keep"))
   }
 
+  // ==== centroid drift maintenance ==========================================
+
+  /** Remap every rep's cell assignment through a NEW centroid table — the
+    * pure kernel of the retrain-and-remap maintenance op: one
+    * [[graft.functions.IvfArgmaxCell]] projection over the reps (the
+    * centroids ride as a plan literal), no join, no corpus scan. Output
+    * shape = the reps ledger's own (cell, rep, ce, cn2), so the remap can
+    * ride [[graft.streaming.LedgerCompaction.compact]] as its transform.
+    * Idempotent: rows already carrying the new cells map to themselves. */
+  def remapRepsTo(reps: DataFrame, centroids: DataFrame): DataFrame =
+    Ann.indexWithCentroids(
+        reps.select(col("rep").as("vec_id"), col("ce").as("embedding")),
+        centroids)
+      .assigned
+      .select(col("cell"), col("nid").as("rep"), col("ce"), col("cn2"))
+
+  /** CENTROID-DRIFT maintenance (batch form): retrain the IVF coordinate
+    * system from the distinct-vector reps ledger
+    * ([[graft.similarity.Ann.retrainCentroids]] — stride draw over CURRENT
+    * rep ids + `refineIters` exact-decimal Lloyd steps) and remap every
+    * rep through it. Returns `(newCentroids (cell, cvec, cvn2),
+    * remappedReps (cell, rep, ce, cn2))` — the remapped assignment is
+    * BY CONSTRUCTION what a from-scratch [[graft.similarity.Ann
+    * .indexWithCentroids]] build over the reps yields on the same draw
+    * (q118 gates exactly that equivalence against a DuckDB replay of the
+    * whole pipeline at refineIters = 0).
+    *
+    * What retraining does and does not touch: it changes the BLOCKING
+    * coordinate system — which cells FUTURE waves' within-cell pairwise
+    * runs in — so a drifted corpus's hot cells (the distinct²-per-cell
+    * exposure) re-spread across a draw that reflects the data that
+    * actually arrived. It does NOT rewrite past cluster state (labels /
+    * merges: edges found under the old cells were real cosine matches
+    * and remain valid) nor past members' centroid_sim (SemDeDup's
+    * exemplar rule is assignment-time by the paper's own definition).
+    * Approximation note, mirroring the paper's: pairs that were
+    * cross-cell under the OLD draw and become co-cell under the new one
+    * are found only if one endpoint arrives again; the operator's
+    * documented contract is per-draw cell blocking, not exhaustive
+    * pairwise. */
+  def retrainRemap(reps: DataFrame, refineIters: Int = 1)
+      : (DataFrame, DataFrame) = {
+    val cent = Ann.retrainCentroids(
+      reps.select(col("rep").as("vec_id"), col("ce").as("embedding")),
+      refineIters)
+    (cent, remapRepsTo(reps, cent))
+  }
+
   /** Incremental semantic ADMISSION — SemDeDup as a one-pass filter
     * (q112), the semantic mirror of the minhash admission verdicts
     * (q104/q106): a batch vector is admitted unless some corpus vector,

@@ -358,7 +358,81 @@ object DedupQueries extends QueryModule {
        |GROUP BY m.nid
        |ORDER BY m.nid""".stripMargin
 
+  /** q118's oracle: a full SQL replay of the retrain-and-remap pipeline —
+    * the incremental reps ledger after 4 waves (one row per distinct
+    * nonzero vector, rep = first-seen min id: min id within the EARLIEST
+    * wave containing the group, waves = vec_id mod 4 in ascending order),
+    * the stride redraw over CURRENT rep ids, and the argmax remap
+    * (cosine DESC, cell DESC tie — the IvfArgmaxCell rule). Gates that
+    * the remapped assignment ≡ a from-scratch index build over the reps
+    * on the same centroid draw. */
+  private val ivfRetrainOracleSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(embedding, x -> x::double * x::double), (x, y) -> x + y) AS n2
+      |  FROM embeddings
+      |), reps AS MATERIALIZED (
+      |  SELECT rep, ce, cn2 FROM (
+      |    SELECT vec_id AS rep, embedding AS ce, n2 AS cn2,
+      |      row_number() OVER (PARTITION BY embedding
+      |        ORDER BY vec_id % 4, vec_id) AS rn
+      |    FROM base WHERE n2 > 0
+      |  ) WHERE rn = 1
+      |), nr AS (SELECT count(*) AS cnt FROM reps),
+      |s AS (
+      |  SELECT greatest(1, cast(floor(cnt / ceil(sqrt(cnt))) AS bigint)) AS stride
+      |  FROM nr
+      |), cent AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY rep) AS cell, ce AS cvec, cn2 AS cvn2
+      |  FROM reps WHERE rep % (SELECT stride FROM s) = 0
+      |)
+      |SELECT rep, cell FROM (
+      |  SELECT r.rep, c.cell,
+      |    row_number() OVER (PARTITION BY r.rep ORDER BY
+      |      (list_reduce(list_transform(range(1, len(r.ce) + 1),
+      |          i -> r.ce[i]::double * c.cvec[i]::double), (x, y) -> x + y)
+      |       / (sqrt(r.cn2) * sqrt(c.cvn2))) DESC, c.cell DESC) AS arn
+      |  FROM reps r CROSS JOIN cent c
+      |) WHERE arn = 1 ORDER BY rep""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
+
+    // CENTROID-DRIFT maintenance, oracle-gated: the reps ledger is built
+    // incrementally over 4 waves (q111's ingest protocol — per-wave
+    // assignment against the frozen v0 draw, new distinct vectors probe
+    // the fps ledger), then the coordinate system is RETRAINED from the
+    // reps (stride redraw over current rep ids; refineIters = 0 keeps the
+    // whole pipeline SQL-replayable — Lloyd refinement is spec-gated in
+    // SemanticDedupSpec's skew-rebalance case) and every rep REMAPPED
+    // through it. The v0 cells influence nothing downstream (the remap
+    // reassigns from the vectors alone), which is exactly the point: the
+    // oracle proves the remapped assignment equals a from-scratch build
+    // over the reps on the same draw, independent of ingest history.
+    "q118_ivf_retrain_remap" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cache: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
+        val cent0 = cache(graft.similarity.Ann.strideCentroids(emb))
+        var reps = s.range(0).select(col("id").cast("int").as("cell"),
+          col("id").as("rep"), lit(Array.empty[Float]).as("ce"),
+          lit(0.0).as("cn2"))
+        var fps = s.range(0).select(col("id").as("cefp"), col("id").as("rep"))
+        (0 until 4).foreach { w =>
+          val asg = cache(graft.dedup.SemanticDedup.assignWithSim(
+            emb.filter(pmod(col("vec_id"), lit(4)) === w), cent0))
+          val (_, nr) = graft.dedup.SemanticDedup.semanticWaveDelta(
+            asg, reps, fps, threshold = 0.4, cache)
+          val nrc = cache(nr)
+          reps = reps.unionByName(nrc.select("cell", "rep", "ce", "cn2"))
+          fps = fps.unionByName(nrc.select("cefp", "rep"))
+        }
+        val (_, remapped) =
+          graft.dedup.SemanticDedup.retrainRemap(reps, refineIters = 0)
+        remapped.select(col("rep"), col("cell").cast("long").as("cell"))
+          .orderBy("rep")
+      },
+      Some(ivfRetrainOracleSql)),
 
     // APPROXIMATE incremental near-dup ADMISSION: q104's one-pass verdict
     // protocol with q105's signature-agreement estimator in place of the

@@ -223,6 +223,29 @@ object Ann {
   def addToIvfIndex(idx: IvfIndex, newVecs: DataFrame): IvfIndex =
     IvfIndex(idx.centroids, idx.assigned.unionByName(assign(newVecs, idx.centroids)))
 
+  /** The PERIODIC-REBUILD half of [[addToIvfIndex]]'s maintenance
+    * contract: retrain the coordinate system from the CURRENT corpus (or
+    * any representative sample of it — the semantic family passes its
+    * distinct-vector reps ledger) with the engine-independent
+    * [[strideCentroids]] draw plus `refineIters` exact-decimal Lloyd
+    * steps. A drifted corpus concentrates in cells the original draw
+    * never anticipated (hot cells are exactly the distinct²-per-cell
+    * exposure of the within-cell pairwise operators); redrawing from the
+    * current distribution re-spreads them — √n cells sized to the data
+    * that actually arrived, not the data the first build saw.
+    *
+    * DETERMINISTIC in its input: the stride draw is arithmetic on ids and
+    * [[lloydStep]]'s means are exact decimal sums, so a crash-replay over
+    * the same corpus state re-derives bit-identical centroids — the
+    * property the versioned-centroid commit protocol
+    * ([[graft.streaming.SemanticStream.retrainAndRemap]]) leans on.
+    * `refineIters = 0` is the pure stride draw (fully SQL-replayable —
+    * how q118 carries a DuckDB oracle over the retrain+remap pipeline).
+    */
+  def retrainCentroids(corpus: DataFrame, refineIters: Int = 1): DataFrame =
+    (1 to refineIters).foldLeft(materialize(strideCentroids(corpus)))(
+      (c, _) => materialize(lloydStep(corpus, c)))
+
   /** Persist an IVF index as two tables: `<name>_centroids` (tiny) and
     * `<name>_assigned` BUCKETED on `cell` — the probe join in [[searchIvf]]
     * then reads the corpus side pre-partitioned, so only the (small) query

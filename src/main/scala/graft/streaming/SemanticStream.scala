@@ -131,6 +131,66 @@ object SemanticStream {
       ()
     }
 
+  // ==== centroid drift maintenance ==========================================
+
+  /** Highest committed centroid VERSION and its (cell, cvec) table, or
+    * None before the first retrain. Versions are [[IdempotentSink]]
+    * batches under `centroidsDir` — commit-marker-gated, so a half-written
+    * retrain is invisible. The deployment shape: seed version 0 with the
+    * initial coordinate system via
+    * `IdempotentSink.writer(centroidsDir)(initial, 0L)`, pass
+    * `currentCentroids(...)._2` to [[writer]] per ingest cycle, and run
+    * [[retrainAndRemap]] on the drift-maintenance cadence. */
+  def currentCentroids(spark: SparkSession,
+      centroidsDir: String): Option[(Long, DataFrame)] =
+    IdempotentSink.committedBatches(spark, centroidsDir).lastOption
+      .map(v => (v, spark.read.parquet(s"$centroidsDir/batch=$v")
+        .select("cell", "cvec")))
+
+  /** CENTROID-DRIFT maintenance for the streaming semantic deployment —
+    * the operational form of [[SemanticDedup.retrainRemap]]:
+    *
+    *  1. retrain centroids from the committed reps ledger
+    *     ([[graft.similarity.Ann.retrainCentroids]]);
+    *  2. commit them as version N+1 under `centroidsDir` (idempotent: the
+    *     retrain is DETERMINISTIC in the reps state, so a crash-replay
+    *     re-derives the identical table and the version marker absorbs
+    *     the rewrite);
+    *  3. remap the reps ledger through the COMMITTED new table, riding
+    *     [[LedgerCompaction.compact]]'s transform hook — the rewrite
+    *     inherits compaction's single-writer lease and crash contract,
+    *     and leaves the ledger (cell)-bucketed under the NEW cells so
+    *     the next wave's pairwise join ships nothing at rest.
+    *
+    * Run QUIESCED (between micro-batches, like any compaction cadence):
+    * step 3's transform is a pure idempotent function (rows already in
+    * new cells map to themselves), so the crash windows are safe — a
+    * death between 2 and 3 leaves old cells under a new version, healed
+    * by re-running (markers skip 2, the remap proceeds); a death inside 3
+    * is compaction's own contract. Returns the new version id.
+    *
+    * Past members/labels/merges are deliberately not rewritten — see
+    * [[SemanticDedup.retrainRemap]]'s contract on what retraining
+    * touches. */
+  def retrainAndRemap(spark: SparkSession, centroidsDir: String,
+      repsDir: String, refineIters: Int = 1, buckets: Int = 8): Long = {
+    val reps = ledgerReps(spark, repsDir).persist()
+    try {
+      val cent = graft.similarity.Ann.retrainCentroids(
+        reps.select(col("rep").as("vec_id"), col("ce").as("embedding")),
+        refineIters)
+      val v = currentCentroids(spark, centroidsDir).map(_._1 + 1).getOrElse(0L)
+      IdempotentSink.writer(centroidsDir, onReplay = _ => ())(
+        cent.select("cell", "cvec"), v)
+      // remap against the COMMITTED table (not the in-memory derivation):
+      // every replay of step 3 then remaps through the same bytes
+      val committed = currentCentroids(spark, centroidsDir).get._2
+      LedgerCompaction.compact(spark, repsDir, RepsSchema, Seq("cell"),
+        buckets, SemanticDedup.remapRepsTo(_, committed))
+      v
+    } finally reps.unpersist()
+  }
+
   /** [[NearDupStream.compactClusterLedgers]] for the semantic deployment's
     * five ledgers: labels id-bucketed with stored labels rewritten through
     * the shared merge closure, merges old_label-bucketed in depth-1

@@ -129,9 +129,35 @@ object BenchStreamClusters {
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val tail = waveWalls.drop(nWaves / 2)
+    // STEADY-STATE FLATNESS: compaction-inclusive walls spike by design
+    // (the wave that fires compaction pays the ledger rewrite), so the
+    // flatness claim is over the NON-compaction walls — early band =
+    // non-compaction waves 2..¼ (wave 1 carries JVM warmup), post band =
+    // non-compaction waves AFTER the last mid-run compaction. A healthy
+    // steady state has post_mean ≤ ~1.2× early_mean: each compaction
+    // resets the label/merge resolution reads the fold pays, so walls
+    // return to the early band instead of growing with the ledger dirs.
+    val compactWaves = (0 until nWaves).filter(b => b % 4 == 3).map(_ + 1)
+    val plain = waveWalls.zipWithIndex.filter { case (_, b) => b % 4 != 3 }
+    // per-COMPACTION-CYCLE means of the non-compaction walls: the series
+    // that must plateau. The early band is the SECOND cycle — the first
+    // rides JVM warmup and a near-empty ledger, neither of which is the
+    // steady state the flatness claim is about.
+    val cycleMeans = plain.groupBy(_._2 / 4).toSeq.sortBy(_._1)
+      .map { case (_, ws) => ws.map(_._1).sum / ws.size }
+    val early = plain.filter { case (_, b) => b / 4 == 1 }.map(_._1)
+    val lastMidCompact = compactWaves.filter(_ < nWaves).lastOption.getOrElse(0)
+    val post = plain.filter(_._2 >= lastMidCompact).map(_._1)
+    val earlyMean = if (early.nonEmpty) early.sum / early.size else -1.0
+    val postMean = if (post.nonEmpty) post.sum / post.size else -1.0
     val line =
       s"""{"sf":"$sfDir","docs":$nDocs,"waves":$nWaves,""" +
       s""""wave_walls":${arr(waveWalls)},""" +
+      s""""compact_waves":${compactWaves.mkString("[", ",", "]")},""" +
+      s""""cycle_means":${arr(cycleMeans)},""" +
+      s""""early_mean":${f"$earlyMean%.3f"},""" +
+      s""""post_compaction_mean":${f"$postMean%.3f"},""" +
+      s""""post_over_early":${f"${postMean / earlyMean}%.3f"},""" +
       s""""wave_wall_tail_mean":${f"${tail.sum / tail.size}%.3f"},""" +
       s""""scratch_walls":${scratchWalls.map { case (w, s) =>
         s"""{"after_wave":$w,"s":${f"$s%.3f"}}""" }.mkString("[", ",", "]")},""" +

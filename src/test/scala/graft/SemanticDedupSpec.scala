@@ -148,6 +148,63 @@ class SemanticDedupSpec extends AnyFunSuite {
       "ledger-maintained semantic clusters must equal the from-scratch run")
   }
 
+  test("retrainRemap: a drifted corpus's hot cell rebalances; retrain is " +
+      "deterministic") {
+    import org.apache.spark.sql.functions.{col, count, max}
+    import graft.similarity.Ann
+    // dim-4 arc fixture: the PRE-DRIFT corpus spreads over θ ∈ [0.5, π/2];
+    // the drift lands 400 new distinct vectors in the narrow arc
+    // θ ∈ [0, 0.3] the original draw never anticipated — under the v0
+    // centroids they all pile into the single nearest cell (the
+    // distinct²-per-cell exposure retraining exists to fix)
+    def v(theta: Double) =
+      Seq(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+    val sparse = (0 until 64).map(i =>
+      (i.toLong, v(0.5 + (math.Pi / 2 - 0.5) * i / 63)))
+    val dense = (100 until 500).map(i =>
+      (i.toLong, v(0.3 * (i - 100) / 399.0)))
+    val original = sparse.toDF("vec_id", "embedding")
+    val all = (sparse ++ dense).toDF("vec_id", "embedding")
+    val cent0 = Ann.retrainCentroids(original, refineIters = 0)
+    val reps0 = Ann.indexWithCentroids(all, cent0.select("cell", "cvec"))
+      .assigned
+      .select(col("cell"), col("nid").as("rep"), col("ce"), col("cn2"))
+      .persist()
+    def maxOcc(reps: org.apache.spark.sql.DataFrame): Long =
+      reps.groupBy("cell").agg(count("*").as("n"))
+        .agg(max("n")).head().getLong(0)
+    try {
+      val before = maxOcc(reps0)
+      assert(before >= 400,
+        s"drift must pile the dense arc into one v0 cell, got max $before")
+      // retrain from the CURRENT reps: the stride redraw lands ~19 of 23
+      // centroids inside the dense arc, Lloyd tightens them, and the hot
+      // cell's mass spreads across them
+      val (cent1, remapped) = SemanticDedup.retrainRemap(reps0, refineIters = 1)
+      val after = maxOcc(remapped)
+      assert(after <= before / 5,
+        s"retrain must rebalance the hot cell: max $before -> $after")
+      // deterministic in its input (the crash-replay heal property of the
+      // versioned commit protocol): a second run derives bit-identical
+      // centroids and assignment
+      val (cent1b, remappedb) = SemanticDedup.retrainRemap(reps0, refineIters = 1)
+      def centSet(c: org.apache.spark.sql.DataFrame) =
+        c.select("cell", "cvec").as[(Int, Seq[Float])].collect().toSet
+      assert(centSet(cent1) == centSet(cent1b), "retrain must be deterministic")
+      def asgSet(r: org.apache.spark.sql.DataFrame) =
+        r.select("rep", "cell").as[(Long, Int)].collect().toSet
+      assert(asgSet(remapped) == asgSet(remappedb))
+      // the remap is what a from-scratch build over the reps on the same
+      // centroid table yields (q118 gates the refineIters = 0 form
+      // against a DuckDB replay; this pins the Lloyd-refined form)
+      assert(asgSet(remapped) == asgSet(
+        Ann.indexWithCentroids(
+            reps0.select(col("rep").as("vec_id"), col("ce").as("embedding")),
+            cent1.select("cell", "cvec")).assigned
+          .select(col("nid").as("rep"), col("cell"))))
+    } finally reps0.unpersist()
+  }
+
   test("fixture run: total function, one keeper per cluster, rule holds") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val n = emb.count()

@@ -175,4 +175,66 @@ class SemanticStreamSpec extends AnyFunSuite {
     assert(got2 == outSet(scratch(Seq(0L -> vx, 1L -> vw, 10L -> vy,
       11L -> vx, 20L -> vz, 30L -> vx))), s"post-crash continuation: $got2")
   }
+
+  test("centroid retrain-and-remap: versioned commit, reps remapped, " +
+      "post-retrain folds keep working, second retrain is bit-identical") {
+    import graft.streaming.IdempotentSink
+    val root = freshDir("graft-semantic-retrain")
+    val in = s"$root/in"; val labels = s"$root/labels"
+    val merges = s"$root/merges"; val members = s"$root/members"
+    val reps = s"$root/reps"; val fps = s"$root/fps"
+    val centDir = s"$root/centroids"; val ckpt = s"$root/ckpt"
+    // seed version 0 with the initial frozen coordinate system
+    IdempotentSink.writer(centDir)(centroids, 0L)
+    def runCycle(): Unit = {
+      val cent = SemanticStream.currentCentroids(spark, centDir).get._2
+      val q = spark.readStream
+        .schema("vec_id long, embedding array<float>")
+        .parquet(s"$in/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(SemanticStream.writer(labels, merges, members, reps,
+          fps, "embedding", "vec_id", cent, threshold = 0.97))
+        .start()
+      assert(q.awaitTermination(120000), "query did not terminate")
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("vec_id", "embedding").write.parquet(s"$in/wave$i")
+      runCycle()
+    }
+    assert(SemanticStream.currentCentroids(spark, centDir).get._1 == 0L)
+    // retrain (5 reps → stride 1 → every rep becomes a centroid, cells
+    // numbered by rep order) and remap: each rep lands in its own cell
+    // (cos 1 with its own vector beats every other centroid)
+    val v1 = SemanticStream.retrainAndRemap(spark, centDir, reps,
+      refineIters = 0)
+    assert(v1 == 1L)
+    val after = SemanticStream.ledgerReps(spark, reps)
+      .select("rep", "cell").as[(Long, Int)].collect().toMap
+    assert(after == Map(0L -> 1, 1L -> 2, 5L -> 3, 10L -> 4, 20L -> 5),
+      s"remapped cells: $after")
+    // the pipeline keeps folding under the NEW coordinate system: an
+    // identical vector fps-stars to its rep and joins the existing
+    // cluster, whatever its cell is now called
+    Seq((31L, vu)).toDF("vec_id", "embedding").write.parquet(s"$in/wave9")
+    runCycle()
+    val got = outSet(SemanticStream.semanticAssignments(
+      spark, members, labels, merges))
+    val cluster31 = got.find(_._1 == 31L).get._2
+    assert(cluster31 == got.find(_._1 == 5L).get._2,
+      s"post-retrain arrival must join its identical vector's cluster: $got")
+    // a second retrain re-derives from the remapped ledger: same rep set,
+    // same draw — bit-identical centroid table under the next version
+    // (the determinism the crash-replay heal leans on)
+    val v2 = SemanticStream.retrainAndRemap(spark, centDir, reps,
+      refineIters = 0)
+    assert(v2 == 2L)
+    def centSet(v: Long) =
+      spark.read.parquet(s"$centDir/batch=$v")
+        .select("cell", "cvec").as[(Int, Seq[Float])].collect().toSet
+    assert(centSet(1L) == centSet(2L),
+      "retrain from an unchanged reps ledger must be bit-identical")
+  }
 }
