@@ -362,10 +362,13 @@ object DedupQueries extends QueryModule {
     * the incremental reps ledger after 4 waves (one row per distinct
     * nonzero vector, rep = first-seen min id: min id within the EARLIEST
     * wave containing the group, waves = vec_id mod 4 in ascending order),
-    * the stride redraw over CURRENT rep ids, and the argmax remap
-    * (cosine DESC, cell DESC tie — the IvfArgmaxCell rule). Gates that
-    * the remapped assignment ≡ a from-scratch index build over the reps
-    * on the same centroid draw. */
+    * the PORTABLE-HASH redraw over CURRENT rep ids (⌈√n⌉ smallest by
+    * md5 of the decimal id string — uniform under any id structure,
+    * where a raw-id stride measurably correlates with it; cells numbered
+    * by rep order among the drawn), and the argmax remap (cosine DESC,
+    * cell DESC tie — the IvfArgmaxCell rule). Gates that the remapped
+    * assignment ≡ a from-scratch index build over the reps on the same
+    * centroid draw. */
   private val ivfRetrainOracleSql: String =
     """WITH base AS (
       |  SELECT vec_id, embedding,
@@ -379,12 +382,13 @@ object DedupQueries extends QueryModule {
       |    FROM base WHERE n2 > 0
       |  ) WHERE rn = 1
       |), nr AS (SELECT count(*) AS cnt FROM reps),
-      |s AS (
-      |  SELECT greatest(1, cast(floor(cnt / ceil(sqrt(cnt))) AS bigint)) AS stride
-      |  FROM nr
-      |), cent AS MATERIALIZED (
+      |cent AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY rep) AS cell, ce AS cvec, cn2 AS cvn2
-      |  FROM reps WHERE rep % (SELECT stride FROM s) = 0
+      |  FROM (
+      |    SELECT rep, ce, cn2,
+      |      row_number() OVER (ORDER BY md5(cast(rep AS varchar)), rep) AS hrn
+      |    FROM reps
+      |  ) WHERE hrn <= (SELECT cast(ceil(sqrt(cnt)) AS bigint) FROM nr)
       |)
       |SELECT rep, cell FROM (
       |  SELECT r.rep, c.cell,

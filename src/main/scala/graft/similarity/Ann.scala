@@ -223,27 +223,51 @@ object Ann {
   def addToIvfIndex(idx: IvfIndex, newVecs: DataFrame): IvfIndex =
     IvfIndex(idx.centroids, idx.assigned.unionByName(assign(newVecs, idx.centroids)))
 
+  /** PORTABLE-HASH centroid draw: the ⌈√n⌉ ids smallest by
+    * `md5(cast(id AS string))`, cells numbered by id order among the
+    * drawn. This is the draw [[retrainCentroids]] uses instead of
+    * [[strideCentroids]]: a stride over raw ids CORRELATES with id
+    * structure — measured on the 100× tier, whose ids live at 10M-offset
+    * copies, `rep % stride` (an even stride over even-structured ids)
+    * drew 100% of its centroids from one id-parity class and the retrain
+    * rebalanced nothing. A hash order is uniform under ANY id structure,
+    * still engine-independent (md5 of the decimal string replays in
+    * plain SQL — the same portability trick as the md5-60 sketches), and
+    * scale-safe: orderBy+limit plans as a distributed top-k, never a
+    * global sort. */
+  def hashCentroids(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.count().toDouble
+    val k = math.max(1, math.ceil(math.sqrt(n)).toInt)
+    corpus.select(col(idCol).as("_id"), col(vecCol).as("cvec"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .orderBy("_h", "_id")
+      .limit(k)
+      .select(row_number().over(Window.orderBy("_id")).as("cell"),
+        col("cvec"))
+  }
+
   /** The PERIODIC-REBUILD half of [[addToIvfIndex]]'s maintenance
     * contract: retrain the coordinate system from the CURRENT corpus (or
     * any representative sample of it — the semantic family passes its
     * distinct-vector reps ledger) with the engine-independent
-    * [[strideCentroids]] draw plus `refineIters` exact-decimal Lloyd
+    * [[hashCentroids]] draw plus `refineIters` exact-decimal Lloyd
     * steps. A drifted corpus concentrates in cells the original draw
     * never anticipated (hot cells are exactly the distinct²-per-cell
     * exposure of the within-cell pairwise operators); redrawing from the
     * current distribution re-spreads them — √n cells sized to the data
     * that actually arrived, not the data the first build saw.
     *
-    * DETERMINISTIC in its input: the stride draw is arithmetic on ids and
-    * [[lloydStep]]'s means are exact decimal sums, so a crash-replay over
-    * the same corpus state re-derives bit-identical centroids — the
+    * DETERMINISTIC in its input: the hash draw is a pure function of ids
+    * and [[lloydStep]]'s means are exact decimal sums, so a crash-replay
+    * over the same corpus state re-derives bit-identical centroids — the
     * property the versioned-centroid commit protocol
     * ([[graft.streaming.SemanticStream.retrainAndRemap]]) leans on.
-    * `refineIters = 0` is the pure stride draw (fully SQL-replayable —
+    * `refineIters = 0` is the pure hash draw (fully SQL-replayable —
     * how q118 carries a DuckDB oracle over the retrain+remap pipeline).
     */
   def retrainCentroids(corpus: DataFrame, refineIters: Int = 1): DataFrame =
-    (1 to refineIters).foldLeft(materialize(strideCentroids(corpus)))(
+    (1 to refineIters).foldLeft(materialize(hashCentroids(corpus)))(
       (c, _) => materialize(lloydStep(corpus, c)))
 
   /** Persist an IVF index as two tables: `<name>_centroids` (tiny) and

@@ -18,14 +18,19 @@ import graft.similarity.Ann
   * the CURRENT reps ledger + one exact-decimal Lloyd step, every rep
   * remapped through the new table.
   *
-  * Protocol: the first half of `embeddings` is the pre-drift corpus the
-  * v0 draw trains on; the second half is PLANTED DRIFT — each vector
-  * pulled 90% toward one fixed pivot direction (a narrow cone v0 has at
-  * most one centroid near). Occupancy is measured per cell over the reps
-  * before and after retrain; gates (required): the remap is idempotent
-  * (remapping the remapped reps through the same table changes nothing —
-  * the property the compaction-replay heal leans on), rep count is
-  * preserved, and max occupancy drops by ≥ 3×.
+  * Protocol: the even-id half of `embeddings` is the pre-drift corpus
+  * the v0 draw trains on (an id-RANGE split would be skewed by
+  * MakeScale's sparse 10M-offset id space); the odd-id half is PLANTED
+  * DRIFT — each vector pulled halfway toward one fixed pivot direction,
+  * a ~60° cone v0 has at most a couple of centroids near (so the drift
+  * mass piles into them) but wide enough that a redraw separates it (a
+  * 0.9 pull was measured unseparable: within a ~5° cone the argmax is
+  * decided by each centroid's own axis angle, so one centroid wins
+  * globally no matter how many are drawn). Occupancy is measured per
+  * cell over the reps before and after retrain; gates (required): the
+  * remap is idempotent (remapping the remapped reps through the same
+  * table changes nothing — the property the compaction-replay heal leans
+  * on), rep count is preserved, and max occupancy drops by ≥ 3×.
   */
 object BenchIvfRetrain {
 
@@ -48,20 +53,19 @@ object BenchIvfRetrain {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     val n = emb.count()
-    val half = n / 2
     val pivot = emb.orderBy("vec_id").select("embedding").head()
       .getSeq[Float](0)
-    // planted drift: second half pulled into a narrow cone around the pivot
-    val drifted = emb.filter(col("vec_id") >= half)
+    // planted drift: the odd-id half pulled halfway toward the pivot
+    val preDrift = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val drifted = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
       .select(col("vec_id"),
         zip_with(col("embedding"), typedLit(pivot),
-          (a, b) => (a * lit(0.1f)) + (b * lit(0.9f))).as("embedding"))
-    val corpus = emb.filter(col("vec_id") < half).unionByName(drifted)
+          (a, b) => (a * lit(0.5f)) + (b * lit(0.5f))).as("embedding"))
+    val corpus = preDrift.unionByName(drifted)
 
     // v0: the draw the PRE-DRIFT corpus trained (one Lloyd step, like a
     // production build); reps = the full drifted corpus assigned under it
-    val cent0 = Ann.retrainCentroids(emb.filter(col("vec_id") < half),
-      refineIters = 1)
+    val cent0 = Ann.retrainCentroids(preDrift, refineIters = 1)
     val reps0 = Ann.indexWithCentroids(corpus, cent0.select("cell", "cvec"))
       .assigned
       .select(col("cell"), col("nid").as("rep"), col("ce"), col("cn2"))

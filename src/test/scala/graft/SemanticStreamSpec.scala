@@ -205,16 +205,31 @@ class SemanticStreamSpec extends AnyFunSuite {
       runCycle()
     }
     assert(SemanticStream.currentCentroids(spark, centDir).get._1 == 0L)
-    // retrain (5 reps → stride 1 → every rep becomes a centroid, cells
-    // numbered by rep order) and remap: each rep lands in its own cell
-    // (cos 1 with its own vector beats every other centroid)
+    // retrain (5 reps → ⌈√5⌉ = 3 centroids drawn by md5(id) order, cells
+    // numbered by rep order among the drawn) and remap — expectation
+    // recomputed here by INDEPENDENT driver-side brute force (java md5 +
+    // plain scala cosine, argmax ties to the highest cell)
+    val repVecs = Map(0L -> vx, 1L -> vw, 5L -> vu, 10L -> vy, 20L -> vz)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val drawnIds = repVecs.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+      .take(3).sorted
+    val cells = drawnIds.zipWithIndex.map { case (id, i) => (i + 1, id) }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val expected = repVecs.map { case (id, v) =>
+      id -> cells.maxBy { case (c, cid) => (cos(v, repVecs(cid)), c) }._1
+    }
     val v1 = SemanticStream.retrainAndRemap(spark, centDir, reps,
       refineIters = 0)
     assert(v1 == 1L)
     val after = SemanticStream.ledgerReps(spark, reps)
       .select("rep", "cell").as[(Long, Int)].collect().toMap
-    assert(after == Map(0L -> 1, 1L -> 2, 5L -> 3, 10L -> 4, 20L -> 5),
-      s"remapped cells: $after")
+    assert(after == expected, s"remapped cells: $after vs $expected")
     // the pipeline keeps folding under the NEW coordinate system: an
     // identical vector fps-stars to its rep and joins the existing
     // cluster, whatever its cell is now called
