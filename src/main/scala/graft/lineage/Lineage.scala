@@ -62,6 +62,73 @@ final class BufferSink extends LineageSink {
   }
 }
 
+/** HTTP transport to an OpenLineage collector (e.g. Marquez's
+  * `POST /api/v1/lineage`) — the deployment wiring the reference routes
+  * through `docker-compose.override.yml:9-10` / `tfl_transform_dag.py:93-96`,
+  * completing S12 to deployment parity.
+  *
+  * Fire-and-forget with bounded retry: `emit` hands the event to
+  * `HttpClient.sendAsync` and RETURNS — lineage must never be a tax on,
+  * or a failure mode of, the job path. A non-2xx response or transport
+  * error retries up to `maxAttempts` with linear backoff on the client's
+  * delayed executor (never the caller thread); exhaustion drops the
+  * event with one stderr line and counts it in [[droppedCount]].
+  * [[flush]] awaits outstanding deliveries for orderly shutdown/tests.
+  * The API key travels in the Authorization header only — never logged
+  * (the same redaction discipline as [[graft.ingest.Http]]).
+  */
+final class HttpLineageSink(endpoint: String, apiKey: Option[String] = None,
+    maxAttempts: Int = 3, backoffMs: Long = 100,
+    timeoutMs: Long = 5000) extends LineageSink {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  @transient private lazy val client = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+  @transient private lazy val inflight =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  @transient private lazy val droppedN =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  def emit(e: RunEvent): Unit = { inflight.incrementAndGet(); attempt(e, 1) }
+
+  private def attempt(e: RunEvent, n: Int): Unit = {
+    val b = HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+    apiKey.foreach(k => b.header("Authorization", s"Bearer $k"))
+    val req = b.POST(HttpRequest.BodyPublishers.ofString(e.toJson)).build()
+    client.sendAsync(req, HttpResponse.BodyHandlers.discarding())
+      .whenComplete { (resp, err) =>
+        val ok = err == null &&
+          resp.statusCode() >= 200 && resp.statusCode() < 300
+        if (ok) { inflight.decrementAndGet(); () }
+        else if (n < maxAttempts)
+          java.util.concurrent.CompletableFuture
+            .delayedExecutor(backoffMs * n,
+              java.util.concurrent.TimeUnit.MILLISECONDS)
+            .execute(() => attempt(e, n + 1))
+        else {
+          inflight.decrementAndGet(); droppedN.incrementAndGet()
+          System.err.println(s"[lineage] dropped after $maxAttempts " +
+            s"attempts: ${e.eventType} ${e.job}")
+        }
+        ()
+      }
+    ()
+  }
+
+  /** Await outstanding deliveries; true when none remain in flight. */
+  def flush(waitMs: Long = 10000): Boolean = {
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (inflight.get() > 0 && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    inflight.get() == 0
+  }
+
+  /** Events abandoned after `maxAttempts` failed deliveries. */
+  def droppedCount: Long = droppedN.get()
+}
+
 object Lineage {
 
   /** Default: lineage off — emission must never be a tax on callers that

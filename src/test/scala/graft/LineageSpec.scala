@@ -74,4 +74,56 @@ class LineageSpec extends AnyFunSuite {
         s"expected a COMPLETE event with src input and dst output, got ${sink.events}")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("HttpLineageSink: POSTs OpenLineage JSON to a collector, retries a " +
+      "transient 503, and never throws when the collector is down") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import java.util.concurrent.atomic.AtomicInteger
+    val received = new ConcurrentLinkedQueue[(String, String)] // (auth, body)
+    val fails = new AtomicInteger(1) // exactly one 503, then 200s
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/lineage",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        if (fails.getAndDecrement() > 0) ex.sendResponseHeaders(503, -1)
+        else {
+          received.add((ex.getRequestHeaders.getFirst("Authorization"), body))
+          ex.sendResponseHeaders(200, -1)
+        }
+        ex.close()
+      })
+    server.start()
+    try {
+      val sink = new graft.lineage.HttpLineageSink(
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/lineage",
+        apiKey = Some("marquez-key"), backoffMs = 20)
+      val out = graft.lineage.Lineage.tracked(sink, "nightly_transform",
+        Seq("raw/arrivals"), Seq("marts/fct_headways")) { 42 }
+      assert(out == 42)
+      assert(sink.flush(20000), "deliveries must drain")
+      assert(sink.droppedCount == 0, "the transient 503 must be retried")
+      import scala.jdk.CollectionConverters._
+      val bodies = received.asScala.toSeq
+      assert(bodies.size == 2, s"START + COMPLETE expected: $bodies")
+      assert(bodies.forall(_._1 == "Bearer marquez-key"),
+        "API key travels in the Authorization header")
+      assert(bodies.exists(_._2.contains("\"eventType\":\"START\"")))
+      val complete = bodies.map(_._2)
+        .find(_.contains("\"eventType\":\"COMPLETE\""))
+      assert(complete.isDefined)
+      assert(complete.get.contains("\"name\":\"nightly_transform\"") &&
+        complete.get.contains("\"name\":\"raw/arrivals\"") &&
+        complete.get.contains("\"name\":\"marts/fct_headways\"") &&
+        complete.get.contains("\"producer\":\"graft-lineage\""),
+        s"OpenLineage core fields expected: ${complete.get}")
+    } finally server.stop(0)
+    // collector down: emit must not throw into the job path; the event is
+    // dropped (and counted) after the bounded retries
+    val dead = new graft.lineage.HttpLineageSink(
+      "http://127.0.0.1:1/api/v1/lineage", maxAttempts = 2, backoffMs = 10)
+    graft.lineage.Lineage.tracked(dead, "job", Seq.empty, Seq.empty) { () }
+    assert(dead.flush(20000))
+    assert(dead.droppedCount == 2L, s"dropped: ${dead.droppedCount}")
+  }
 }
