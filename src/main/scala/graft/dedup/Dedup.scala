@@ -872,9 +872,9 @@ object Dedup {
     private[graft] def nearDupAdmitApproxSketched(sk: DataFrame,
         corpusBands: DataFrame, corpusSigs: DataFrame, threshold: Double,
         scope: DataFrame => DataFrame = cachedSketch,
-        knownRows: Option[Long] = None): DataFrame = {
+        knownRows: Option[Long] = None, hotBandCap: Int = 0): DataFrame = {
       val verified = approxVerifiedPairs(sk, corpusBands, corpusSigs,
-        threshold, scope, knownRows)
+        threshold, scope, knownRows, hotBandCap)
       sk.select(col("id").as("doc_id"))
         .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
         .groupBy("doc_id")
@@ -909,7 +909,7 @@ object Dedup {
     private[graft] def approxVerifiedPairs(sk: DataFrame,
         corpusBands: DataFrame, corpusSigs: DataFrame, threshold: Double,
         scope: DataFrame => DataFrame = cachedSketch,
-        knownRows: Option[Long] = None): DataFrame = {
+        knownRows: Option[Long] = None, hotBandCap: Int = 0): DataFrame = {
       require(threshold > 0 && threshold <= 1,
         s"similarity threshold must lie in (0, 1], got $threshold")
       val spark = sk.sparkSession
@@ -917,7 +917,7 @@ object Dedup {
       // from the caller when it already materialized the wave sketch
       val batchRows = knownRows.getOrElse(sk.count())
       val fits = sigTableFits(batchRows, spark)
-      val cand = approxCandidates(sk, corpusBands, scope, fits)
+      val cand = approxCandidates(sk, corpusBands, scope, fits, hotBandCap)
       verifyApproxCandidates(sk, cand, corpusSigs, threshold, fits)
     }
 
@@ -926,7 +926,7 @@ object Dedup {
       * the hot-key guard directly. Returns the SCOPED candidate frame. */
     private[graft] def approxCandidates(sk: DataFrame,
         corpusBands: DataFrame, scope: DataFrame => DataFrame,
-        fits: Boolean): DataFrame = {
+        fits: Boolean, hotBandCap: Int = 0): DataFrame = {
       val spark = sk.sparkSession
       // batch band rows — consumed by the corpus probe and both sides of
       // the within-batch self-join (same scoped-persist rationale as
@@ -956,15 +956,24 @@ object Dedup {
       // task (occupancy × probes-on-key rows — the straggler
       // BENCH_BAND_STORM.json measures). Guard: per-key ledger occupancy
       // over the WAVE'S OWN keys (one extra band-ledger probe per wave,
-      // wave-key-pruned — never a corpus-wide aggregate); keys past
-      // `spark.graft.dedup.hotBandCap` (default 4096, 0 disables) leave
-      // the bucketed join for a SALTED shuffled join — ledger rows salt
-      // by mid, probe rows replicate per salt — spreading each hot key
-      // over defaultParallelism tasks. Key-disjoint split + identical
-      // per-row filters ⇒ the emitted pair relation is IDENTICAL (the
-      // oracle gates q105/q106 either way); only the plan changes.
+      // wave-key-pruned — never a corpus-wide aggregate); keys past the
+      // cap leave the bucketed join for a SALTED shuffled join — ledger
+      // rows salt by mid, probe rows replicate per salt — spreading each
+      // hot key over defaultParallelism tasks. Key-disjoint split +
+      // identical per-row filters ⇒ the emitted pair relation is
+      // IDENTICAL (the oracle gates q105/q106 either way); only the plan
+      // changes. COST CONTRACT: the guard adds one ledger-frame probe +
+      // two broadcast-filtered branches per wave, which only pays for
+      // itself where the exposure exists — a LONG-LIVED AT-REST ledger
+      // whose (band, bkey) bucketing co-locates a hot key in one
+      // partition. The STREAMING writers (approxWriter, CurationStream,
+      // clusterWriter) therefore pass hotBandCap = 4096; the batch fold
+      // queries over in-memory wave unions keep the default 0 (hot rows
+      // there are spread by upstream partitioning anyway — measured:
+      // always-on cost q108 8.2 → 19.1 s at sf0.1 for zero exposure).
+      // `spark.graft.dedup.hotBandCap` overrides per session either way.
       val hotCap = spark.conf.getOption("spark.graft.dedup.hotBandCap")
-        .map(_.toInt).getOrElse(4096)
+        .map(_.toInt).getOrElse(hotBandCap)
       val candCorpus = if (hotCap <= 0) probe
         .join(cbm, Seq("band", "bkey"))
         .filter(firstSharedOnly)

@@ -415,9 +415,10 @@ object IncrementalClusters {
   def foldWave(sk: DataFrame, corpusBands: DataFrame, corpusSigs: DataFrame,
       labels: DataFrame, merges: DataFrame, threshold: Double,
       scope: DataFrame => DataFrame = Dedup.cachedSketch,
-      knownRows: Option[Long] = None): (DataFrame, DataFrame) =
+      knownRows: Option[Long] = None,
+      hotBandCap: Int = 0): (DataFrame, DataFrame) =
     foldEdgeFrame(sk, scope(Dedup.MinHashLsh.approxVerifiedPairs(
-      sk, corpusBands, corpusSigs, threshold, scope, knownRows)),
+      sk, corpusBands, corpusSigs, threshold, scope, knownRows, hotBandCap)),
       labels, merges, scope)
 
   /** [[foldWave]] with the EXACT-Jaccard edge kernel

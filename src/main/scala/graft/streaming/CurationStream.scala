@@ -96,7 +96,8 @@ object CurationStream {
          else graft.functions.Sketches.minhashTokens(toks)).as("sig")))
       val admission = Dedup.MinHashLsh.nearDupAdmitApproxSketched(
         sk, NearDupStream.ledgerBandsApprox(spark, bandsDir),
-        NearDupStream.ledgerSigs(spark, sigsDir), simThreshold, waveScope)
+        NearDupStream.ledgerSigs(spark, sigsDir), simThreshold, waveScope,
+        hotBandCap = 4096)
       val verdict = scored
         .select(col("id").as("doc_id"), col("quality"),
           (col("quality") >= qualityThreshold).as("q_pass"))

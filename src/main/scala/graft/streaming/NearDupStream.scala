@@ -391,7 +391,8 @@ object NearDupStream {
         d => { val p = d.persist(); scoped.add(p); p }
       val verdict = Dedup.MinHashLsh.nearDupAdmitApproxSketched(
         sk, ledgerBandsApprox(spark, bandsDir), ledgerSigs(spark, sigsDir),
-        threshold, waveScope, knownRows = Some(waveRows)).persist()
+        threshold, waveScope, knownRows = Some(waveRows),
+        hotBandCap = 4096).persist()
       try {
         IdempotentSink.writer(verdictDir,
           onReplay = _ => batch.foreach(_ => ()))(verdict, batchId)
@@ -473,7 +474,8 @@ object NearDupStream {
         val (labelRows, mergeRows) = graft.dedup.IncrementalClusters.foldWave(
           sk, ledgerBandsApprox(spark, bandsDir), ledgerSigs(spark, sigsDir),
           ledgerLabels(spark, labelsDir), ledgerMerges(spark, mergesDir),
-          threshold, waveScope, knownRows = Some(waveRows))
+          threshold, waveScope, knownRows = Some(waveRows),
+          hotBandCap = 4096)
         IdempotentSink.writer(labelsDir, onReplay = _ => ())(labelRows, batchId)
         IdempotentSink.writer(mergesDir, onReplay = _ => ())(mergeRows, batchId)
         IdempotentSink.writer(bandsDir, onReplay = _ => ())(
