@@ -616,9 +616,10 @@ object Dedup {
     private[graft] def nearDupAdmitSketched(sk: DataFrame,
         sizeHint: DataFrame, corpusBands: DataFrame, corpusSets: DataFrame,
         threshold: Double,
-        scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
+        scope: DataFrame => DataFrame = cachedSketch,
+        hotBandCap: Int = 0): DataFrame = {
       val verified = exactVerifiedPairs(sk, sizeHint, corpusBands,
-        corpusSets, threshold, scope)
+        corpusSets, threshold, scope, hotBandCap)
       sk.select(col("id").as("doc_id"))
         .join(verified.withColumnRenamed("bid", "doc_id"), Seq("doc_id"), "left")
         .groupBy("doc_id")
@@ -643,7 +644,8 @@ object Dedup {
     private[graft] def exactVerifiedPairs(sk: DataFrame,
         sizeHint: DataFrame, corpusBands: DataFrame, corpusSets: DataFrame,
         threshold: Double,
-        scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
+        scope: DataFrame => DataFrame = cachedSketch,
+        hotBandCap: Int = 0): DataFrame = {
       // `scope` = compute-once persist for the batch-bounded mid-frames
       // several subtrees consume (the banded batch rows feed the corpus
       // probe and both sides of the within-batch self-join; the candidate
@@ -657,6 +659,76 @@ object Dedup {
       // accumulate across an unbounded stream
       // (graft.streaming.NearDupStream.writer).
       val spark = sk.sparkSession
+      // verify-broadcast gate (the micro-batch is the small side by
+      // construction; past the gate the plan degrades to the honest
+      // shuffled per-pair join, never a driver OOM). Computed ONCE here
+      // from the RAW batch frame's plan-time estimate — it honestly
+      // bounds total sset bytes (~8 B of shingle hash per input word)
+      // where the sketch frame's computed array columns get default
+      // per-type width fiction — and shared with [[exactCandidates]]'
+      // guard probe-key broadcast. Same configurable gate as
+      // [[nearDupPairs]].
+      val batchBroadcastable =
+        sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          verifyBroadcastMaxBytes(spark)
+      val cand = exactCandidates(sk, corpusBands, threshold, scope,
+        batchBroadcastable, hotBandCap)
+      val batchSets = sk.select(col("id"), col("sset"))
+      val inter = graft.functions.Sketches
+        .sortedIntersectBounded(col("set_a"), col("set_b"), threshold)
+        .cast("double")
+      // The batch's own sset table appears on BOTH verify sides (set_a
+      // for every candidate bid; set_b for within-batch mids). Pruned to
+      // candidate-involved ids and broadcast — ONE relation, so the two
+      // broadcast exchanges canonicalize equal and Spark evaluates it
+      // once (ReusedExchange) — the candidate stream never re-partitions
+      // after its corpus join: the old plan's per-PAIR sset shipping
+      // through the bid exchange (measured at the 100× tier: q104's
+      // 3.17 GB suite-max shuffle, paid again by every NearDupStream
+      // micro-batch) collapses to one batch-bounded broadcast.
+      val candIds = cand
+        .select(explode(array(col("bid"), col("mid"))).as("id")).distinct()
+      val prunedBatchSets = batchSets.join(candIds, Seq("id"), "left_semi")
+      val bs = if (batchBroadcastable) broadcast(prunedBatchSets)
+        else prunedBatchSets
+      // attach the match side's sset PER SOURCE, not through a batch∪corpus
+      // union: a union node discards the corpus ledger's output
+      // partitioning, forcing a full exchange of every corpus sset array
+      // on every micro-batch. Joined directly, a ledger compacted to an
+      // id-bucketed table ([[graft.streaming.NearDupStream.compactLedgers]])
+      // ships NOTHING — only the candidate side (batch-bounded) exchanges
+      // (spec-pinned in StreamingNearDupSpec). A mid resolves on exactly
+      // one side (ledger ids and batch ids are disjoint — a doc is either
+      // admitted history or arriving), so the union of the two inner joins
+      // is the same relation as the joined union.
+      // both bs joins reference the SAME un-projected relation through
+      // aliases (not per-side renames): the two broadcast exchanges then
+      // canonicalize equal and plan as one BroadcastExchange + a
+      // ReusedExchange, evaluating the batch re-sketch once
+      val withB = cand
+        .join(corpusSets.select(col("id").as("mid"), col("sset").as("set_b")),
+          Seq("mid"))
+        .unionByName(cand
+          .join(bs.as("vbm"), col("mid") === col("vbm.id"))
+          .select(col("bid"), col("mid"), col("vbm.sset").as("set_b")))
+      withB
+        .join(bs.as("vba"), col("bid") === col("vba.id"))
+        .withColumn("set_a", col("vba.sset"))
+        .filter(
+          (inter / (size(col("set_a")) + size(col("set_b")) - inter))
+            >= threshold)
+        .select("bid", "mid")
+    }
+
+    /** Candidate (bid, mid) emission of [[exactVerifiedPairs]] — the
+      * band-ledger probe plus within-batch self-join, split out (exactly
+      * as [[approxCandidates]] is for the approx family) so BandStormSpec
+      * can pin the hot-bucket guard's per-partition row distribution on
+      * the exact path too. Returns the SCOPED candidate frame. */
+    private[graft] def exactCandidates(sk: DataFrame,
+        corpusBands: DataFrame, threshold: Double,
+        scope: DataFrame => DataFrame, fits: Boolean,
+        hotBandCap: Int = 0): DataFrame = {
       // DELIBERATELY cached unpartitioned: each consumer join re-exchanges
       // the ~110 MB banded batch (3× at the 100× tier — measured), but the
       // alternative — repartition(band, bkey) BEFORE the persist so the
@@ -704,71 +776,25 @@ object Dedup {
           col("sz_m") * lit(1.0) >= lit(threshold) * col("sz_b"))
       val probe = bb.select(col("band"), col("bkey"), col("id").as("bid"),
         col("kpfx").as("kpfx_b"), col("sz").as("sz_b"))
-      val candCorpus = probe
-        .join(cb.select(col("band"), col("bkey"), col("id").as("mid"),
+      // corpus probe through the shared hot-bucket guard — see
+      // [[guardedCorpusCandidates]]: the exact band ledger has the SAME
+      // adversarial dup-storm exposure as the approx one (admitted docs
+      // can legally share a band key below the JACCARD threshold exactly
+      // as below the estimator threshold), so the exact streaming
+      // writers ([[graft.streaming.NearDupStream.writer]] /
+      // clusterWriterExact) pass hotBandCap = 4096 and the batch folds
+      // keep 0, the scoping measured for the approx family.
+      val candCorpus = guardedCorpusCandidates(probe,
+        cb.select(col("band"), col("bkey"), col("id").as("mid"),
           col("kpfx").as("kpfx_m"), col("sz").as("sz_m")),
-          Seq("band", "bkey"))
-        .filter(firstSharedOnly && sizesCompatible)
-        .select("bid", "mid")
+        firstSharedOnly && sizesCompatible, hotBandCap, fits, scope)
       val candBatch = probe
         .join(bb.select(col("band"), col("bkey"), col("id").as("mid"),
           col("kpfx").as("kpfx_m"), col("sz").as("sz_m")),
           Seq("band", "bkey"))
         .filter(col("mid") < col("bid") && firstSharedOnly && sizesCompatible)
         .select("bid", "mid")
-      val cand = scope(candCorpus.unionByName(candBatch))
-      val batchSets = sk.select(col("id"), col("sset"))
-      val inter = graft.functions.Sketches
-        .sortedIntersectBounded(col("set_a"), col("set_b"), threshold)
-        .cast("double")
-      // The batch's own sset table appears on BOTH verify sides (set_a
-      // for every candidate bid; set_b for within-batch mids). Pruned to
-      // candidate-involved ids and broadcast — ONE relation, so the two
-      // broadcast exchanges canonicalize equal and Spark evaluates it
-      // once (ReusedExchange) — the candidate stream never re-partitions
-      // after its corpus join: the old plan's per-PAIR sset shipping
-      // through the bid exchange (measured at the 100× tier: q104's
-      // 3.17 GB suite-max shuffle, paid again by every NearDupStream
-      // micro-batch) collapses to one batch-bounded broadcast. The gate
-      // is the batch's plan-time size estimate (the micro-batch is the
-      // small side by construction); past it the plan degrades to the
-      // honest shuffled per-pair join, never a driver OOM. Same
-      // configurable gate as [[nearDupPairs]].
-      val candIds = cand
-        .select(explode(array(col("bid"), col("mid"))).as("id")).distinct()
-      val prunedBatchSets = batchSets.join(candIds, Seq("id"), "left_semi")
-      val batchBroadcastable =
-        sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          verifyBroadcastMaxBytes(spark)
-      val bs = if (batchBroadcastable) broadcast(prunedBatchSets)
-        else prunedBatchSets
-      // attach the match side's sset PER SOURCE, not through a batch∪corpus
-      // union: a union node discards the corpus ledger's output
-      // partitioning, forcing a full exchange of every corpus sset array
-      // on every micro-batch. Joined directly, a ledger compacted to an
-      // id-bucketed table ([[graft.streaming.NearDupStream.compactLedgers]])
-      // ships NOTHING — only the candidate side (batch-bounded) exchanges
-      // (spec-pinned in StreamingNearDupSpec). A mid resolves on exactly
-      // one side (ledger ids and batch ids are disjoint — a doc is either
-      // admitted history or arriving), so the union of the two inner joins
-      // is the same relation as the joined union.
-      // both bs joins reference the SAME un-projected relation through
-      // aliases (not per-side renames): the two broadcast exchanges then
-      // canonicalize equal and plan as one BroadcastExchange + a
-      // ReusedExchange, evaluating the batch re-sketch once
-      val withB = cand
-        .join(corpusSets.select(col("id").as("mid"), col("sset").as("set_b")),
-          Seq("mid"))
-        .unionByName(cand
-          .join(bs.as("vbm"), col("mid") === col("vbm.id"))
-          .select(col("bid"), col("mid"), col("vbm.sset").as("set_b")))
-      withB
-        .join(bs.as("vba"), col("bid") === col("vba.id"))
-        .withColumn("set_a", col("vba.sset"))
-        .filter(
-          (inter / (size(col("set_a")) + size(col("set_b")) - inter))
-            >= threshold)
-        .select("bid", "mid")
+      scope(candCorpus.unionByName(candBatch))
     }
 
     // --- APPROXIMATE (signature-only) admission ---------------------------
@@ -927,7 +953,6 @@ object Dedup {
     private[graft] def approxCandidates(sk: DataFrame,
         corpusBands: DataFrame, scope: DataFrame => DataFrame,
         fits: Boolean, hotBandCap: Int = 0): DataFrame = {
-      val spark = sk.sparkSession
       // batch band rows — consumed by the corpus probe and both sides of
       // the within-batch self-join (same scoped-persist rationale as
       // [[nearDupAdmitSketched]]: differently-aliased consumer subtrees
@@ -945,42 +970,89 @@ object Dedup {
         col("kpfx").as("kpfx_b"))
       val cbm = cb.select(col("band"), col("bkey"), col("id").as("mid"),
         col("kpfx").as("kpfx_m"))
-      // HOT-BUCKET GUARD (the band ledger's dup-storm exposure): unlike
-      // the media family's admitted fingerprints — pairwise > maxHamming
-      // by construction, so identical ledger keys are structurally
-      // impossible — ADMITTED docs can legally share a band key while
-      // estimating below threshold (an adversarial storm of
-      // near-identical-but-distinct docs plants exactly that), and every
-      // such ledger row lands in ONE (band, bkey) bucket. The plain
-      // bucketed equi-join then emits that bucket's candidates from ONE
-      // task (occupancy × probes-on-key rows — the straggler
-      // BENCH_BAND_STORM.json measures). Guard: per-key ledger occupancy
-      // over the WAVE'S OWN keys (one extra band-ledger probe per wave,
-      // wave-key-pruned — never a corpus-wide aggregate); keys past the
-      // cap leave the bucketed join for a SALTED shuffled join — ledger
-      // rows salt by mid, probe rows replicate per salt — spreading each
-      // hot key over defaultParallelism tasks. Key-disjoint split +
-      // identical per-row filters ⇒ the emitted pair relation is
-      // IDENTICAL (the oracle gates q105/q106 either way); only the plan
-      // changes. COST CONTRACT: the guard adds one ledger-frame probe +
-      // two broadcast-filtered branches per wave, which only pays for
-      // itself where the exposure exists — a LONG-LIVED AT-REST ledger
-      // whose (band, bkey) bucketing co-locates a hot key in one
-      // partition. The STREAMING writers (approxWriter, CurationStream,
-      // clusterWriter) therefore pass hotBandCap = 4096; the batch fold
-      // queries over in-memory wave unions keep the default 0 (hot rows
-      // there are spread by upstream partitioning anyway — measured:
-      // always-on cost q108 8.2 → 19.1 s at sf0.1 for zero exposure).
-      // `spark.graft.dedup.hotBandCap` overrides per session either way.
+      // corpus probe through the shared hot-bucket guard — see
+      // [[guardedCorpusCandidates]] for the exposure and the cost
+      // contract (streaming writers pass hotBandCap = 4096; batch folds
+      // keep 0 — measured: always-on cost q108 8.2 → 19.1 s at sf0.1
+      // for zero exposure).
+      val candCorpus = guardedCorpusCandidates(probe, cbm,
+        firstSharedOnly, hotBandCap, fits, scope)
+      val candBatch = probe
+        .join(bb.select(col("band"), col("bkey"), col("id").as("mid"),
+          col("kpfx").as("kpfx_m")), Seq("band", "bkey"))
+        .filter(col("mid") < col("bid") && firstSharedOnly)
+        .select("bid", "mid")
+      scope(candCorpus.unionByName(candBatch))
+    }
+
+    /** HOT-BUCKET GUARD over the corpus-probe candidate join — the ONE
+      * kernel shared by the exact ([[exactCandidates]]) and approximate
+      * ([[approxCandidates]]) admission families, which have the SAME
+      * band-ledger dup-storm exposure: unlike the media family's
+      * admitted fingerprints (pairwise > maxHamming by construction, so
+      * identical ledger keys are structurally impossible), ADMITTED docs
+      * can legally share a band key while scoring below threshold —
+      * below the signature-agreement estimate on the approx path and
+      * below exact Jaccard on the exact path, identically (one full
+      * band of shared minima is 4/32 agreement AND can be ≤ 4/60
+      * Jaccard). An adversarial storm of near-identical-but-distinct
+      * docs plants exactly that, every such ledger row lands in ONE
+      * (band, bkey) bucket, and the plain bucketed equi-join emits that
+      * bucket's candidates from ONE task (occupancy × probes-on-key
+      * rows — the straggler BENCH_BAND_STORM.json measures on both
+      * paths).
+      *
+      * Guard: per-key ledger occupancy over the WAVE'S OWN keys (one
+      * extra band-ledger probe per wave, wave-key-pruned — never a
+      * corpus-wide aggregate); keys past the cap leave the bucketed
+      * join for a SALTED shuffled join — ledger rows salt by mid, probe
+      * rows replicate per salt — spreading each hot key over
+      * defaultParallelism tasks. Key-disjoint split + the caller's
+      * per-row filter applied identically on both branches ⇒ the
+      * emitted pair relation is IDENTICAL (the oracles gate
+      * q105/q106/q31/q109/q110 either way); only the plan changes.
+      *
+      * COST CONTRACT: one ledger-frame probe + two broadcast-filtered
+      * branches per wave, which only pays for itself where the exposure
+      * exists — a LONG-LIVED AT-REST ledger whose (band, bkey)
+      * bucketing co-locates a hot key in one partition. The STREAMING
+      * writers (approxWriter, CurationStream, clusterWriter, and the
+      * exact-mode writer/clusterWriterExact) pass hotBandCap = 4096;
+      * the batch fold queries over in-memory wave unions keep the
+      * default 0 (hot rows there are spread by upstream partitioning
+      * anyway — measured: always-on cost q108 8.2 → 19.1 s at sf0.1 for
+      * zero exposure). `spark.graft.dedup.hotBandCap` overrides per
+      * session either way.
+      *
+      * SCOPE: the guard covers ONLY this corpus-probe join. The
+      * within-batch self-join (candBatch in both callers) is
+      * deliberately unguarded — a wave is bounded by the micro-batch
+      * trigger, so its worst within-wave emission is wave-sized², a
+      * bounded constant per wave, where the at-rest ledger's occupancy
+      * grows without bound as the storm keeps arriving. A deployment
+      * whose SOURCE can deliver adversarially large single waves bounds
+      * them upstream (maxFilesPerTrigger / maxOffsetsPerTrigger), which
+      * is the streaming-native control for exactly that.
+      *
+      * `probe` carries (band, bkey, bid, …), `cbm` (band, bkey, mid, …);
+      * `rowFilter` is the caller's pair predicate over those columns
+      * (first-shared-band on the approx path, + the size-ratio prefilter
+      * on the exact path); `fits` gates the probe-key broadcast (the
+      * wave is the small side by construction).
+      */
+    private def guardedCorpusCandidates(probe: DataFrame, cbm: DataFrame,
+        rowFilter: Column, hotBandCap: Int, fits: Boolean,
+        scope: DataFrame => DataFrame): DataFrame = {
+      val spark = probe.sparkSession
       val hotCap = spark.conf.getOption("spark.graft.dedup.hotBandCap")
         .map(_.toInt).getOrElse(hotBandCap)
-      val candCorpus = if (hotCap <= 0) probe
+      if (hotCap <= 0) probe
         .join(cbm, Seq("band", "bkey"))
-        .filter(firstSharedOnly)
+        .filter(rowFilter)
         .select("bid", "mid")
       else {
         val par = spark.sparkContext.defaultParallelism
-        val probeKeys0 = bb.select("band", "bkey").distinct()
+        val probeKeys0 = probe.select("band", "bkey").distinct()
         val probeKeys = if (fits) broadcast(probeKeys0) else probeKeys0
         val hotKeys = scope(cbm
           .join(probeKeys, Seq("band", "bkey"), "left_semi")
@@ -990,7 +1062,7 @@ object Dedup {
         val cold = probe
           .join(cbm.join(broadcast(hotKeys), Seq("band", "bkey"), "left_anti"),
             Seq("band", "bkey"))
-          .filter(firstSharedOnly)
+          .filter(rowFilter)
           .select("bid", "mid")
         val hotLedger = cbm
           .join(broadcast(hotKeys), Seq("band", "bkey"), "left_semi")
@@ -1007,16 +1079,10 @@ object Dedup {
             explode(sequence(lit(0L), lit(par.toLong - 1))))
         val hot = hotProbe
           .join(hotLedger, Seq("band", "bkey", "salt"))
-          .filter(firstSharedOnly)
+          .filter(rowFilter)
           .select("bid", "mid")
         cold.unionByName(hot)
       }
-      val candBatch = probe
-        .join(bb.select(col("band"), col("bkey"), col("id").as("mid"),
-          col("kpfx").as("kpfx_m")), Seq("band", "bkey"))
-        .filter(col("mid") < col("bid") && firstSharedOnly)
-        .select("bid", "mid")
-      scope(candCorpus.unionByName(candBatch))
     }
 
     /** Estimator-verify tail of [[approxVerifiedPairs]] over an emitted

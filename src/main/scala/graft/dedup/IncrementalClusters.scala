@@ -435,9 +435,10 @@ object IncrementalClusters {
   def foldWaveExact(sk: DataFrame, sizeHint: DataFrame,
       corpusBands: DataFrame, corpusSets: DataFrame,
       labels: DataFrame, merges: DataFrame, threshold: Double,
-      scope: DataFrame => DataFrame = Dedup.cachedSketch): (DataFrame, DataFrame) =
+      scope: DataFrame => DataFrame = Dedup.cachedSketch,
+      hotBandCap: Int = 0): (DataFrame, DataFrame) =
     foldEdgeFrame(sk, scope(Dedup.MinHashLsh.exactVerifiedPairs(
-      sk, sizeHint, corpusBands, corpusSets, threshold, scope)),
+      sk, sizeHint, corpusBands, corpusSets, threshold, scope, hotBandCap)),
       labels, merges, scope)
 
   /** The shared fold over an already-built (bid, mid) wave edge frame —

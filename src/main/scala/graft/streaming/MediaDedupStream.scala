@@ -222,10 +222,15 @@ object MediaDedupStream {
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, bytes) =>
+            // NonFatal, not just IOException: codec plugins throw
+            // unchecked exceptions on adversarial payloads too
+            // (ArrayIndexOutOfBounds, CMMException, IllegalArgument...) —
+            // any of them uncaught is the poison-pill wedge the
+            // quarantine contract exists to close
             val img =
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             (id, if (img == null) None
                  else Some(graft.multimodal.Multimodal.dHash64(img)))
           }

@@ -290,10 +290,13 @@ object NearDupStream {
       val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
       val waveScope: DataFrame => DataFrame =
         d => { val p = d.persist(); scoped.add(p); p }
+      // hotBandCap = 4096: the long-lived at-rest band ledger is exactly
+      // the hot-bucket-guard exposure (see Dedup.guardedCorpusCandidates)
+      // — on the EXACT path identically to the approx one
       val verdict = Dedup.MinHashLsh.nearDupAdmitSketched(
         sk, batch,
         ledgerBands(spark, bandsDir), ledgerSets(spark, setsDir),
-        threshold, waveScope).persist()
+        threshold, waveScope, hotBandCap = 4096).persist()
       try {
         // on a marker-hit replay evaluate only the SOURCE batch, not the
         // discarded admission plan: there is no state store between the
@@ -528,7 +531,8 @@ object NearDupStream {
           graft.dedup.IncrementalClusters.foldWaveExact(
             sk, batch, ledgerBands(spark, bandsDir),
             ledgerSets(spark, setsDir), ledgerLabels(spark, labelsDir),
-            ledgerMerges(spark, mergesDir), threshold, waveScope)
+            ledgerMerges(spark, mergesDir), threshold, waveScope,
+            hotBandCap = 4096)
         IdempotentSink.writer(labelsDir, onReplay = _ => ())(labelRows, batchId)
         IdempotentSink.writer(mergesDir, onReplay = _ => ())(mergeRows, batchId)
         IdempotentSink.writer(bandsDir, onReplay = _ => ())(

@@ -151,6 +151,66 @@ object BenchBandStorm {
     val identical = vOff.sameElements(vOn)
     val rejected = vOn.count(!_._2)
 
+    // --- EXACT path: same storm, same guard, Jaccard-verified ledgers ---
+    // (admitted docs share the band key below the JACCARD threshold just
+    // as legally: the storm's 4 shared minima imply nothing about set
+    // overlap, so the exact band ledger piles up the same hot bucket —
+    // the exposure NearDupStream.writer/clusterWriterExact guard at 4096)
+    // 40-element shingle sets: per-doc distinct except the 100 genuine
+    // near-dup probes, which copy 30 of storm doc `stormBase`'s elements
+    // (jaccard 30/50 = 0.6 ≥ 0.5 → must reject, first_match = stormBase)
+    def sset(salt: String, sharedWithStorm0: Int = 0): Column =
+      array_sort(transform(sequence(lit(1), lit(40)), j =>
+        when(j <= sharedWithStorm0, xxhash64(lit(stormBase), j, lit("cset")))
+          .otherwise(xxhash64(col("id"), j, lit(salt + "set")))))
+    val corpusSkE = spark.range(nBenign)
+        .select(col("id"), sig("n").as("sig"), sset("c").as("sset"))
+      .unionByName(spark.range(stormBase, stormBase + nStorm)
+        .select(col("id"), sig("s", Some(stormHead)).as("sig"),
+          sset("c").as("sset")))
+      .withColumn("sz", size(col("sset")))
+    val bandsDirE = s"$root/bandsE"; val setsDirE = s"$root/setsE"
+    IdempotentSink.writer(bandsDirE, onReplay = _ => ())(
+      Dedup.MinHashLsh.bandRowsOf(corpusSkE.select("id", "sig", "sz")), 0L)
+    IdempotentSink.writer(setsDirE, onReplay = _ => ())(
+      corpusSkE.select("id", "sset"), 0L)
+    NearDupStream.compactLedgers(spark, bandsDirE, setsDirE)
+    val bandsE = NearDupStream.ledgerBands(spark, bandsDirE)
+    val setsE = NearDupStream.ledgerSets(spark, setsDirE)
+    val probeE = spark.range(probeBase, probeBase + 4400)
+        .select(col("id"), sig("p").as("sig"), sset("p").as("sset"))
+      .unionByName(spark.range(probeBase + 10000, probeBase + 10100)
+        .select(col("id"), sig("p", Some(stormHead)).as("sig"),
+          sset("p", sharedWithStorm0 = 30).as("sset")))
+      .unionByName(spark.range(probeBase + 20000, probeBase + 20500)
+        .select(col("id"), sig("p", Some(stormHead)).as("sig"),
+          sset("p").as("sset")))
+      .withColumn("sz", size(col("sset")))
+      .persist()
+    probeE.count()
+
+    def runExact(cap: Int): (Double, Long, Double, Array[(Long, Boolean, Any)]) = {
+      graft.core.TransientCache.clear()
+      spark.conf.set("spark.graft.dedup.hotBandCap", cap.toString)
+      Thread.sleep(200); stats.reset()
+      val t0 = System.nanoTime()
+      val v = Dedup.MinHashLsh.nearDupAdmitSketched(
+          probeE, probeE, bandsE, setsE, threshold = 0.5)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("admitted"),
+          r.get(r.fieldIndex("first_match"))))
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      val (maxRecs, ratio) = stats.skew()
+      (wall, maxRecs, ratio, v)
+    }
+
+    val (wOffE, recsOffE, ratioOffE, vOffE) = runExact(0)
+    val (wOnE, recsOnE, ratioOnE, vOnE) = runExact(4096)
+    val identicalE = vOffE.sameElements(vOnE)
+    val rejectedE = vOnE.count(!_._2)
+
     val line =
       s"""{"ledger_docs":${nBenign + nStorm},"storm_docs":$nStorm,""" +
       s""""probe_docs":$probeRows,""" +
@@ -164,7 +224,15 @@ object BenchBandStorm {
       s""""guard_on":{"wall_s":${f"$wOn%.3f"},""" +
       s""""max_task_cand_rows":$recsOn,""" +
       s""""worst_stage_skew":${f"$ratioOn%.1f"}},""" +
-      s""""verdicts_identical":$identical,"rejected":$rejected}"""
+      s""""verdicts_identical":$identical,"rejected":$rejected,""" +
+      s""""exact":{""" +
+      s""""guard_off":{"wall_s":${f"$wOffE%.3f"},""" +
+      s""""max_task_cand_rows":$recsOffE,""" +
+      s""""worst_stage_skew":${f"$ratioOffE%.1f"}},""" +
+      s""""guard_on":{"wall_s":${f"$wOnE%.3f"},""" +
+      s""""max_task_cand_rows":$recsOnE,""" +
+      s""""worst_stage_skew":${f"$ratioOnE%.1f"}},""" +
+      s""""verdicts_identical":$identicalE,"rejected":$rejectedE}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
@@ -172,6 +240,12 @@ object BenchBandStorm {
     require(rejected >= 100, s"the planted near-dups must reject: $rejected")
     require(recsOn * 4 <= recsOff,
       s"guard must spread the hot bucket's emission: $recsOff -> $recsOn")
+    require(identicalE, "exact: guard must not change a single verdict")
+    require(rejectedE >= 100,
+      s"exact: the planted near-dups must reject: $rejectedE")
+    require(recsOnE * 4 <= recsOffE,
+      s"exact: guard must spread the hot bucket's emission: " +
+        s"$recsOffE -> $recsOnE")
     spark.stop()
   }
 }

@@ -110,4 +110,84 @@ class BandStormSpec extends AnyFunSuite {
         s"no partition may carry a >4x-mean share under the guard: $on")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  // --- EXACT path: the same exposure, the same guard ----------------------
+  // Admitted docs can legally share a band key below the JACCARD
+  // threshold exactly as below the estimator threshold: one full band of
+  // 4 shared minima says nothing about set overlap. The exact streaming
+  // writers (NearDupStream.writer / clusterWriterExact) pass
+  // hotBandCap = 4096 through exactVerifiedPairs for exactly this storm.
+
+  // 40-element shingle sets: `sharedWith0` elements copied from ledger
+  // doc 0's set (jaccard vs doc 0 = shared / (80 - shared)), the rest
+  // per-doc distinct — storm docs share the BAND but ~nothing of the SET
+  private def sset(base: String, sharedWith0: Int = 0) =
+    array_sort(transform(sequence(lit(1), lit(40)), j =>
+      when(j <= sharedWith0 && lit(base) =!= lit("c"),
+          xxhash64(lit(0L), j, lit("cs")))
+        .otherwise(xxhash64(col("id"), j, lit(base + "s")))))
+
+  private def sketched(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("sz", size(col("sset")))
+
+  private lazy val ledgerSkExact = sketched(spark.range(2000)
+    .select(col("id"), sig("c", true).as("sig"), sset("c").as("sset")))
+  private lazy val ledgerBandsExact = Dedup.MinHashLsh
+    .bandRowsOf(ledgerSkExact.select("id", "sig", "sz"))
+    .repartition(8, col("band"), col("bkey"))
+  private lazy val ledgerSetsExact = ledgerSkExact.select("id", "sset")
+  // 40 storm-keyed probes (band shared, sets disjoint → jaccard ≈ 0 →
+  // admitted) + one genuine near-dup of ledger doc 0 (storm band AND 30
+  // of 40 set elements shared → jaccard 30/50 = 0.6 ≥ 0.5, must reject
+  // with first_match = 0) + 10 benign
+  private lazy val probeExact = sketched(
+    spark.range(10000, 10040)
+      .select(col("id"), sig("p", true).as("sig"), sset("p").as("sset"))
+    .unionByName(spark.range(9000, 9001).select(col("id"),
+      sig("p", true).as("sig"), sset("p", sharedWith0 = 30).as("sset")))
+    .unionByName(spark.range(11000, 11010)
+      .select(col("id"), sig("p", false).as("sig"), sset("p").as("sset"))))
+
+  test("planted storm, exact path: the guard changes not one verdict") {
+    def verdicts(cap: Int) = withCap(cap) {
+      Dedup.MinHashLsh.nearDupAdmitSketched(
+          probeExact, probeExact, ledgerBandsExact, ledgerSetsExact,
+          threshold = 0.5)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("admitted"),
+          r.get(r.fieldIndex("first_match")))).toSeq
+    }
+    val off = verdicts(0); val on = verdicts(64)
+    assert(off == on, "the guard must not change a single verdict")
+    val v = on.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(v(9000L) == ((false, 0L)), s"planted near-dup must reject: $v")
+    assert(v(10000L)._1, "storm-keyed-but-set-disjoint doc admits")
+    assert(v(11000L)._1, "benign doc admits")
+    assert(on.size == 51)
+  }
+
+  test("planted storm, exact path: hot-bucket candidate emission spreads " +
+      "across partitions under the guard") {
+    def partitionRows(cap: Int): Seq[Long] = withCap(cap) {
+      val cand = Dedup.MinHashLsh.exactCandidates(probeExact,
+        ledgerBandsExact, threshold = 0.5, identity, fits = true)
+      cand.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val off = partitionRows(0)
+      val on = partitionRows(64)
+      val total = off.sum
+      assert(total >= 80000 && on.sum == total,
+        s"fixture must emit the hot bucket either way: $total vs ${on.sum}")
+      assert(off.max * 10 >= total * 9,
+        s"guard-off must concentrate emission (the exposure): $off")
+      assert(on.max * 2 <= total,
+        s"guard must spread the hot bucket: $on")
+      val busy = on.filter(_ > 0)
+      assert(on.max <= 4 * (busy.sum / busy.size),
+        s"no partition may carry a >4x-mean share under the guard: $on")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }

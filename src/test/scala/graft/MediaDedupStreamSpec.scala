@@ -255,4 +255,83 @@ class MediaDedupStreamSpec extends AnyFunSuite {
       .exists(r => !r.getAs[Boolean]("admitted") &&
         r.getAs[Long]("first_match") == 0L))
   }
+
+  test("imageWriter: a codec plugin throwing an UNCHECKED exception is " +
+      "quarantined too") {
+    // the JDK's own readers wrap most decode errors in IIOException
+    // (checked), but third-party codec plugins leak unchecked throws
+    // (ArrayIndexOutOfBounds, CMMException, IllegalArgument...) on
+    // adversarial payloads. Register one that does exactly that for a
+    // magic byte pattern — ImageIO.read dispatches to it through the
+    // JVM-global registry (local-mode executors share the JVM), so this
+    // drives the REAL decode seam, not a mock of it.
+    val registry = javax.imageio.spi.IIORegistry.getDefaultInstance
+    val spi = new PoisonImageReaderSpi
+    registry.registerServiceProvider(spi)
+    try {
+      val root = freshDir("graft-media-poison-unchecked")
+      val out = s"$root/out"; val chunks = s"$root/chunks"
+      val goodPng = graft.multimodal.Multimodal.syntheticPngTable(spark,
+        Seq((0L, "alpha doc")).toDF("doc_id", "text"))
+        .select("doc_id", "bytes")
+      val poison = Seq(
+        (1L, "GRFT".getBytes("UTF-8") ++ Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "bytes")
+      // must COMMIT (no throw) despite the plugin's unchecked throw
+      MediaDedupStream.imageWriter(out, chunks)(
+        goodPng.unionByName(poison), 0L)
+      val v = MediaDedupStream.verdicts(spark, out).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("admitted"),
+            Option(r.get(r.fieldIndex("first_match")))))).toMap
+      assert(v(0L) == ((true, None)), "decodable doc admits normally")
+      assert(v(1L) == ((false, Some(MediaDedupStream.QuarantinedMatch))),
+        s"unchecked-throwing payload must quarantine: $v")
+      assert(MediaDedupStream.ledgerChunks(spark, chunks)
+        .select("id").as[Long].collect().toSet == Set(0L))
+    } finally registry.deregisterServiceProvider(spi)
+  }
+}
+
+/** Test-only ImageIO plugin claiming payloads that start with "GRFT" and
+  * throwing an UNCHECKED exception from read() — the adversarial-codec
+  * shape MediaDedupStreamSpec's quarantine-totality case drives through
+  * the real ImageIO dispatch. */
+class PoisonImageReaderSpi extends javax.imageio.spi.ImageReaderSpi(
+    "graft-test", "1.0", Array("grft-poison"), Array("grft"),
+    Array("image/x-grft-poison"), classOf[PoisonImageReader].getName,
+    Array[Class[_]](classOf[javax.imageio.stream.ImageInputStream]),
+    null, false, null, null, null, null, false, null, null, null, null) {
+  override def canDecodeInput(source: Object): Boolean = source match {
+    case s: javax.imageio.stream.ImageInputStream =>
+      s.mark()
+      try {
+        val b = new Array[Byte](4)
+        s.readFully(b)
+        java.util.Arrays.equals(b, "GRFT".getBytes("UTF-8"))
+      } catch { case _: Exception => false }
+      finally s.reset()
+    case _ => false
+  }
+  override def createReaderInstance(ext: Object): javax.imageio.ImageReader =
+    new PoisonImageReader(this)
+  override def getDescription(l: java.util.Locale): String =
+    "graft test: unchecked-throwing poison reader"
+}
+
+class PoisonImageReader(spi: javax.imageio.spi.ImageReaderSpi)
+    extends javax.imageio.ImageReader(spi) {
+  override def getNumImages(allowSearch: Boolean): Int = 1
+  override def getWidth(i: Int): Int = 1
+  override def getHeight(i: Int): Int = 1
+  override def getImageTypes(i: Int)
+      : java.util.Iterator[javax.imageio.ImageTypeSpecifier] =
+    java.util.Collections.emptyIterator()
+  override def getStreamMetadata: javax.imageio.metadata.IIOMetadata = null
+  override def getImageMetadata(i: Int): javax.imageio.metadata.IIOMetadata =
+    null
+  override def read(i: Int, p: javax.imageio.ImageReadParam)
+      : java.awt.image.BufferedImage =
+    throw new ArrayIndexOutOfBoundsException(
+      "adversarial codec plugin: unchecked throw from decode")
 }
