@@ -24,10 +24,11 @@ def fix(m):
     q = m.group(1)
     missing = [p for p in arts if q not in arts[p]]
     if missing:
-        if q in arts["BENCH_SF10.json"] or q not in arts["BENCH_FULL.json"]:
-            # a scale-table row SHOULD be in all three; partial presence
-            # means tiers were regenerated at different heads
-            skipped.append((q, missing))
+        # a scale-table row SHOULD be in all three artifacts; ANY partial
+        # presence means the tiers were regenerated at different heads —
+        # warn on all of it (a row present in FULL+SF1 but missing only
+        # from SF10 was the silent-stale case)
+        skipped.append((q, missing))
         return m.group(0)
     a = arts["BENCH_FULL.json"][q]
     b = arts["BENCH_SF1.json"][q]

@@ -76,10 +76,22 @@ final class BufferSink extends LineageSink {
   * [[flush]] awaits outstanding deliveries for orderly shutdown/tests.
   * The API key travels in the Authorization header only — never logged
   * (the same redaction discipline as [[graft.ingest.Http]]).
+  *
+  * BACKPRESSURE: at most `maxInflight` events may be awaiting delivery
+  * at once — an unreachable-but-connectable collector under a high emit
+  * rate would otherwise accumulate in-flight retries without bound
+  * (each pins its event body + a retry chain on the client), i.e.
+  * lineage could OOM the driver it exists to observe. Past the cap the
+  * NEWEST event drops immediately (counted in [[droppedCount]] exactly
+  * like a retry-exhausted one; logged on the first drop and every
+  * 1000th — a black-holed endpoint must not turn the log into the
+  * flood). Drop-newest, not block: emit() must never stall the job
+  * path, and under a dead collector the oldest events are the ones a
+  * recovering collector can still use to reconstruct run history.
   */
 final class HttpLineageSink(endpoint: String, apiKey: Option[String] = None,
     maxAttempts: Int = 3, backoffMs: Long = 100,
-    timeoutMs: Long = 5000) extends LineageSink {
+    timeoutMs: Long = 5000, maxInflight: Int = 1024) extends LineageSink {
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
   @transient private lazy val client = HttpClient.newBuilder()
@@ -89,7 +101,20 @@ final class HttpLineageSink(endpoint: String, apiKey: Option[String] = None,
   @transient private lazy val droppedN =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  def emit(e: RunEvent): Unit = { inflight.incrementAndGet(); attempt(e, 1) }
+  def emit(e: RunEvent): Unit = {
+    // increment-then-check makes the bound HARD under concurrent emits
+    // (a get-then-increment race could overshoot by a thread count)
+    if (inflight.incrementAndGet() > maxInflight) {
+      inflight.decrementAndGet()
+      val d = droppedN.incrementAndGet()
+      if (d == 1 || d % 1000 == 0)
+        System.err.println(s"[lineage] in-flight cap $maxInflight " +
+          s"reached; dropped ${e.eventType} ${e.job} ($d dropped so far)")
+    } else attempt(e, 1)
+  }
+
+  /** Events currently awaiting delivery (≤ `maxInflight` always). */
+  def inflightCount: Int = inflight.get()
 
   private def attempt(e: RunEvent, n: Int): Unit = {
     val b = HttpRequest.newBuilder(java.net.URI.create(endpoint))

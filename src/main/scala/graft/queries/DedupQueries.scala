@@ -405,7 +405,8 @@ object DedupQueries extends QueryModule {
     // incrementally over 4 waves (q111's ingest protocol — per-wave
     // assignment against the frozen v0 draw, new distinct vectors probe
     // the fps ledger), then the coordinate system is RETRAINED from the
-    // reps (stride redraw over current rep ids; refineIters = 0 keeps the
+    // reps (portable md5-hash redraw over the current reps — id-structure
+    // independent; refineIters = 0 keeps the
     // whole pipeline SQL-replayable — Lloyd refinement is spec-gated in
     // SemanticDedupSpec's skew-rebalance case) and every rep REMAPPED
     // through it. The v0 cells influence nothing downstream (the remap

@@ -165,9 +165,14 @@ object SemanticStream {
     * Run QUIESCED (between micro-batches, like any compaction cadence):
     * step 3's transform is a pure idempotent function (rows already in
     * new cells map to themselves), so the crash windows are safe — a
-    * death between 2 and 3 leaves old cells under a new version, healed
-    * by re-running (markers skip 2, the remap proceeds); a death inside 3
-    * is compaction's own contract. Returns the new version id.
+    * death between 2 and 3 leaves old cells under a committed version,
+    * healed by re-running: the retrain is deterministic in the (unchanged)
+    * reps state, the re-derived table is detected CONTENT-EQUAL to the
+    * last committed one, and the heal reuses that version — no N+2 with
+    * identical bytes — while the remap proceeds. A death inside 3 is
+    * compaction's own contract. Returns the (new or healed) version id.
+    * The same content check makes a no-op cadence (reps unchanged since
+    * the last retrain) version-stable instead of version-inflating.
     *
     * Past members/labels/merges are deliberately not rewritten — see
     * [[SemanticDedup.retrainRemap]]'s contract on what retraining
@@ -178,10 +183,25 @@ object SemanticStream {
     try {
       val cent = graft.similarity.Ann.retrainCentroids(
         reps.select(col("rep").as("vec_id"), col("ce").as("embedding")),
-        refineIters)
-      val v = currentCentroids(spark, centroidsDir).map(_._1 + 1).getOrElse(0L)
-      IdempotentSink.writer(centroidsDir, onReplay = _ => ())(
-        cent.select("cell", "cvec"), v)
+        refineIters).select("cell", "cvec").persist()
+      // CRASH-HEAL BY CONTENT: a death between the version commit and the
+      // remap is re-run with the reps unchanged, so the deterministic
+      // retrain re-derives byte-identical centroids — detect that against
+      // the LAST COMMITTED table (√n rows, one tiny join) and reuse its
+      // version instead of minting N+2 with the same bytes. A genuine new
+      // cadence over drifted reps derives a different table and commits
+      // fresh. (Also makes a no-op cadence version-stable.)
+      val last = currentCentroids(spark, centroidsDir)
+      val healedVersion = last.filter { case (_, lt) =>
+        val n = cent.count()
+        lt.count() == n && lt.as("a").join(cent.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.cvec") === col("b.cvec")).count() == n
+      }.map(_._1)
+      val v = healedVersion.getOrElse(last.map(_._1 + 1).getOrElse(0L))
+      if (healedVersion.isEmpty)
+        IdempotentSink.writer(centroidsDir, onReplay = _ => ())(cent, v)
+      cent.unpersist()
       // remap against the COMMITTED table (not the in-memory derivation):
       // every replay of step 3 then remaps through the same bytes
       val committed = currentCentroids(spark, centroidsDir).get._2

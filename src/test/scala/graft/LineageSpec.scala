@@ -126,4 +126,28 @@ class LineageSpec extends AnyFunSuite {
     assert(dead.flush(20000))
     assert(dead.droppedCount == 2L, s"dropped: ${dead.droppedCount}")
   }
+
+  test("HttpLineageSink: a black-holed collector cannot accumulate " +
+      "unbounded in-flight retries — the cap drops the newest, counted") {
+    // a raw socket that ACCEPTS connections and never responds: every
+    // delivery stays in flight until the (long) response timeout — the
+    // shape under which an uncapped sink pins one retry chain per emit
+    // and grows without bound
+    val hole = new java.net.ServerSocket(0, 128,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    try {
+      val sink = new graft.lineage.HttpLineageSink(
+        s"http://127.0.0.1:${hole.getLocalPort}/api/v1/lineage",
+        maxAttempts = 1, timeoutMs = 60000, maxInflight = 8)
+      val e = graft.lineage.RunEvent("START", "rid", "stormjob",
+        System.currentTimeMillis(), Seq.empty, Seq.empty)
+      (1 to 100).foreach(_ => sink.emit(e)) // emit() must never block
+      assert(sink.inflightCount <= 8,
+        s"in-flight must stay under the cap: ${sink.inflightCount}")
+      assert(sink.droppedCount == 92L,
+        s"every emit past the cap drops, counted: ${sink.droppedCount}")
+      assert(!sink.flush(200), "the black-holed deliveries remain pending")
+      assert(sink.inflightCount <= 8)
+    } finally hole.close()
+  }
 }
