@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{avg, col, count, lit, max}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType,
   IntegerType, LongType, StructField, StructType}
 
@@ -209,6 +209,49 @@ object SemanticStream {
         buckets, SemanticDedup.remapRepsTo(_, committed))
       v
     } finally reps.unpersist()
+  }
+
+  /** The cheap drift monitor an operator runs on the maintenance cadence:
+    * (cells, max occupancy, mean occupancy) of the reps ledger — ONE
+    * aggregate over the (cell)-bucketed table, no pairwise work, no
+    * vector reads (column pruning drops `ce` at the scan). Centroid
+    * drift shows up as exactly this skew: arriving vectors concentrate
+    * in cells the frozen draw never anticipated, and a hot cell is the
+    * distinct²-per-cell exposure of the within-cell pairwise operators
+    * (BENCH_IVF_RETRAIN's planted cone: max/mean 52,620/191 before the
+    * retrain, 2,217/190 after). */
+  def cellOccupancy(spark: SparkSession,
+      repsDir: String): (Long, Long, Double) = {
+    val r = ledgerReps(spark, repsDir)
+      .groupBy("cell").agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)), max("occ"), avg("occ")).head()
+    if (r.isNullAt(1)) (0L, 0L, 0.0)
+    else (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  /** DRIFT-TRIGGERED retrain policy: fire [[retrainAndRemap]] when the
+    * reps ledger's max/mean cell occupancy exceeds `maxOverMean`, else do
+    * nothing. Run it on the compaction cadence — the monitor costs one
+    * bucketed aggregate, so the steady-state (undrifted) cost of the
+    * policy is that aggregate and nothing else.
+    *
+    * The knob: occupancy ratio, not absolute size, because the ledger
+    * grows legitimately — a uniform corpus at any scale keeps max/mean
+    * small (balls-in-bins over ~√n cells; the sf10 uniform fixture sits
+    * under 2), while a drift arc concentrates arrivals into few cells
+    * and the ratio grows WITH the drift, unboundedly. Default 8 fires on
+    * any real concentration while never firing on uniform noise;
+    * deployments tune it against their own post-retrain baseline (a
+    * ratio that stays high right AFTER a retrain means the data is
+    * genuinely clustered tighter than √n cells — raise the knob or
+    * accept the cadence). Returns the new centroid version when fired. */
+  def retrainIfDrifted(spark: SparkSession, centroidsDir: String,
+      repsDir: String, maxOverMean: Double = 8.0, refineIters: Int = 1,
+      buckets: Int = 8): Option[Long] = {
+    val (cells, maxOcc, meanOcc) = cellOccupancy(spark, repsDir)
+    if (cells == 0 || meanOcc == 0.0 || maxOcc / meanOcc <= maxOverMean) None
+    else Some(retrainAndRemap(spark, centroidsDir, repsDir, refineIters,
+      buckets))
   }
 
   /** [[NearDupStream.compactClusterLedgers]] for the semantic deployment's
