@@ -985,106 +985,6 @@ object Dedup {
       scope(candCorpus.unionByName(candBatch))
     }
 
-    /** HOT-BUCKET GUARD over the corpus-probe candidate join — the ONE
-      * kernel shared by the exact ([[exactCandidates]]) and approximate
-      * ([[approxCandidates]]) admission families, which have the SAME
-      * band-ledger dup-storm exposure: unlike the media family's
-      * admitted fingerprints (pairwise > maxHamming by construction, so
-      * identical ledger keys are structurally impossible), ADMITTED docs
-      * can legally share a band key while scoring below threshold —
-      * below the signature-agreement estimate on the approx path and
-      * below exact Jaccard on the exact path, identically (one full
-      * band of shared minima is 4/32 agreement AND can be ≤ 4/60
-      * Jaccard). An adversarial storm of near-identical-but-distinct
-      * docs plants exactly that, every such ledger row lands in ONE
-      * (band, bkey) bucket, and the plain bucketed equi-join emits that
-      * bucket's candidates from ONE task (occupancy × probes-on-key
-      * rows — the straggler BENCH_BAND_STORM.json measures on both
-      * paths).
-      *
-      * Guard: per-key ledger occupancy over the WAVE'S OWN keys (one
-      * extra band-ledger probe per wave, wave-key-pruned — never a
-      * corpus-wide aggregate); keys past the cap leave the bucketed
-      * join for a SALTED shuffled join — ledger rows salt by mid, probe
-      * rows replicate per salt — spreading each hot key over
-      * defaultParallelism tasks. Key-disjoint split + the caller's
-      * per-row filter applied identically on both branches ⇒ the
-      * emitted pair relation is IDENTICAL (the oracles gate
-      * q105/q106/q31/q109/q110 either way); only the plan changes.
-      *
-      * COST CONTRACT: one ledger-frame probe + two broadcast-filtered
-      * branches per wave, which only pays for itself where the exposure
-      * exists — a LONG-LIVED AT-REST ledger whose (band, bkey)
-      * bucketing co-locates a hot key in one partition. The STREAMING
-      * writers (approxWriter, CurationStream, clusterWriter, and the
-      * exact-mode writer/clusterWriterExact) pass hotBandCap = 4096;
-      * the batch fold queries over in-memory wave unions keep the
-      * default 0 (hot rows there are spread by upstream partitioning
-      * anyway — measured: always-on cost q108 8.2 → 19.1 s at sf0.1 for
-      * zero exposure). `spark.graft.dedup.hotBandCap` overrides per
-      * session either way.
-      *
-      * SCOPE: the guard covers ONLY this corpus-probe join. The
-      * within-batch self-join (candBatch in both callers) is
-      * deliberately unguarded — a wave is bounded by the micro-batch
-      * trigger, so its worst within-wave emission is wave-sized², a
-      * bounded constant per wave, where the at-rest ledger's occupancy
-      * grows without bound as the storm keeps arriving. A deployment
-      * whose SOURCE can deliver adversarially large single waves bounds
-      * them upstream (maxFilesPerTrigger / maxOffsetsPerTrigger), which
-      * is the streaming-native control for exactly that.
-      *
-      * `probe` carries (band, bkey, bid, …), `cbm` (band, bkey, mid, …);
-      * `rowFilter` is the caller's pair predicate over those columns
-      * (first-shared-band on the approx path, + the size-ratio prefilter
-      * on the exact path); `fits` gates the probe-key broadcast (the
-      * wave is the small side by construction).
-      */
-    private def guardedCorpusCandidates(probe: DataFrame, cbm: DataFrame,
-        rowFilter: Column, hotBandCap: Int, fits: Boolean,
-        scope: DataFrame => DataFrame): DataFrame = {
-      val spark = probe.sparkSession
-      val hotCap = spark.conf.getOption("spark.graft.dedup.hotBandCap")
-        .map(_.toInt).getOrElse(hotBandCap)
-      if (hotCap <= 0) probe
-        .join(cbm, Seq("band", "bkey"))
-        .filter(rowFilter)
-        .select("bid", "mid")
-      else {
-        val par = spark.sparkContext.defaultParallelism
-        val probeKeys0 = probe.select("band", "bkey").distinct()
-        val probeKeys = if (fits) broadcast(probeKeys0) else probeKeys0
-        val hotKeys = scope(cbm
-          .join(probeKeys, Seq("band", "bkey"), "left_semi")
-          .groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
-          .filter(col("occ") > hotCap)
-          .select("band", "bkey"))
-        val cold = probe
-          .join(cbm.join(broadcast(hotKeys), Seq("band", "bkey"), "left_anti"),
-            Seq("band", "bkey"))
-          .filter(rowFilter)
-          .select("bid", "mid")
-        val hotLedger = cbm
-          .join(broadcast(hotKeys), Seq("band", "bkey"), "left_semi")
-          .withColumn("salt", pmod(xxhash64(col("mid")), lit(par.toLong)))
-          // the EXPLICIT spread: when the (small) replicated probe side
-          // broadcasts, the join output inherits THIS partitioning — and
-          // without it that is the bucketed layout with the whole hot key
-          // in one partition, i.e. the straggler the guard exists to kill.
-          // O(hot ledger rows) exchange, linear in occupancy.
-          .repartition(par, col("salt"))
-        val hotProbe = probe
-          .join(broadcast(hotKeys), Seq("band", "bkey"), "left_semi")
-          .withColumn("salt",
-            explode(sequence(lit(0L), lit(par.toLong - 1))))
-        val hot = hotProbe
-          .join(hotLedger, Seq("band", "bkey", "salt"))
-          .filter(rowFilter)
-          .select("bid", "mid")
-        cold.unionByName(hot)
-      }
-    }
-
     /** Estimator-verify tail of [[approxVerifiedPairs]] over an emitted
       * candidate frame. */
     private def verifyApproxCandidates(sk: DataFrame, cand: DataFrame,
@@ -1119,6 +1019,111 @@ object Dedup {
         .join(bs.as("vba"), col("bid") === col("vba.id"))
         .filter(est >= threshold)
         .select("bid", "mid")
+    }
+  }
+
+  /** HOT-BUCKET GUARD over the corpus-probe candidate join — the ONE
+    * kernel shared by the exact ([[exactCandidates]]) and approximate
+    * ([[approxCandidates]]) admission families, which have the SAME
+    * band-ledger dup-storm exposure: unlike the media family's
+    * admitted fingerprints (pairwise > maxHamming by construction, so
+    * identical ledger keys are structurally impossible), ADMITTED docs
+    * can legally share a band key while scoring below threshold —
+    * below the signature-agreement estimate on the approx path and
+    * below exact Jaccard on the exact path, identically (one full
+    * band of shared minima is 4/32 agreement AND can be ≤ 4/60
+    * Jaccard). An adversarial storm of near-identical-but-distinct
+    * docs plants exactly that, every such ledger row lands in ONE
+    * (band, bkey) bucket, and the plain bucketed equi-join emits that
+    * bucket's candidates from ONE task (occupancy × probes-on-key
+    * rows — the straggler BENCH_BAND_STORM.json measures on both
+    * paths).
+    *
+    * Guard: per-key ledger occupancy over the WAVE'S OWN keys (one
+    * extra band-ledger probe per wave, wave-key-pruned — never a
+    * corpus-wide aggregate); keys past the cap leave the bucketed
+    * join for a SALTED shuffled join — ledger rows salt by mid, probe
+    * rows replicate per salt — spreading each hot key over
+    * defaultParallelism tasks. Key-disjoint split + the caller's
+    * per-row filter applied identically on both branches ⇒ the
+    * emitted pair relation is IDENTICAL (the oracles gate
+    * q105/q106/q31/q109/q110 either way); only the plan changes.
+    *
+    * COST CONTRACT: one ledger-frame probe + two broadcast-filtered
+    * branches per wave, which only pays for itself where the exposure
+    * exists — a LONG-LIVED AT-REST ledger whose (band, bkey)
+    * bucketing co-locates a hot key in one partition. The STREAMING
+    * writers (approxWriter, CurationStream, clusterWriter, and the
+    * exact-mode writer/clusterWriterExact) pass hotBandCap = 4096;
+    * the batch fold queries over in-memory wave unions keep the
+    * default 0 (hot rows there are spread by upstream partitioning
+    * anyway — measured: always-on cost q108 8.2 → 19.1 s at sf0.1 for
+    * zero exposure). `spark.graft.dedup.hotBandCap` overrides per
+    * session either way.
+    *
+    * SCOPE: the guard covers ONLY this corpus-probe join. The
+    * within-batch self-join (candBatch in both callers) is
+    * deliberately unguarded — a wave is bounded by the micro-batch
+    * trigger, so its worst within-wave emission is wave-sized², a
+    * bounded constant per wave, where the at-rest ledger's occupancy
+    * grows without bound as the storm keeps arriving. A deployment
+    * whose SOURCE can deliver adversarially large single waves bounds
+    * them upstream (maxFilesPerTrigger / maxOffsetsPerTrigger), which
+    * is the streaming-native control for exactly that.
+    *
+    * `probe` carries (keys…, bid, …), `cbm` (keys…, mid, …); `keys` is
+    * the blocking-key column pair — (band, bkey) for the minhash band
+    * ledgers, (chunk, ckey) for the media fingerprint chunk ledger
+    * ([[fingerprintMatches]], which shares this guard for the same
+    * storm); `rowFilter` is the caller's pair predicate over those
+    * columns (first-shared-band on the approx path, + the size-ratio
+    * prefilter on the exact path, the inline hamming verify on the
+    * media path); `fits` gates the probe-key broadcast (the wave is the
+    * small side by construction).
+    */
+  private[graft] def guardedCorpusCandidates(probe: DataFrame,
+      cbm: DataFrame, rowFilter: Column, hotBandCap: Int, fits: Boolean,
+      scope: DataFrame => DataFrame,
+      keys: Seq[String] = Seq("band", "bkey")): DataFrame = {
+    val keyCols = keys.map(col)
+    val spark = probe.sparkSession
+    val hotCap = spark.conf.getOption("spark.graft.dedup.hotBandCap")
+      .map(_.toInt).getOrElse(hotBandCap)
+    if (hotCap <= 0) probe
+      .join(cbm, keys)
+      .filter(rowFilter)
+      .select("bid", "mid")
+    else {
+      val par = spark.sparkContext.defaultParallelism
+      val probeKeys0 = probe.select(keyCols: _*).distinct()
+      val probeKeys = if (fits) broadcast(probeKeys0) else probeKeys0
+      val hotKeys = scope(cbm
+        .join(probeKeys, keys, "left_semi")
+        .groupBy(keyCols: _*).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > hotCap)
+        .select(keyCols: _*))
+      val cold = probe
+        .join(cbm.join(broadcast(hotKeys), keys, "left_anti"), keys)
+        .filter(rowFilter)
+        .select("bid", "mid")
+      val hotLedger = cbm
+        .join(broadcast(hotKeys), keys, "left_semi")
+        .withColumn("salt", pmod(xxhash64(col("mid")), lit(par.toLong)))
+        // the EXPLICIT spread: when the (small) replicated probe side
+        // broadcasts, the join output inherits THIS partitioning — and
+        // without it that is the bucketed layout with the whole hot key
+        // in one partition, i.e. the straggler the guard exists to kill.
+        // O(hot ledger rows) exchange, linear in occupancy.
+        .repartition(par, col("salt"))
+      val hotProbe = probe
+        .join(broadcast(hotKeys), keys, "left_semi")
+        .withColumn("salt",
+          explode(sequence(lit(0L), lit(par.toLong - 1))))
+      val hot = hotProbe
+        .join(hotLedger, keys :+ "salt")
+        .filter(rowFilter)
+        .select("bid", "mid")
+      cold.unionByName(hot)
     }
   }
 
@@ -1432,12 +1437,13 @@ object Dedup {
   def fingerprintAdmit(batch: DataFrame, idCol: String, fpCol: String,
       ledgerChunks: DataFrame, maxHamming: Int = 3, nChunks: Int = 4,
       totalBits: Int = 64,
-      scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
+      scope: DataFrame => DataFrame = cachedSketch,
+      hotChunkCap: Int = 0): DataFrame = {
     val sh = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
     // a pair meeting in several chunks duplicates — min() absorbs it
     val matches =
       fingerprintMatches(sh, ledgerChunks, maxHamming, nChunks, totalBits,
-        scope)
+        scope, hotChunkCap)
       .groupBy(col("bid").as("doc_id"))
       .agg(min(col("mid")).as("first_match"))
     sh.select(col("id").as("doc_id"))
@@ -1460,10 +1466,11 @@ object Dedup {
   def fingerprintVerifiedPairs(wave: DataFrame, idCol: String, fpCol: String,
       corpusChunks: DataFrame, maxHamming: Int = 3, nChunks: Int = 4,
       totalBits: Int = 64,
-      scope: DataFrame => DataFrame = cachedSketch): DataFrame =
+      scope: DataFrame => DataFrame = cachedSketch,
+      hotChunkCap: Int = 0): DataFrame =
     fingerprintMatches(
       wave.select(col(idCol).as("id"), col(fpCol).as("fp")),
-      corpusChunks, maxHamming, nChunks, totalBits, scope)
+      corpusChunks, maxHamming, nChunks, totalBits, scope, hotChunkCap)
       .dropDuplicates("bid", "mid")
 
   /** Shared candidate+verify kernel of [[fingerprintAdmit]] /
@@ -1472,9 +1479,9 @@ object Dedup {
     * wave-sized). ONE equi-join against the ledger + one within-wave
     * self-join; verification inline on the join output (fingerprints ride
     * in the chunk rows). */
-  private def fingerprintMatches(sh: DataFrame, ledgerChunks: DataFrame,
-      maxHamming: Int, nChunks: Int, totalBits: Int,
-      scope: DataFrame => DataFrame): DataFrame = {
+  private[graft] def fingerprintMatches(sh: DataFrame,
+      ledgerChunks: DataFrame, maxHamming: Int, nChunks: Int, totalBits: Int,
+      scope: DataFrame => DataFrame, hotChunkCap: Int = 0): DataFrame = {
     require(maxHamming < nChunks,
       s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
         s"$nChunks chunks — need maxHamming < nChunks")
@@ -1483,11 +1490,29 @@ object Dedup {
       col("id").as("bid"), col("fp").as("fp_b"))
     def matchSide(src: DataFrame) = src.select(col("chunk"), col("ckey"),
       col("id").as("mid"), col("fp").as("fp_m"))
-    probe.join(matchSide(ledgerChunks), Seq("chunk", "ckey"))
+    val hamOk = bit_count(col("fp_b").bitwiseXOR(col("fp_m"))) <= maxHamming
+    // Ledger probe through the SAME hot-bucket guard as the band ledgers
+    // ([[guardedCorpusCandidates]]): the chunk ledger's admitted
+    // fingerprints are pairwise > maxHamming OVERALL, but a 16-bit CHUNK
+    // value can legally coincide across any number of them — an
+    // adversarial storm fixes one chunk's bits and randomizes the rest
+    // (every doc admitted, hamming ~(totalBits−16)/2 apart) and the
+    // (chunk, ckey)-bucketed ledger piles them into ONE bucket. Note the
+    // alternative mitigation — two-level sub-chunk keys, the batch
+    // simhash path's saturation move (`subSplit`) — does NOT close this:
+    // the adversary fixes the composite (chunk+sub-chunk) bits instead
+    // and still gets admitted at 64−28 free bits; occupancy-gated salting
+    // is shape-independent. Streaming writers pass hotChunkCap = 4096,
+    // batch folds keep 0 (same scoping rationale, and q85/q114/q115 gate
+    // the relation identical either way). `fits = true`: the probe keys
+    // are ≤ nChunks rows per batch doc and the guard is only enabled
+    // from micro-batch-bounded streaming writers.
+    val candLedger = guardedCorpusCandidates(probe, matchSide(ledgerChunks),
+      hamOk, hotChunkCap, fits = true, scope, Seq("chunk", "ckey"))
+    candLedger
       .unionByName(probe.join(matchSide(bb), Seq("chunk", "ckey"))
-        .filter(col("mid") < col("bid")))
-      .filter(bit_count(col("fp_b").bitwiseXOR(col("fp_m"))) <= maxHamming)
-      .select("bid", "mid")
+        .filter(col("mid") < col("bid") && hamOk)
+        .select("bid", "mid"))
   }
 
   // --- exact n-gram Jaccard (oracle-verifiable reference path) --------------

@@ -116,9 +116,13 @@ object MediaDedupStream {
       val scoped = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
       val waveScope: DataFrame => DataFrame =
         d => { val p = d.persist(); scoped.add(p); p }
+      // hotChunkCap = 4096: the long-lived at-rest chunk ledger is the
+      // hot-bucket-guard exposure (an adversarial storm can fix one
+      // 16-bit chunk value and stay admitted — Dedup.fingerprintMatches)
       val verdict = Dedup.fingerprintAdmit(fps, "id", "fp",
         ledgerChunks(spark, chunksDir), maxHamming,
-        scope = waveScope).unionByName(quarantined).persist()
+        scope = waveScope, hotChunkCap = 4096)
+        .unionByName(quarantined).persist()
       try {
         IdempotentSink.writer(verdictDir,
           onReplay = _ => batch.foreach(_ => ()))(verdict, batchId)
@@ -170,7 +174,7 @@ object MediaDedupStream {
       try {
         val edges = waveScope(Dedup.fingerprintVerifiedPairs(
           fps, "id", "fp", ledgerChunks(spark, chunksDir), maxHamming,
-          scope = waveScope))
+          scope = waveScope, hotChunkCap = 4096))
         val (labelRows, mergeRows) =
           graft.dedup.IncrementalClusters.foldEdgeFrame(
             fps, edges, NearDupStream.ledgerLabels(spark, labelsDir),

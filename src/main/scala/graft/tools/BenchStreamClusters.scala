@@ -84,11 +84,19 @@ object BenchStreamClusters {
     // ~5/8, and full corpus — the series that GROWS while waves stay flat
     val scratchAt = Set(nWaves / 4, (5 * nWaves) / 8, nWaves).map(_ - 1)
     val scratchWalls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    val waveWalls = (0 until nWaves).map { b =>
+    // wall AND executor-CPU per wave (CpuWaveStats): a host-stalled wave
+    // is wall ≫ its neighbors with CPU in-band; an engine regression
+    // moves both — committed artifacts can now prove which one a spike was
+    val cpu = new CpuWaveStats
+    spark.sparkContext.addSparkListener(cpu)
+    val waveStats = (0 until nWaves).map { b =>
       docs.filter(col("doc_id") >= b * maxId / nWaves &&
           col("doc_id") < (b + 1) * maxId / nWaves)
         .coalesce(4).write.parquet(s"$in/w$b")
+      cpu.takeSeconds() // exclude the fixture ingest write
       val w = cycle(b)
+      Thread.sleep(200) // listener bus settle
+      val c = cpu.takeSeconds()
       if (scratchAt.contains(b)) {
         val sofar = docs.filter(col("doc_id") < (b + 1) * maxId / nWaves)
         val s = timed(graft.core.TransientCache.scoped {
@@ -96,8 +104,10 @@ object BenchStreamClusters {
         })
         scratchWalls += ((b + 1, s))
       }
-      w
+      (w, c)
     }
+    val waveWalls = waveStats.map(_._1)
+    val waveCpus = waveStats.map(_._2)
 
     // equality gate: ledger-maintained assignments ≡ from-scratch closure
     val ledgerC = NearDupStream.clusterAssignments(spark, labels, merges)
@@ -153,6 +163,7 @@ object BenchStreamClusters {
     val line =
       s"""{"sf":"$sfDir","docs":$nDocs,"waves":$nWaves,""" +
       s""""wave_walls":${arr(waveWalls)},""" +
+      s""""wave_cpu_s":${arr(waveCpus)},""" +
       s""""compact_waves":${compactWaves.mkString("[", ",", "]")},""" +
       s""""cycle_means":${arr(cycleMeans)},""" +
       s""""early_mean":${f"$earlyMean%.3f"},""" +

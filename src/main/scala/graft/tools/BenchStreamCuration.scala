@@ -63,12 +63,22 @@ object BenchStreamCuration {
       require(q.exception.isEmpty, s"wave $i failed: ${q.exception}")
     }
 
-    val waveWalls = (0 until nWaves).map { b =>
+    // wall AND executor-CPU per wave (CpuWaveStats): a host-stalled wave
+    // is wall ≫ its neighbors with CPU in-band; an engine regression
+    // moves both — committed artifacts can now prove which one a spike was
+    val cpu = new CpuWaveStats
+    spark.sparkContext.addSparkListener(cpu)
+    val waveStats = (0 until nWaves).map { b =>
       docs.filter(col("doc_id") >= b * maxId / nWaves &&
           col("doc_id") < (b + 1) * maxId / nWaves)
         .coalesce(4).write.parquet(s"$in/w$b")
-      cycle(b)
+      cpu.takeSeconds() // exclude the fixture ingest write
+      val w = cycle(b)
+      Thread.sleep(200) // listener bus settle
+      (w, cpu.takeSeconds())
     }
+    val waveWalls = waveStats.map(_._1)
+    val waveCpus = waveStats.map(_._2)
 
     // stage-attributed reject counts from the durable verdicts
     val v = CurationStream.verdicts(spark, out).persist()
@@ -174,6 +184,7 @@ object BenchStreamCuration {
     val line =
       s"""{"sf":"$sfDir","docs":$nDocs,"waves":$nWaves,""" +
       s""""wave_walls":${arr(waveWalls)},""" +
+      s""""wave_cpu_s":${arr(waveCpus)},""" +
       s""""compact_waves":${compactWaves.mkString("[", ",", "]")},""" +
       s""""cycle_means":${arr(cycleMeans)},""" +
       s""""early_mean":${f"$earlyMean%.3f"},""" +

@@ -190,4 +190,91 @@ class BandStormSpec extends AnyFunSuite {
         s"no partition may carry a >4x-mean share under the guard: $on")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  // --- MEDIA chunk ledger: the same exposure through 16-bit chunks --------
+  // Admitted fingerprints are pairwise > maxHamming OVERALL, but one
+  // 16-bit CHUNK value can coincide across any number of them: a storm
+  // fixes chunk 0's bits and randomizes the other 48 (pairwise hamming
+  // ~24 → every doc admitted) and the (chunk, ckey)-bucketed ledger
+  // piles them into one bucket. MediaDedupStream's writers pass
+  // hotChunkCap = 4096 through fingerprintAdmit/fingerprintVerifiedPairs.
+
+  // fp = fixed 16 bits (chunk 0, the LOW 16) + 48 per-doc pseudo-random
+  // bits; the planted dup copies ledger doc 0's fp with 2 bits flipped
+  private def stormFpOf(id: org.apache.spark.sql.Column,
+      salt: String): org.apache.spark.sql.Column =
+    lit(0xBEEFL) // shared chunk-0 bits
+      .bitwiseOR(shiftleft(
+        xxhash64(id, lit(salt)).bitwiseAND(lit(0xFFFFFFFFFFFFL)), 16))
+  private def stormFp(salt: String): org.apache.spark.sql.Column =
+    stormFpOf(col("id"), salt)
+
+  private lazy val ledgerFps =
+    spark.range(2000).select(col("id"), stormFp("c").as("fp"))
+  private lazy val ledgerChunkRows = graft.dedup.Dedup
+    .fingerprintChunkRows(ledgerFps, "id", "fp")
+    .repartition(8, col("chunk"), col("ckey"))
+  private lazy val dup0Fp = // hamming 2 from ledger doc 0: must reject
+    stormFpOf(lit(0L), "c").bitwiseXOR(lit(3L << 30))
+  private lazy val probeFps =
+    spark.range(10000, 10040).select(col("id"), stormFp("p").as("fp"))
+      .unionByName(spark.range(1).select(lit(9000L).as("id"),
+        dup0Fp.as("fp")))
+      .unionByName(spark.range(11000, 11010)
+        .select(col("id"), xxhash64(col("id"), lit("benign")).as("fp")))
+
+  test("planted chunk storm, media path: the guard changes not one " +
+      "verdict") {
+    def verdicts(cap: Int) = withCap(cap) {
+      graft.dedup.Dedup.fingerprintAdmit(probeFps, "id", "fp",
+          ledgerChunkRows, maxHamming = 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("admitted"),
+          r.get(r.fieldIndex("first_match")))).toSeq
+    }
+    val off = verdicts(0); val on = verdicts(64)
+    assert(off == on, "the guard must not change a single verdict")
+    val v = on.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(v(9000L) == ((false, 0L)),
+      s"planted hamming-2 dup must reject: $v")
+    assert(v(10000L)._1, "storm-chunked-but-distant fp admits")
+    assert(v(11000L)._1, "benign fp admits")
+    assert(on.size == 51)
+  }
+
+  test("planted chunk storm, media path: hot-bucket candidate emission " +
+      "spreads across partitions under the guard") {
+    // fingerprintMatches fuses the hamming verify into the join, so the
+    // storm's blowup never reaches its OUTPUT rows — measure the guarded
+    // candidate join itself (verify-off rowFilter), exactly the frame
+    // whose partition layout the guard exists to change
+    def partitionRows(cap: Int): Seq[Long] = withCap(cap) {
+      val bb = graft.dedup.Dedup
+        .fingerprintChunkRows(probeFps, "id", "fp")
+      val probe = bb.select(col("chunk"), col("ckey"),
+        col("id").as("bid"), col("fp").as("fp_b"))
+      val cbm = ledgerChunkRows.select(col("chunk"), col("ckey"),
+        col("id").as("mid"), col("fp").as("fp_m"))
+      val cand = graft.dedup.Dedup.guardedCorpusCandidates(probe, cbm,
+        lit(true), hotBandCap = 0, fits = true, identity,
+        Seq("chunk", "ckey"))
+      cand.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val off = partitionRows(0)
+      val on = partitionRows(64)
+      val total = off.sum
+      assert(total >= 80000 && on.sum == total,
+        s"fixture must emit the hot bucket either way: $total vs ${on.sum}")
+      assert(off.max * 10 >= total * 9,
+        s"guard-off must concentrate emission (the exposure): $off")
+      assert(on.max * 2 <= total,
+        s"guard must spread the hot bucket: $on")
+      val busy = on.filter(_ > 0)
+      assert(on.max <= 4 * (busy.sum / busy.size),
+        s"no partition may carry a >4x-mean share under the guard: $on")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }

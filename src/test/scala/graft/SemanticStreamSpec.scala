@@ -266,4 +266,49 @@ class SemanticStreamSpec extends AnyFunSuite {
       .select("rep", "cell").as[(Long, Int)].collect().toMap
     assert(after2 == expected, "the re-remap is an exact no-op")
   }
+
+  test("drift-triggered retrain policy: a planted drift arc trips the " +
+      "occupancy trigger, a uniform ledger never does") {
+    import graft.streaming.IdempotentSink
+    val rnd = new scala.util.Random(4242L)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def repsDF(cells: Seq[Int]) = cells.zipWithIndex.map { case (c, i) =>
+      val v = vec()
+      (c, i.toLong, v, v.map(x => x.toDouble * x).sum)
+    }.toDF("cell", "rep", "ce", "cn2")
+
+    // UNIFORM: 64 reps spread evenly over 8 cells → max/mean = 1, the
+    // monitor aggregate runs and nothing else happens
+    val uRoot = freshDir("graft-sem-drift-uniform")
+    IdempotentSink.writer(s"$uRoot/reps")(
+      repsDF((0 until 64).map(_ % 8 + 1)), 0L)
+    assert(SemanticStream.retrainIfDrifted(spark, s"$uRoot/centroids",
+      s"$uRoot/reps", maxOverMean = 4.0).isEmpty,
+      "uniform occupancy must never fire the trigger")
+    assert(SemanticStream.currentCentroids(spark,
+      s"$uRoot/centroids").isEmpty, "no retrain side effects on uniform")
+
+    // DRIFT ARC: 56 of 64 reps piled into one stale cell (the shape
+    // arriving vectors take under a frozen draw that never anticipated
+    // them) → max/mean ≈ 7 > 4, the retrain fires, and the redraw from
+    // the (uniformly distributed) vectors rebalances the cells so the
+    // NEXT cadence does not fire again
+    val dRoot = freshDir("graft-sem-drift-arc")
+    IdempotentSink.writer(s"$dRoot/reps")(
+      repsDF((0 until 56).map(_ => 1) ++ (0 until 8).map(_ % 8 + 2)), 0L)
+    val (_, maxPre, meanPre) = SemanticStream.cellOccupancy(spark,
+      s"$dRoot/reps")
+    assert(maxPre / meanPre > 4.0, s"fixture skew: $maxPre/$meanPre")
+    val fired = SemanticStream.retrainIfDrifted(spark, s"$dRoot/centroids",
+      s"$dRoot/reps", maxOverMean = 4.0, refineIters = 0)
+    assert(fired == Some(0L), s"drift must fire the retrain: $fired")
+    val (cellsPost, maxPost, meanPost) = SemanticStream.cellOccupancy(spark,
+      s"$dRoot/reps")
+    assert(maxPost / meanPost <= 4.0,
+      s"retrain must rebalance: $maxPre/$meanPre -> $maxPost/$meanPost " +
+        s"over $cellsPost cells")
+    assert(SemanticStream.retrainIfDrifted(spark, s"$dRoot/centroids",
+      s"$dRoot/reps", maxOverMean = 4.0, refineIters = 0).isEmpty,
+      "the next cadence after a rebalancing retrain must not fire")
+  }
 }
