@@ -52,29 +52,8 @@ object Curation {
       benchSide: String = "broadcast",
       bloomExpectedGrams: Long = 4000000L,
       bloomNumBits: Long = 67108864L): DataFrame = {
-    // grams travel as xxhash64 keys, never strings: the membership join
-    // shuffles/sorts 8-byte longs instead of ~n·wordlen-byte gram texts
-    // (measured at the 100× tier, where the benchmark side outgrows the
-    // broadcast threshold and the join becomes a sort-merge over ~60M
-    // gram strings: 99 s → the hashed join's fraction of it). A 64-bit
-    // collision would count one phantom shared gram per ~2⁶⁴ pairs —
-    // negligible against the operator's job (a contamination FLAG), and
-    // the same accepted trade as the dedup family's fingerprint keys.
-    // The hashes come from the NATIVE shingle loop (one JVM pass per doc,
-    // same XXH64-seed-42 values as the old string-gram + xxhash64 chain)
-    // — after the join strategy stopped shuffling corpus grams, the
-    // interpreted transform/concat_ws gram builder WAS the operator's
-    // remaining cost (measured sf10: ~52 s of ~54 s total); docs shorter
-    // than n grams are filtered first, which the loop's sub-width shingle
-    // would otherwise phantom-match.
-    def grams(df: DataFrame) = graft.core.Parallelism.ensure(
-        df.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(idCol),
-        explode(graft.functions.Sketches.shingleSetN(col("toks"), n)).as("g"))
-    val benchGrams = grams(benchmark).select("g").distinct()
-    val corpusGrams = grams(corpus)
+    val benchGrams = benchGramSet(benchmark, textCol, idCol, n)
+    val corpusGrams = docGrams(corpus, textCol, idCol, n)
     val matched = benchSide match {
       case "broadcast" => corpusGrams.join(broadcast(benchGrams), "g")
       case "bloom" =>
@@ -99,6 +78,79 @@ object Curation {
         coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Distinct hashed token n-grams of a document frame — (id, g) pairs,
+    * one row per distinct gram per doc. Grams travel as xxhash64 keys,
+    * never strings: the membership join shuffles/sorts 8-byte longs
+    * instead of ~n·wordlen-byte gram texts (measured at the 100× tier,
+    * where the benchmark side outgrows the broadcast threshold and the
+    * join becomes a sort-merge over ~60M gram strings: 99 s → the hashed
+    * join's fraction of it). A 64-bit collision would count one phantom
+    * shared gram per ~2⁶⁴ pairs — negligible against the operator's job
+    * (a contamination FLAG), and the same accepted trade as the dedup
+    * family's fingerprint keys. The hashes come from the NATIVE shingle
+    * loop (one JVM pass per doc, same XXH64-seed-42 values as the old
+    * string-gram + xxhash64 chain) — after the join strategy stopped
+    * shuffling corpus grams, the interpreted transform/concat_ws gram
+    * builder WAS the operator's remaining cost (measured sf10: ~52 s of
+    * ~54 s total); docs shorter than n grams are filtered first, which
+    * the loop's sub-width shingle would otherwise phantom-match.
+    */
+  def docGrams(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    graft.core.Parallelism.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol),
+        explode(graft.functions.Sketches.shingleSetN(col("toks"), n)).as("g"))
+
+  /** The distinct hashed gram set of a benchmark (eval) frame — the
+    * single-column (`g`) table a decontamination gate probes. Build once
+    * and persist (or hand straight to [[contaminationFlags]]); a
+    * benchmark is a FIXED eval set, so in a streaming pipeline this is
+    * at-rest state computed at setup time, not per wave.
+    */
+  def benchGramSet(benchmark: DataFrame, textCol: String, idCol: String,
+      n: Int = 5): DataFrame =
+    docGrams(benchmark, textCol, idCol, n).select("g").distinct()
+
+  /** Contamination HITS against a PREBUILT benchmark gram set: one row
+    * per document sharing at least one gram — (idCol, n_shared). This is
+    * the minimal stage state for composed pipelines: the hit set is
+    * bounded by the documents that actually overlap the eval set (≪
+    * corpus by the operator's purpose), so a pipeline can join it back
+    * onto its corpus with a BROADCAST — preserving the corpus frame's
+    * partitioning instead of funneling it through a corpus-sized
+    * shuffle join (measured in the q119 fold: the shuffle join-back let
+    * AQE coalesce the cached corpus to ~1 partition and serialized
+    * every downstream wave kernel, +11 s at sf0.1). The gram set rides
+    * a broadcast too — ZERO corpus-gram exchange, the right plan for
+    * any benchmark that fits the broadcast budget (8-byte longs: tens
+    * of millions of grams; past that, gate through [[decontaminate]]'s
+    * `"bloom"` path instead).
+    */
+  def contaminationHits(docs: DataFrame, benchGrams: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame =
+    docGrams(docs, textCol, idCol, n)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+
+  /** Per-document contamination flags against a PREBUILT benchmark gram
+    * set — [[contaminationHits]] joined back onto every input doc
+    * (gramless and never-matching docs count 0). The hit side is small
+    * by the operator's purpose, so the join-back is broadcast.
+    *
+    * Output: one row per input doc — (idCol, n_shared_grams,
+    * contaminated).
+    */
+  def contaminationFlags(docs: DataFrame, benchGrams: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame =
+    docs.select(col(idCol))
+      .join(broadcast(contaminationHits(docs, benchGrams, textCol, idCol, n)),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
 
   /** GPT-style sequence packing: concatenate each partition's documents
     * in id order and cut at `cap`-token boundaries. Every document gets

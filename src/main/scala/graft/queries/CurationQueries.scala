@@ -410,7 +410,114 @@ object CurationQueries extends QueryModule {
         }
         out.orderBy("doc_id")
       },
-      Some(curationPipelineOracleSql)))
+      Some(curationPipelineOracleSql)),
+
+    // q116 with the remaining production stage composed in: quality gate
+    // -> BENCHMARK DECONTAMINATION (q79's n-gram rule, every 97th doc
+    // standing in for the eval set) -> exact dedup -> approximate
+    // near-dup admission, folded over the same 4 waves. Decontamination
+    // runs BEFORE the dedup ledgers on purpose: a contaminated doc must
+    // never enter the fp/band ledgers, or it could become the retained
+    // survivor that knocks out a CLEAN near-copy — the gate order
+    // guarantees eval-set text can never shield (or represent) training
+    // text. The benchmark gram set is built ONCE outside the fold (a
+    // benchmark is fixed eval data — setup-time state, not per-wave
+    // work) and probed via broadcast, so the per-wave cost over q116 is
+    // one map-side gram pass on that wave's quality survivors. Verdicts
+    // add (n_shared_grams, clean) to the stage attribution; the oracle
+    // unrolls the same four waves with the contamination gate applied to
+    // the exact-survivor CTE.
+    "q119_curation_decontam_incr" -> QueryDef(
+      (s, dir) => {
+        import graft.dedup.Dedup
+        import graft.text.TextFunctions
+        val cache: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
+        val all = cache(Tables.documents(s, dir).select("doc_id", "text"))
+        val docs = all.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        val bench = all.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val benchGrams = cache(Curation.benchGramSet(bench, "text", "doc_id"))
+        val nDocs = all.count()
+        // contamination is WAVE-INDEPENDENT (fixed gram set, per-doc
+        // verdict, no ledger) — the batch fold hoists it OUT of the
+        // loop entirely: ONE gram pass over all quality survivors,
+        // whose HIT SET (docs sharing ≥1 gram — small by the operator's
+        // purpose) broadcasts back onto the scored corpus; the flag
+        // columns are then row-local and each wave just FILTERS the
+        // flagged frame. The localCheckpoint is the same lineage
+        // discipline as the fold's ledgers, for the same measured
+        // reason: the gram/broadcast subtree would otherwise be
+        // re-ANALYZED by every one of the fold's ~20 downstream actions
+        // — stage walls were all sub-second both ways, but driver-side
+        // analysis alone put q119 at +8 s over q116 at sf0.1; behind
+        // the checkpoint leaf the fold prices at q116 + the one gram
+        // pass. The STREAMING writer necessarily grams per wave — it
+        // only ever sees the wave — which is the production shape
+        // anyway: waves are small and the gram pass is map-side.
+        val scoredAll = cache(docs.select(col("doc_id"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("quality")))
+        val hits = Curation.contaminationHits(
+          scoredAll.filter(col("quality") >= 0.7).select("doc_id", "text"),
+          benchGrams, "text", "doc_id")
+        val scoredFlagged = scoredAll
+          .join(broadcast(hits), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"), col("quality"),
+            when(col("quality") >= 0.7, coalesce(col("n_shared"), lit(0L)))
+              .as("n_shared_grams"),
+            (col("quality") >= 0.7 && col("n_shared").isNull).as("clean"))
+          .localCheckpoint()
+        val none = all.filter(lit(false))
+        var fpLedger = none.select(
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        var bands = Dedup.MinHashLsh.bandsForApprox(
+          none, "text", "doc_id", portable = true)
+        var sigs = Dedup.MinHashLsh.sigsFor(
+          none, "text", "doc_id", portable = true)
+        var out: org.apache.spark.sql.DataFrame = null
+        (0 until 4).foreach { w =>
+          val scored = scoredFlagged.filter(pmod(col("doc_id"), lit(4)) === w)
+          val cleanDocs = scored.filter(col("clean"))
+          val exactNew = cache(cleanDocs
+            .select(col("doc_id"), col("text"),
+              TextFunctions.fingerprint(col("text")).as("fp"))
+            .join(fpLedger, Seq("fp"), "left_anti")
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("fp").orderBy("doc_id")))
+            .filter(col("rn") === 1).drop("rn"))
+          val sk = cache(Dedup.MinHashLsh.sigsFor(
+            exactNew, "text", "doc_id", portable = true))
+          val verdict = cache(Dedup.MinHashLsh.nearDupAdmitApproxSketched(
+            sk, bands, sigs, threshold = 0.35, cache,
+            knownRows = Some(nDocs)))
+          val waveOut = scored.select(col("doc_id"), col("quality"),
+              (col("quality") >= 0.7).as("q_pass"),
+              col("n_shared_grams"), col("clean"))
+            .join(exactNew.select(col("doc_id"), lit(true).as("en")),
+              Seq("doc_id"), "left")
+            .join(verdict.select(col("doc_id"),
+              col("admitted").as("adm"), col("first_match")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), col("quality"), col("q_pass"),
+              col("n_shared_grams"), col("clean"),
+              coalesce(col("en"), lit(false)).as("exact_new"),
+              coalesce(col("adm"), lit(false)).as("admitted"),
+              col("first_match"))
+          // same lineage discipline as q116 (see its in-fold comment):
+          // per-wave DELTA checkpoints on the three feedback ledgers
+          out = if (out == null) waveOut else out.unionByName(waveOut)
+          fpLedger = fpLedger.unionByName(
+            exactNew.select("fp").localCheckpoint())
+          val admittedSk = sk.join(
+            verdict.filter(col("admitted")).select(col("doc_id").as("id")),
+            Seq("id")).localCheckpoint()
+          bands = bands.unionByName(
+            Dedup.MinHashLsh.bandRowsOfSigs(admittedSk))
+          sigs = sigs.unionByName(admittedSk.select("id", "sig"))
+        }
+        out.orderBy("doc_id")
+      },
+      Some(curationDecontamOracleSql)))
 
   /** DuckDB mirror of q116: quality + fingerprint stages are relational
     * (the exact-dedup ledger fold collapses to ONE window — the first
@@ -421,29 +528,36 @@ object CurationQueries extends QueryModule {
     * smaller stage-input ids within the wave — q106's estimator verify
     * over the shared portable-sig CTEs.
     */
+  /** The per-wave candidate/verify/admit CTE triple of the unrolled
+    * pipeline oracles (q116, q119): banded candidates of wave `w`'s
+    * exact-survivors against the union of previously-admitted ledgers
+    * plus earlier same-wave ids, estimator verify at 0.35, admitted =
+    * survivors with no verified match.
+    */
+  private def pipelineWaveVer(w: Int, prevAdmitted: Seq[String]): String = {
+    val ledgerSide =
+      if (prevAdmitted.isEmpty) s"(y.doc_id % 4 = $w AND y.doc_id < x.doc_id)"
+      else prevAdmitted.map(a => s"y.doc_id IN (SELECT doc_id FROM $a)")
+        .mkString("(", " OR ", s" OR (y.doc_id % 4 = $w AND y.doc_id < x.doc_id))")
+    s"""v$w AS (
+       |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS mid
+       |  FROM enb x JOIN enb y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id % 4 = $w AND $ledgerSide
+       |), r$w AS MATERIALIZED (
+       |  SELECT c.bid, c.mid FROM v$w c
+       |  JOIN sigl sa ON c.bid = sa.doc_id
+       |  JOIN sigl sb ON c.mid = sb.doc_id
+       |  WHERE cast(len(list_filter(range(1, len(sa.sigv) + 1),
+       |    i -> sa.sigv[i] = sb.sigv[i])) AS double) / 32.0 >= 0.35
+       |), a$w AS MATERIALIZED (
+       |  SELECT doc_id FROM en
+       |  WHERE doc_id % 4 = $w AND doc_id NOT IN (SELECT bid FROM r$w)
+       |)""".stripMargin
+  }
+
   private lazy val curationPipelineOracleSql: String = {
-    def waveVer(w: Int, prevAdmitted: Seq[String]): String = {
-      val ledgerSide =
-        if (prevAdmitted.isEmpty) s"(y.doc_id % 4 = $w AND y.doc_id < x.doc_id)"
-        else prevAdmitted.map(a => s"y.doc_id IN (SELECT doc_id FROM $a)")
-          .mkString("(", " OR ", s" OR (y.doc_id % 4 = $w AND y.doc_id < x.doc_id))")
-      s"""v$w AS (
-         |  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS mid
-         |  FROM enb x JOIN enb y ON x.band = y.band AND x.bkey = y.bkey
-         |  WHERE x.doc_id % 4 = $w AND $ledgerSide
-         |), r$w AS MATERIALIZED (
-         |  SELECT c.bid, c.mid FROM v$w c
-         |  JOIN sigl sa ON c.bid = sa.doc_id
-         |  JOIN sigl sb ON c.mid = sb.doc_id
-         |  WHERE cast(len(list_filter(range(1, len(sa.sigv) + 1),
-         |    i -> sa.sigv[i] = sb.sigv[i])) AS double) / 32.0 >= 0.35
-         |), a$w AS MATERIALIZED (
-         |  SELECT doc_id FROM en
-         |  WHERE doc_id % 4 = $w AND doc_id NOT IN (SELECT bid FROM r$w)
-         |)""".stripMargin
-    }
     val waves = (0 until 4).map(w =>
-      waveVer(w, (0 until w).map(p => s"a$p"))).mkString(",\n")
+      pipelineWaveVer(w, (0 until w).map(p => s"a$p"))).mkString(",\n")
     s"""WITH ${DedupQueries.portableSetsSql},
        |coeff(j, a, b) AS (VALUES ${DedupQueries.coeffValues}
        |), ${DedupQueries.sigBandsSql("sets", "doc_id")}, sigl AS MATERIALIZED (
@@ -489,6 +603,85 @@ object CurationQueries extends QueryModule {
        |FROM documents d
        |JOIN qm ON d.doc_id = qm.doc_id
        |LEFT JOIN rej ON d.doc_id = rej.bid
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of q119: the q116 oracle with the q79 contamination
+    * rule composed in. Benchmark docs (doc_id % 97 = 0) leave the corpus
+    * entirely; their distinct 5-grams form `bgm`; `cont` counts shared
+    * grams for QUALITY-PASSING corpus docs (the stage input — the engine
+    * grams only quality survivors); the exact-survivor CTE `en` then
+    * requires cleanliness, so contaminated docs never reach the fp
+    * window or the admission waves — exactly the fold's ledger-exclusion
+    * contract. Gram CTEs reuse the `d` tokenization the sketch CTEs
+    * already built.
+    */
+  private lazy val curationDecontamOracleSql: String = {
+    val waves = (0 until 4).map(w =>
+      pipelineWaveVer(w, (0 until w).map(p => s"a$p"))).mkString(",\n")
+    s"""WITH ${DedupQueries.portableSetsSql},
+       |coeff(j, a, b) AS (VALUES ${DedupQueries.coeffValues}
+       |), ${DedupQueries.sigBandsSql("sets", "doc_id")}, sigl AS MATERIALIZED (
+       |  SELECT doc_id, list(mv ORDER BY j) AS sigv FROM sig GROUP BY doc_id
+       |), qm AS MATERIALIZED (
+       |  SELECT doc_id, (dv + ls + (1.0 - least(pd * 10.0, 1.0))) / 3.0 AS quality
+       |  FROM (
+       |    SELECT doc_id,
+       |      cast(len(list_distinct(toks)) AS double) / cast(len(toks) AS double) AS dv,
+       |      least(cast(len(toks) AS double) / 64.0, 1.0) AS ls,
+       |      cast(length(text) - length(regexp_replace(text, '${graft.text.TextFunctions.punctClass}', '', 'g')) AS double)
+       |        / cast(length(text) AS double) AS pd
+       |    FROM (SELECT doc_id, text,
+       |            regexp_split_to_array(trim(text), '\\s+') AS toks
+       |          FROM documents)
+       |  )
+       |), bgm AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+       |  FROM d WHERE doc_id % 97 = 0 AND len(toks) >= 5
+       |), cont AS MATERIALIZED (
+       |  SELECT cg.doc_id, count(*) AS n_shared FROM (
+       |    SELECT dd.doc_id, unnest(list_distinct(list_transform(range(1, len(dd.toks) - 3),
+       |      i -> concat_ws(' ', dd.toks[i], dd.toks[i+1], dd.toks[i+2], dd.toks[i+3], dd.toks[i+4])))) AS g
+       |    FROM d dd JOIN qm ON dd.doc_id = qm.doc_id
+       |    WHERE dd.doc_id % 97 <> 0 AND qm.quality >= 0.7 AND len(dd.toks) >= 5
+       |  ) cg JOIN bgm USING (g) GROUP BY 1
+       |), en AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT q.doc_id, row_number() OVER (
+       |        PARTITION BY f.fp ORDER BY q.doc_id % 4, q.doc_id) AS rn
+       |    FROM (SELECT doc_id FROM qm
+       |          WHERE quality >= 0.7 AND doc_id % 97 <> 0
+       |            AND doc_id NOT IN (SELECT doc_id FROM cont)) q
+       |    JOIN (SELECT doc_id,
+       |            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       |          FROM documents) f ON q.doc_id = f.doc_id
+       |  ) WHERE rn = 1
+       |), enb AS MATERIALIZED (
+       |  SELECT b.* FROM bands b JOIN en ON b.doc_id = en.doc_id
+       |),
+       |$waves,
+       |rej AS (
+       |  SELECT bid, min(mid) AS first_match FROM (
+       |    SELECT * FROM r0 UNION ALL SELECT * FROM r1
+       |    UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+       |  ) GROUP BY bid
+       |), adm AS (
+       |  SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1
+       |  UNION ALL SELECT doc_id FROM a2 UNION ALL SELECT doc_id FROM a3
+       |)
+       |SELECT d.doc_id, qm.quality, qm.quality >= 0.7 AS q_pass,
+       |  CASE WHEN qm.quality >= 0.7 THEN coalesce(cont.n_shared, 0) END AS n_shared_grams,
+       |  CASE WHEN qm.quality >= 0.7 THEN coalesce(cont.n_shared, 0) = 0
+       |       ELSE false END AS clean,
+       |  d.doc_id IN (SELECT doc_id FROM en) AS exact_new,
+       |  d.doc_id IN (SELECT doc_id FROM adm) AS admitted,
+       |  rej.first_match
+       |FROM documents d
+       |JOIN qm ON d.doc_id = qm.doc_id
+       |LEFT JOIN cont ON d.doc_id = cont.doc_id
+       |LEFT JOIN rej ON d.doc_id = rej.bid
+       |WHERE d.doc_id % 97 <> 0
        |ORDER BY d.doc_id""".stripMargin
   }
 }

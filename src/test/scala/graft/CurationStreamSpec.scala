@@ -131,6 +131,129 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(IdempotentSink.committedBatches(spark, out) == batches)
   }
 
+  /** Batch-sequential reference for the DECONTAM pipeline: the q119
+    * composition (quality → contamination gate → exact → admission)
+    * with in-memory ledgers. */
+  private def sequentialDecontam(upTo: Int,
+      benchGrams: DataFrame): Seq[Seq[Any]] = {
+    import graft.pipeline.Curation
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    var fps = none.select(TextFunctions.fingerprint(col("text")).as("fp"))
+    var bands = Dedup.MinHashLsh.bandsForApprox(none, "text", "doc_id")
+    var sigs = Dedup.MinHashLsh.sigsFor(none, "text", "doc_id")
+    var out: DataFrame = null
+    waves.take(upTo).foreach { w =>
+      val scored = w.toDF("doc_id", "text").select(col("doc_id"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val qp = scored.filter(col("quality") >= 0.7)
+      val flags = Curation.contaminationFlags(
+        qp.select("doc_id", "text"), benchGrams, "text", "doc_id").persist()
+      val exactNew = qp
+        .join(flags.filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"))
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .join(fps, Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+        .persist()
+      val sk = Dedup.MinHashLsh.sigsFor(exactNew, "text", "doc_id").persist()
+      val verdict = Dedup.MinHashLsh.nearDupAdmitApproxSketched(
+        sk, bands, sigs, 0.5).persist()
+      val waveOut = scored.select(col("doc_id"), col("quality"),
+          (col("quality") >= 0.7).as("q_pass"))
+        .join(flags, Seq("doc_id"), "left")
+        .join(exactNew.select(col("doc_id"), lit(true).as("en")),
+          Seq("doc_id"), "left")
+        .join(verdict.select(col("doc_id"), col("admitted").as("adm"),
+          col("first_match")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"), col("q_pass"),
+          col("n_shared_grams"),
+          coalesce(!col("contaminated"), lit(false)).as("clean"),
+          coalesce(col("en"), lit(false)).as("exact_new"),
+          coalesce(col("adm"), lit(false)).as("admitted"),
+          col("first_match"))
+      out = if (out == null) waveOut.localCheckpoint()
+        else out.unionByName(waveOut).localCheckpoint()
+      fps = fps.unionByName(exactNew.select("fp")).localCheckpoint()
+      val admittedSk = sk.join(
+        verdict.filter(col("admitted")).select(col("doc_id").as("id")),
+        Seq("id"))
+      bands = bands.unionByName(Dedup.MinHashLsh.bandRowsOfSigs(admittedSk))
+        .localCheckpoint()
+      sigs = sigs.unionByName(admittedSk.select("id", "sig")).localCheckpoint()
+      verdict.unpersist(); sk.unpersist(); exactNew.unpersist()
+      flags.unpersist()
+    }
+    out.orderBy("doc_id").collect().toSeq.map(_.toSeq)
+  }
+
+  private def gotDecontam(verdictDir: String): Seq[Seq[Any]] =
+    CurationStream.verdictsDecontam(spark, verdictDir)
+      .select("doc_id", "quality", "q_pass", "n_shared_grams", "clean",
+        "exact_new", "admitted", "first_match")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+
+  test("decontam pipeline: 3 waves, kill/restart per wave — stream verdicts == sequential composition; contaminated docs never enter ledgers") {
+    val root = freshDir("graft-curation-decontam")
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val fps = s"$root/fps"; val bands = s"$root/bands"; val sigs = s"$root/sigs"
+    // the benchmark shares its leading 5-gram with longB — docs 11 and 22
+    // (longB variants) are contaminated; the longA family is clean
+    val bench = Seq((900L, "one two three four five benchmark suffix words"))
+      .toDF("doc_id", "text")
+    CurationStream.writeBenchGrams(bench, "text", "doc_id", s"$root/bg")
+    val bg = spark.read.parquet(s"$root/bg")
+    def runCycle(): Unit = {
+      val q = spark.readStream.schema("doc_id long, text string")
+        .parquet(s"$in/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(CurationStream.decontamWriter(out, fps, bands, sigs,
+          s"$root/bg", "text", "doc_id"))
+        .start()
+      assert(q.awaitTermination(120000), "query did not terminate")
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("doc_id", "text").write.parquet(s"$in/wave$i")
+      runCycle()
+      assert(gotDecontam(out) == sequentialDecontam(i + 1, bg),
+        s"stream verdicts diverge from the sequential composition after wave $i")
+    }
+    val v = CurationStream.verdictsDecontam(spark, out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // stage attribution: contamination fires between quality and exact
+    assert(v(11L).getAs[Boolean]("q_pass") && !v(11L).getAs[Boolean]("clean")
+      && v(11L).getAs[Long]("n_shared_grams") > 0
+      && !v(11L).getAs[Boolean]("exact_new")
+      && !v(11L).getAs[Boolean]("admitted"),
+      "benchmark-overlapping doc dies at the contamination gate")
+    assert(!v(22L).getAs[Boolean]("clean"),
+      "extended copy of contaminated text is still contaminated")
+    assert(v(1L).getAs[Boolean]("clean") && v(1L).getAs[Boolean]("admitted"),
+      "clean doc flows through all four stages")
+    assert(v(10L).getAs[Boolean]("clean") && v(10L).getAs[Boolean]("exact_new")
+      && !v(10L).getAs[Boolean]("admitted")
+      && v(10L).getAs[Long]("first_match") == 1L,
+      "clean near-dup still dies at admission, not before")
+    assert(!v(3L).getAs[Boolean]("q_pass")
+      && v(3L).isNullAt(v(3L).fieldIndex("n_shared_grams")),
+      "quality failures never reach the gram pass (NULL attribution)")
+    // the ledger-exclusion contract: contaminated docs left NO state
+    val fpB = Seq(longB).toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).as[String].head()
+    assert(!graft.streaming.DedupStream.ledgerFps(spark, fps)
+      .select("fp").as[String].collect().contains(fpB),
+      "contaminated doc's fingerprint leaked into the fp ledger")
+    val sigIds = graft.streaming.NearDupStream.ledgerSigs(spark, sigs)
+      .select("id").as[Long].collect().toSet
+    assert(!sigIds.contains(11L) && !sigIds.contains(22L),
+      "contaminated doc leaked into the admission ledgers")
+  }
+
   test("crash window: verdict committed, all ledgers missing — replay heals identically") {
     val root = freshDir("graft-curation-crash")
     val out = s"$root/out"; val fps = s"$root/fps"
