@@ -1452,6 +1452,57 @@ object Dedup {
         col("first_match"))
   }
 
+  /** MEDIA DECONTAMINATION: flag every corpus fingerprint within
+    * `maxHamming` of a BENCHMARK (eval-set) fingerprint — the multimodal
+    * sibling of [[graft.pipeline.Curation.decontaminate]]'s n-gram rule
+    * (an eval image leaks into training as a resave/recompress, which
+    * perceptual fingerprints map within a few bits of the original, not
+    * byte-identical — hence hamming, not equality).
+    *
+    * Returns one (idCol, n_matched, first_match, contaminated) row per
+    * corpus doc: n_matched = DISTINCT benchmark fingerprints within
+    * range (chunk-meeting duplicates collapsed), first_match = min
+    * matching benchmark id, null when clean.
+    *
+    * Scale shape mirrors the text gate: a benchmark is a FIXED eval
+    * set, orders of magnitude smaller than the corpus, so its chunk
+    * rows (≤ nChunks per image) ride a BROADCAST and the corpus side
+    * never exchanges — the probe is a map-side equi-join on
+    * (chunk, ckey) with the `bit_count(xor)` verify inline on the join
+    * output (lossless for maxHamming < nChunks by pigeonhole); only
+    * the match rows (output-sized) shuffle into the per-doc aggregate,
+    * and the join-back rides the aggregate's broadcast. NO corpus
+    * self-join: corpus-internal duplicates are [[fingerprintAdmit]]'s
+    * business, not contamination's.
+    */
+  def fingerprintDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, fpCol: String, maxHamming: Int = 3, nChunks: Int = 4,
+      totalBits: Int = 64): DataFrame = {
+    require(maxHamming < nChunks,
+      s"pigeonhole blocking is lossy for maxHamming=$maxHamming at " +
+        s"$nChunks chunks — need maxHamming < nChunks")
+    val sh = corpus.select(col(idCol).as("id"), col(fpCol).as("fp"))
+    val probe = fingerprintChunkRows(sh, "id", "fp", nChunks, totalBits)
+      .select(col("chunk"), col("ckey"),
+        col("id").as("bid"), col("fp").as("fp_b"))
+    val bench = fingerprintChunkRows(
+      benchmark.select(col(idCol).as("id"), col(fpCol).as("fp")),
+      "id", "fp", nChunks, totalBits)
+      .select(col("chunk"), col("ckey"),
+        col("id").as("mid"), col("fp").as("fp_m"))
+    val matches = probe.join(broadcast(bench), Seq("chunk", "ckey"))
+      .filter(bit_count(col("fp_b").bitwiseXOR(col("fp_m"))) <= maxHamming)
+      .select("bid", "mid").dropDuplicates("bid", "mid")
+      .groupBy(col("bid").as("id"))
+      .agg(count(lit(1)).as("n_matched"), min(col("mid")).as("first_match"))
+    sh.select(col("id"))
+      .join(matches, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        col("first_match"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Per-wave verified fingerprint PAIRS — the edge kernel the incremental
     * media CLUSTER fold consumes ([[IncrementalClusters.foldEdgeFrame]] is
     * edge-source-agnostic): every hamming-≤-`maxHamming` pair whose LATER

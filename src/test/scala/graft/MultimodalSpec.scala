@@ -422,4 +422,38 @@ class MultimodalSpec extends AnyFunSuite {
       s"$nonAscii documents carry non-ASCII text — q51's ascii()-based " +
         "oracle no longer equals the byte statistics")
   }
+
+  test("fingerprintDecontaminate: hamming-<=3 benchmark match flags, " +
+      "corpus-internal dups don't, benchmark rides a broadcast") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val b = 0x0123456789ABCDEFL
+    def flip(v: Long, bits: Int*): Long =
+      bits.foldLeft(v)((a, i) => a ^ (1L << i))
+    val bench = Seq((900L, b), (901L, flip(b, 40, 41, 42, 43, 44, 45, 46, 47)))
+      .toDF("doc_id", "fp")
+    val corpus = Seq(
+      (1L, b),                      // exact copy of 900 — contaminated
+      (2L, flip(b, 1, 17, 33)),     // hamming 3 (3 distinct chunks) — contaminated
+      (3L, flip(b, 1, 17, 33, 49)), // hamming 4 — clean
+      (4L, 0x7777000011112222L),    // corpus-internal dup pair, far from bench
+      (5L, 0x7777000011112222L)
+    ).toDF("doc_id", "fp")
+    val out = Dedup.fingerprintDecontaminate(corpus, bench, "doc_id", "fp")
+    val m = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("contaminated")
+      && m(1L).getAs[Long]("first_match") == 900L)
+    // all 4 chunks of doc 1 meet 900's — n_matched collapses to DISTINCT
+    // benchmark matches, not chunk meetings
+    assert(m(1L).getAs[Long]("n_matched") == 1L)
+    assert(m(2L).getAs[Boolean]("contaminated")
+      && m(2L).getAs[Long]("first_match") == 900L)
+    assert(!m(3L).getAs[Boolean]("contaminated")
+      && m(3L).getAs[Long]("n_matched") == 0L)
+    assert(!m(4L).getAs[Boolean]("contaminated")
+      && !m(5L).getAs[Boolean]("contaminated"),
+      "corpus-internal duplicates are dedup's business, not contamination's")
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "benchmark chunk rows must ride a broadcast — the corpus side never exchanges")
+  }
 }
