@@ -321,4 +321,48 @@ object Curation {
       .select(col("r.pair").as("pair"), col("r.n_a").as("n_a"),
         col("r.n_b").as("n_b"), col("r.d_stat").as("d_stat"))
   }
+
+  /** Two-sample KS drift of an incoming WAVE against a REFERENCE
+    * distribution — the ingest-monitoring form of [[ksDrift]]: "does
+    * this batch's value distribution still look like the corpus I
+    * accepted so far?" The returned single row carries the exact D
+    * statistic plus `drifted` = D > c(α)·√((n_ref+n_wave)/(n_ref·n_wave))
+    * — the large-sample KS rejection bound at level α (c(0.05) = 1.358),
+    * so the trigger is statistical, not an arbitrary knob: it tightens
+    * automatically as both sides grow, exactly what a drift-triggered
+    * maintenance policy needs (the text-distribution sibling of the IVF
+    * occupancy trigger).
+    *
+    * Same bounded-state shape as [[ksDrift]]: one histogram aggregate
+    * over reference ∪ wave (state = |distinct v|, never the corpus),
+    * cumulative window over the histogram, order-independent max. Every
+    * double op is mirrored — hash-exact in any engine. In a streaming
+    * pipeline the reference side is at-rest state (e.g. the committed
+    * verdicts' quality column, or a maintained per-value count ledger);
+    * the wave side is the micro-batch.
+    */
+  def ksDriftAgainst(reference: DataFrame, wave: DataFrame,
+      valueCol: String, alpha05C: Double = 1.358): DataFrame = {
+    val hist = reference.select(col(valueCol).as("v"), lit(1).as("side"))
+      .unionByName(wave.select(col(valueCol).as("v"), lit(2).as("side")))
+      .groupBy("v").agg(
+        count(when(col("side") === 1, 1)).as("c_ref"),
+        count(when(col("side") === 2, 1)).as("c_wave"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("v"),
+      sum("c_ref").over(w).as("a"), sum("c_wave").over(w).as("b"))
+    val totals = hist.groupBy().agg(
+      sum("c_ref").as("n_ref"), sum("c_wave").as("n_wave"))
+    cum.crossJoin(broadcast(totals))
+      .groupBy(col("n_ref"), col("n_wave"))
+      .agg(max(abs(col("a").cast("double") / col("n_ref").cast("double")
+        - col("b").cast("double") / col("n_wave").cast("double")))
+        .as("d_stat"))
+      .select(col("n_ref"), col("n_wave"), col("d_stat"),
+        (col("d_stat") > lit(alpha05C) * sqrt(
+          (col("n_ref") + col("n_wave")).cast("double")
+            / (col("n_ref") * col("n_wave")).cast("double")))
+          .as("drifted"))
+  }
 }

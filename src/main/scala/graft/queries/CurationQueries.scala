@@ -517,7 +517,35 @@ object CurationQueries extends QueryModule {
         }
         out.orderBy("doc_id")
       },
-      Some(curationDecontamOracleSql)))
+      Some(curationDecontamOracleSql)),
+
+    // INCREMENTAL ingest-drift monitor: each wave (doc_id mod 4, waves
+    // 1-3) is KS-tested against the corpus-so-far (waves < w) — "does
+    // this batch still look like what I accepted?", the
+    // text-distribution sibling of the IVF occupancy trigger. The
+    // `drifted` flag is the large-sample KS rejection bound at α=0.05
+    // (1.358·√((n_ref+n_wave)/(n_ref·n_wave))), so the trigger
+    // tightens as both sides grow instead of being an arbitrary knob.
+    // State per check is one per-distinct-value histogram (bounded by
+    // the value domain, never the corpus — q94's argument); the fold is
+    // 3 independent single-row checks, each one aggregate + one
+    // histogram window.
+    "q121_ks_drift_incremental" -> QueryDef(
+      (s, dir) => {
+        val docs = graft.core.TransientCache.persist(
+          Tables.documents(s, dir).select("doc_id", "n_chars"))
+        var out: org.apache.spark.sql.DataFrame = null
+        (1 until 4).foreach { w =>
+          val row = Curation.ksDriftAgainst(
+              docs.filter(pmod(col("doc_id"), lit(4)) < w),
+              docs.filter(pmod(col("doc_id"), lit(4)) === w), "n_chars")
+            .select(lit(w.toLong).as("wave"), col("n_ref"), col("n_wave"),
+              col("d_stat"), col("drifted"))
+          out = if (out == null) row else out.unionByName(row)
+        }
+        out.orderBy("wave")
+      },
+      Some(ksDriftIncrOracleSql)))
 
   /** DuckDB mirror of q116: quality + fingerprint stages are relational
     * (the exact-dedup ledger fold collapses to ONE window — the first
@@ -683,5 +711,41 @@ object CurationQueries extends QueryModule {
        |LEFT JOIN rej ON d.doc_id = rej.bid
        |WHERE d.doc_id % 97 <> 0
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of q121: three independent two-sample KS checks, each
+    * wave w ∈ {1,2,3} against the union of waves < w — per-value
+    * histogram, cumulative ECDFs over the histogram, exact max gap, and
+    * the α=0.05 rejection bound, every double op mirrored.
+    */
+  private lazy val ksDriftIncrOracleSql: String = {
+    val waves = (1 until 4).map { w =>
+      s"""h$w AS (
+         |  SELECT n_chars AS v,
+         |    count(*) FILTER (WHERE doc_id % 4 < $w) AS c_ref,
+         |    count(*) FILTER (WHERE doc_id % 4 = $w) AS c_wave
+         |  FROM documents WHERE doc_id % 4 <= $w GROUP BY 1
+         |), c$w AS (
+         |  SELECT v, sum(c_ref) OVER win AS a, sum(c_wave) OVER win AS b
+         |  FROM h$w
+         |  WINDOW win AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), n$w AS (
+         |  SELECT count(*) FILTER (WHERE doc_id % 4 < $w) AS n_ref,
+         |    count(*) FILTER (WHERE doc_id % 4 = $w) AS n_wave
+         |  FROM documents
+         |), d$w AS (
+         |  SELECT CAST($w AS BIGINT) AS wave, n_ref, n_wave,
+         |    max(abs(cast(a AS double) / cast(n_ref AS double)
+         |      - cast(b AS double) / cast(n_wave AS double))) AS d_stat
+         |  FROM c$w CROSS JOIN n$w GROUP BY 1, 2, 3
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $waves
+       |SELECT wave, n_ref, n_wave, d_stat,
+       |  d_stat > 1.358 * sqrt(cast(n_ref + n_wave AS double)
+       |    / cast(n_ref * n_wave AS double)) AS drifted
+       |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+       |      UNION ALL SELECT * FROM d3)
+       |ORDER BY wave""".stripMargin
   }
 }

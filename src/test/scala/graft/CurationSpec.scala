@@ -233,4 +233,25 @@ class CurationSpec extends AnyFunSuite {
       Curation.budgetSelect(docs, "text", "doc_id", "source", budget = 0L)
     }
   }
+
+  test("ksDriftAgainst: planted shift trips the statistical trigger, " +
+      "a same-distribution draw does not") {
+    // deterministic LCG stream; reference = first 2000 draws, wave =
+    // next 1000 — same distribution by construction, so the α=0.05
+    // bound must NOT fire (values are fixed: the assertion is stable)
+    val lcg = Iterator.iterate(12345L)(s => (s * 1103515245L + 12345L)
+      & 0x7FFFFFFFL).drop(1).take(3000).map(s => (s % 100).toInt).toSeq
+    val ref = lcg.take(2000).toDF("v")
+    val sameDraw = lcg.drop(2000).toDF("v")
+    val ok = Curation.ksDriftAgainst(ref, sameDraw, "v").head()
+    assert(!ok.getAs[Boolean]("drifted"),
+      s"same-distribution draw fired the trigger (D=${ok.getAs[Double]("d_stat")})")
+    assert(ok.getAs[Long]("n_ref") == 2000L && ok.getAs[Long]("n_wave") == 1000L)
+    // the planted arc: the wave's values shift by +15 — D ≈ 0.15 against
+    // a bound of 1.358·√(3000/2e6) ≈ 0.053
+    val shifted = lcg.drop(2000).map(v => v + 15).toDF("v")
+    val bad = Curation.ksDriftAgainst(ref, shifted, "v").head()
+    assert(bad.getAs[Boolean]("drifted") && bad.getAs[Double]("d_stat") > 0.10,
+      s"planted +15 shift must fire (D=${bad.getAs[Double]("d_stat")})")
+  }
 }
