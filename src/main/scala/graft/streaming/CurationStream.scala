@@ -199,8 +199,16 @@ object CurationStream {
       // static at-rest state: never appended by this pipeline, so the
       // cached flags plan is safe from recacheByPath invalidation
       val benchGrams = spark.read.parquet(benchGramsDir)
-      val flags = waveScope(graft.pipeline.Curation.contaminationFlags(
-        qp.select("id", "text"), benchGrams, "text", "id", gramN))
+      // localCheckpoint, not a waveScope persist: the gram/broadcast
+      // subtree would otherwise be re-ANALYZED by each of the wave's ~6
+      // commit actions (persist substitutes the cache only after
+      // analysis) — measured +17 s/wave at sf0.1 with CPU flat, the
+      // q119 fold's driver-analysis lesson in streaming form. The
+      // checkpoint is wave-sized and eager; its blocks free via the
+      // ContextCleaner once the wave's frames are unreachable.
+      val flags = graft.pipeline.Curation.contaminationFlags(
+        qp.select("id", "text"), benchGrams, "text", "id", gramN)
+        .localCheckpoint()
       val cleanDocs = qp.join(
         flags.filter(!col("contaminated")).select("id"), Seq("id"))
       val exactNew = waveScope(cleanDocs

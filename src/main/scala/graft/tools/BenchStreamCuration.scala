@@ -33,6 +33,12 @@ object BenchStreamCuration {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata/sf10")
     val outPath = if (args.length > 1) args(1) else "BENCH_STREAM_CURATION.json"
     val nWaves = if (args.length > 2) args(2).toInt else 24
+    // mode "decontam" streams q119's composition instead of q116's:
+    // every 29th doc becomes the eval set (gram ledger built ONCE at
+    // setup — writeBenchGrams), the rest stream through decontamWriter,
+    // and the equality gate recomputes the flags stage too
+    val mode = if (args.length > 3) args(3) else "plain"
+    val isDecon = mode == "decontam"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,8 +51,13 @@ object BenchStreamCuration {
     val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
     val fps = s"$root/fps"; val bands = s"$root/bands"; val sigs = s"$root/sigs"
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val allDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
+    val docs = if (isDecon)
+      allDocs.filter(pmod(col("doc_id"), lit(29)) =!= 0) else allDocs
+    if (isDecon) CurationStream.writeBenchGrams(
+      allDocs.filter(pmod(col("doc_id"), lit(29)) === 0),
+      "text", "doc_id", s"$root/bg")
     val nDocs = docs.count()
     val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
 
@@ -56,7 +67,10 @@ object BenchStreamCuration {
         .writeStream
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch(CurationStream.writer(out, fps, bands, sigs,
+        .foreachBatch(if (isDecon)
+          CurationStream.decontamWriter(out, fps, bands, sigs, s"$root/bg",
+            "text", "doc_id", compactEvery = 4)
+        else CurationStream.writer(out, fps, bands, sigs,
           "text", "doc_id", compactEvery = 4))
         .start()
       require(q.awaitTermination(600000), s"wave $i: no termination")
@@ -81,11 +95,15 @@ object BenchStreamCuration {
     val waveCpus = waveStats.map(_._2)
 
     // stage-attributed reject counts from the durable verdicts
-    val v = CurationStream.verdicts(spark, out).persist()
+    val v = (if (isDecon) CurationStream.verdictsDecontam(spark, out)
+      else CurationStream.verdicts(spark, out)).persist()
+    val exactGate = if (isDecon) col("clean") else col("q_pass")
     val stages = v.agg(
       count(lit(1)).as("docs"),
       sum(when(!col("q_pass"), 1L).otherwise(0L)).as("q_reject"),
-      sum(when(col("q_pass") && !col("exact_new"), 1L).otherwise(0L))
+      (if (isDecon) sum(when(col("q_pass") && !col("clean"), 1L)
+        .otherwise(0L)) else sum(lit(0L))).as("decontam_reject"),
+      sum(when(exactGate && !col("exact_new"), 1L).otherwise(0L))
         .as("exact_reject"),
       sum(when(col("exact_new") && !col("admitted"), 1L).otherwise(0L))
         .as("neardup_reject"),
@@ -95,6 +113,7 @@ object BenchStreamCuration {
     // (the CurationStreamSpec reference at tier scale) — in-memory
     // ledgers, one fold per wave, localCheckpoint truncation per wave
     val seqWall = timed {
+      val bgRef = if (isDecon) spark.read.parquet(s"$root/bg") else null
       val none = docs.filter(lit(false))
       var seqFps = none.select(
         graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
@@ -108,7 +127,15 @@ object BenchStreamCuration {
           col("doc_id") < (b + 1) * maxId / nWaves)
         val scored = w.select(col("doc_id"), col("text"),
           graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
-        val exactNew = scored.filter(col("quality") >= 0.7)
+        val qp = scored.filter(col("quality") >= 0.7)
+        val flags = if (isDecon)
+          graft.pipeline.Curation.contaminationFlags(
+            qp.select("doc_id", "text"), bgRef, "text", "doc_id").persist()
+          else null
+        val pre = if (isDecon) qp.join(
+          flags.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+          else qp
+        val exactNew = pre
           .withColumn("fp", graft.text.TextFunctions.fingerprint(col("text")))
           .join(seqFps, Seq("fp"), "left_anti")
           .withColumn("rn", row_number().over(
@@ -120,16 +147,21 @@ object BenchStreamCuration {
           exactNew, "text", "doc_id").persist()
         val verdict = graft.dedup.Dedup.MinHashLsh.nearDupAdmitApproxSketched(
           sk, seqBands, seqSigs, 0.5).persist()
-        val waveOut = scored.select(col("doc_id"), col("quality"),
-            (col("quality") >= 0.7).as("q_pass"))
+        val base = scored.select(col("doc_id"), col("quality"),
+          (col("quality") >= 0.7).as("q_pass"))
+        val attributed = if (isDecon) base
+          .join(flags.select(col("doc_id"), col("n_shared_grams"),
+            (!col("contaminated")).as("cl")), Seq("doc_id"), "left")
+          .withColumn("clean", coalesce(col("cl"), lit(false))).drop("cl")
+          else base
+        val waveOut = attributed
           .join(exactNew.select(col("doc_id"), lit(true).as("en")),
             Seq("doc_id"), "left")
           .join(verdict.select(col("doc_id"), col("admitted").as("adm"),
             col("first_match")), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("quality"), col("q_pass"),
-            coalesce(col("en"), lit(false)).as("exact_new"),
-            coalesce(col("adm"), lit(false)).as("admitted"),
-            col("first_match"))
+          .withColumn("exact_new", coalesce(col("en"), lit(false)))
+          .withColumn("admitted", coalesce(col("adm"), lit(false)))
+          .drop("en", "adm")
         seqOut = (if (seqOut == null) waveOut
           else seqOut.unionByName(waveOut)).localCheckpoint()
         seqFps = seqFps.unionByName(exactNew.select("fp")).localCheckpoint()
@@ -142,9 +174,11 @@ object BenchStreamCuration {
         seqSigs = seqSigs.unionByName(admittedSk.select("id", "sig"))
           .localCheckpoint()
         verdict.unpersist(); sk.unpersist(); exactNew.unpersist()
+        if (flags != null) flags.unpersist()
       }
-      val cols = Seq("doc_id", "quality", "q_pass", "exact_new", "admitted",
-        "first_match").map(col)
+      val cols = (Seq("doc_id", "quality", "q_pass") ++
+        (if (isDecon) Seq("n_shared_grams", "clean") else Nil) ++
+        Seq("exact_new", "admitted", "first_match")).map(col)
       val sv = v.select(cols: _*)
       val diff = sv.exceptAll(seqOut.select(cols: _*)).count() +
         seqOut.select(cols: _*).exceptAll(sv).count()
@@ -182,7 +216,7 @@ object BenchStreamCuration {
     val earlyMean = if (early.nonEmpty) early.sum / early.size else -1.0
     val postMean = if (post.nonEmpty) post.sum / post.size else -1.0
     val line =
-      s"""{"sf":"$sfDir","docs":$nDocs,"waves":$nWaves,""" +
+      s"""{"sf":"$sfDir","mode":"$mode","docs":$nDocs,"waves":$nWaves,""" +
       s""""wave_walls":${arr(waveWalls)},""" +
       s""""wave_cpu_s":${arr(waveCpus)},""" +
       s""""compact_waves":${compactWaves.mkString("[", ",", "]")},""" +
@@ -192,9 +226,10 @@ object BenchStreamCuration {
       s""""post_over_early":${f"${postMean / earlyMean}%.3f"},""" +
       s""""stages":{"docs":${stages.getLong(0)},""" +
       s""""q_reject":${stages.getLong(1)},""" +
-      s""""exact_reject":${stages.getLong(2)},""" +
-      s""""neardup_reject":${stages.getLong(3)},""" +
-      s""""admitted":${stages.getLong(4)}},""" +
+      s""""decontam_reject":${stages.getLong(2)},""" +
+      s""""exact_reject":${stages.getLong(3)},""" +
+      s""""neardup_reject":${stages.getLong(4)},""" +
+      s""""admitted":${stages.getLong(5)}},""" +
       s""""state_bytes":{"fps":${ledgerBytes(fps)},""" +
       s""""bands":${ledgerBytes(bands)},"sigs":${ledgerBytes(sigs)}},""" +
       s""""seq_recompute_wall_s":${f"$seqWall%.3f"},"diff_rows":0}"""
