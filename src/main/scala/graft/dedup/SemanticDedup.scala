@@ -440,4 +440,138 @@ object SemanticDedup {
           .when(col("vec_id") === col("rep"), col("first_match"))
           .otherwise(least(col("first_match"), col("rep"))).as("first_match"))
   }
+
+  // ── BENCHMARK DECONTAMINATION, embedding space ───────────────────────
+  //
+  // The semantic rung of the engine's decontamination ladder (q79 = any
+  // shared token 5-gram, q120 = media perceptual hamming): a corpus
+  // vector is flagged when its cosine to ANY eval-set vector reaches the
+  // threshold. This is the gap the n-gram gate is known to miss —
+  // paraphrased or re-rendered benchmark text shares almost no token
+  // n-grams with the original but lands next to it in embedding space,
+  // which is why eval suites publish embedding-similarity contamination
+  // audits alongside exact-overlap ones.
+
+  /** Exact embedding decontamination for the common case: the eval set is
+    * SMALL relative to the corpus (benchmark suites are thousands to a
+    * few million rows vs a 100 TB corpus). The eval side rides a
+    * BROADCAST into a nested-loop probe — the corpus never exchanges;
+    * each partition streams its rows once against the in-memory eval
+    * block through the codegen [[FloatVecDot]] kernel, and only
+    * match-sized hit rows shuffle into the per-vector aggregate (partial
+    * agg absorbs the fan-out map-side). No cell blocking → no missed
+    * pairs: this is the exact gate, priced |corpus|·|eval| dot products
+    * spread across every corpus partition. Zero vectors (undefined
+    * cosine) never match — mirroring q120's null-fingerprint rule.
+    *
+    * Returns one verdict row per corpus vector:
+    * `(idCol, n_matched, first_match, contaminated)` — q120's verdict
+    * shape with cosine in place of hamming distance.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"decontamination cosine threshold must lie in (0, 1], got $threshold")
+    val c = corpus.select(col(idCol), col(vecCol).as("cv"),
+      FloatVecDot.norm2(col(vecCol)).as("cvn2"))
+    val b = evalSet.select(col(idCol).as("eid"), col(vecCol).as("ev"),
+      FloatVecDot.norm2(col(vecCol)).as("evn2"))
+    val hits = c.join(broadcast(b),
+        col("cvn2") > 0 && col("evn2") > 0 &&
+          VectorFunctions.cosinePrenormed(
+            FloatVecDot.dot(col("cv"), col("ev")),
+            col("cvn2"), col("evn2")) >= lit(threshold))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), min(col("eid")).as("first_match"))
+    verdictFrame(corpus, hits, idCol)
+  }
+
+  /** [[semanticDecontaminate]] for eval sets TOO LARGE to broadcast: both
+    * sides are assigned to the IVF cells of a shared centroid draw and
+    * the probe becomes a plain equi-join ON THE CELL ID — pair volume
+    * drops from |corpus|·|eval| to Σ_cell |corpus_c|·|eval_c|, and each
+    * side exchanges at most once, by cell (persist the eval assignment
+    * cell-bucketed — the `<name>_assigned` layout of
+    * [[graft.similarity.Ann.writeIvfIndex]] — and the at-rest side is
+    * exchange-free). The cell blocking is the SemDeDup approximation
+    * applied to decontamination: a contaminated pair straddling a cell
+    * boundary is missed by design, and the mitigation under corpus drift
+    * is the same retrain contract the reps family carries
+    * ([[retrainRemap]]). Centroids must come from an engine-independent
+    * draw ([[graft.similarity.Ann.strideCentroids]]) for the verdict to
+    * be replayable in plain SQL (q123's oracle).
+    */
+  def semanticDecontaminateCelled(corpus: DataFrame, evalSet: DataFrame,
+      centroids: DataFrame, threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"decontamination cosine threshold must lie in (0, 1], got $threshold")
+    def assigned(side: DataFrame): DataFrame = Ann.indexWithCentroids(
+      side.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      centroids).assigned
+    val hits = assigned(corpus)
+      .join(assigned(evalSet).select(col("cell"), col("nid").as("eid"),
+          col("ce").as("ev"), col("cn2").as("evn2")), Seq("cell"))
+      .filter(col("cn2") > 0 && col("evn2") > 0 &&
+        VectorFunctions.cosinePrenormed(
+          FloatVecDot.dot(col("ce"), col("ev")),
+          col("cn2"), col("evn2")) >= lit(threshold))
+      .groupBy(col("nid").as(idCol))
+      .agg(count(lit(1)).as("n_matched"), min(col("eid")).as("first_match"))
+    verdictFrame(corpus, hits, idCol)
+  }
+
+  /** Shared verdict fan-back: every corpus id, hit counts coalesced to 0,
+    * `contaminated` = any hit. */
+  private def verdictFrame(corpus: DataFrame, hits: DataFrame,
+      idCol: String): DataFrame =
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        col("first_match"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+
+  /** [[semanticAdmit]] composed with the eval-exclusion gate — q119's
+    * composition rule in embedding space: batch vectors within
+    * `decontamThreshold` of ANY eval vector are rejected FIRST and never
+    * reach the admission comparison set, so contaminated text can
+    * neither become the retained survivor that shields a clean
+    * near-copy nor count as "already seen" against a later clean
+    * arrival. The clean remainder runs the standard one-pass semantic
+    * admission against the corpus and its own smaller-id CLEAN members.
+    *
+    * Scale shape: the contamination probe is [[semanticDecontaminate]]'s
+    * broadcast kernel over the BATCH side only (wave-sized × eval-sized
+    * dot products, no corpus term); the admission's cost model is
+    * unchanged (distinct-rep collapse, within-cell pairwise).
+    *
+    * Verdicts — one row per batch vector:
+    * `(vec_id, admitted, first_match, contaminated, eval_match)`.
+    * `first_match` is the admission's match (null for contaminated rows,
+    * which never entered admission); `eval_match` the smallest matching
+    * eval id (null for clean rows). Zero vectors are clean (undefined
+    * cosine) and always admitted, as in [[semanticAdmit]].
+    */
+  def semanticAdmitDecontam(batch: DataFrame, corpus: DataFrame,
+      evalSet: DataFrame, dupThreshold: Double, decontamThreshold: Double,
+      centroids: DataFrame,
+      scope: DataFrame => DataFrame = Dedup.cachedSketch): DataFrame = {
+    val contam = scope(
+      semanticDecontaminate(batch, evalSet, decontamThreshold))
+    val clean = batch.join(
+      contam.filter(col("contaminated")).select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    val admit = semanticAdmit(clean, corpus, dupThreshold, centroids, scope)
+      .withColumnRenamed("first_match", "dup_match")
+      .withColumnRenamed("admitted", "clean_admitted")
+    contam.select(col("vec_id"), col("contaminated"),
+        when(col("contaminated"), col("first_match")).as("eval_match"))
+      .join(admit, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("clean_admitted"), lit(false)).as("admitted"),
+        col("dup_match").as("first_match"),
+        col("contaminated"), col("eval_match"))
+  }
 }

@@ -1022,5 +1022,143 @@ object DedupQueries extends QueryModule {
              |  coalesce(n_kept, 0) AS n_kept,
              |  coalesce(text_kept, '') AS text_kept
              |FROM documents d0 LEFT JOIN g ON d0.doc_id = g.doc_id
-             |ORDER BY d0.doc_id""".stripMargin)))
+             |ORDER BY d0.doc_id""".stripMargin)),
+
+    // SEMANTIC (embedding-space) benchmark decontamination — the third
+    // rung of the decontamination ladder (q79 = shared token 5-grams,
+    // q120 = media perceptual hamming): every 97th vector stands in for
+    // the eval set; a corpus vector is flagged when its cosine to ANY
+    // eval vector reaches 0.4 (the q91 semantic-dup threshold — measured
+    // non-vacuous: 4 contaminated at sf0.01, 25 at sf0.1). EXACT gate:
+    // the eval side rides a broadcast into a nested-loop probe through
+    // the codegen FloatVecDot kernel — the corpus never exchanges, no
+    // cell blocking, no missed pairs.
+    "q122_semantic_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.dedup.SemanticDedup.semanticDecontaminate(
+            emb.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+            emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+            threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding,
+             |      x -> x::double * x::double), (x, y) -> x + y) AS n2
+             |  FROM embeddings
+             |), bm AS MATERIALIZED (SELECT * FROM base WHERE vec_id % 97 = 0),
+             |cm AS MATERIALIZED (SELECT * FROM base WHERE vec_id % 97 <> 0),
+             |hits AS (
+             |  SELECT c.vec_id, count(*) AS n_matched,
+             |    min(b.vec_id) AS first_match
+             |  FROM cm c JOIN bm b ON c.n2 > 0 AND b.n2 > 0 AND
+             |    (list_reduce(list_transform(range(1, len(c.embedding) + 1),
+             |        i -> c.embedding[i]::double * b.embedding[i]::double),
+             |        (x, y) -> x + y)
+             |     / (sqrt(c.n2) * sqrt(b.n2))) >= 0.4
+             |  GROUP BY 1
+             |)
+             |SELECT c.vec_id, coalesce(h.n_matched, 0) AS n_matched,
+             |  h.first_match,
+             |  coalesce(h.n_matched, 0) > 0 AS contaminated
+             |FROM cm c LEFT JOIN hits h ON c.vec_id = h.vec_id
+             |ORDER BY c.vec_id""".stripMargin)),
+
+    // q122's LARGE-EVAL-SET path: both sides assigned to the stride-drawn
+    // IVF cells (q91's coordinate system, drawn over the FULL table so
+    // the draw is split-independent), probe = plain equi-join ON the cell
+    // id — pair volume |corpus|·|eval| → Σ_cell products, each side
+    // exchanges at most once. The cell blocking is the SemDeDup
+    // approximation applied to decontamination: pairs straddling a cell
+    // boundary are missed BY DESIGN (this fixture: 1 of q122's 4 hits
+    // survives the blocking at sf0.01, 3 of 25 at sf0.1 — the measured
+    // price of the equi-join shape on a spread-out corpus; real eval
+    // contamination is near-identical text whose vectors land in one
+    // cell). Oracle replays the draw, the argmax assignment, and the
+    // same-cell cosine in full SQL.
+    "q123_semantic_decontam_celled" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.dedup.SemanticDedup.semanticDecontaminateCelled(
+            emb.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+            emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+            graft.similarity.Ann.strideCentroids(emb),
+            threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $semanticMemCtes,
+             |bm AS (SELECT * FROM mem WHERE nid % 97 = 0),
+             |cm AS (SELECT * FROM mem WHERE nid % 97 <> 0),
+             |hits AS (
+             |  SELECT c.nid AS vec_id, count(*) AS n_matched,
+             |    min(b.nid) AS first_match
+             |  FROM cm c JOIN bm b ON c.cell = b.cell
+             |    AND c.cn2 > 0 AND b.cn2 > 0
+             |    AND (list_reduce(list_transform(range(1, len(c.ce) + 1),
+             |        i -> c.ce[i]::double * b.ce[i]::double), (x, y) -> x + y)
+             |     / (sqrt(c.cn2) * sqrt(b.cn2))) >= 0.4
+             |  GROUP BY 1
+             |)
+             |SELECT m.nid AS vec_id, coalesce(h.n_matched, 0) AS n_matched,
+             |  h.first_match,
+             |  coalesce(h.n_matched, 0) > 0 AS contaminated
+             |FROM cm m LEFT JOIN hits h ON m.nid = h.vec_id
+             |ORDER BY vec_id""".stripMargin)),
+
+    // q112's one-pass semantic admission COMPOSED with the q122 eval
+    // gate (q119's composition rule in embedding space): the eval split
+    // (%97) is carved out of both halves; a batch (odd) vector within
+    // cosine 0.4 of any eval vector is rejected FIRST and excluded from
+    // the admission comparison set — contaminated text can neither be
+    // the retained survivor that shields a clean near-copy nor count as
+    // "already seen" against a later clean arrival. The corpus (even)
+    // side is taken as given — its own decontamination happened at its
+    // own admission time. Oracle = q112's raw-pairwise ver CTE with the
+    // contamination exclusions + q122's brute-force contam CTE.
+    "q124_semantic_admit_decontam" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val nonEval = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        graft.dedup.SemanticDedup.semanticAdmitDecontam(
+            nonEval.filter(pmod(col("vec_id"), lit(2)) === 1),
+            nonEval.filter(pmod(col("vec_id"), lit(2)) === 0),
+            emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+            dupThreshold = 0.4, decontamThreshold = 0.4,
+            graft.similarity.Ann.strideCentroids(emb))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $semanticMemCtes, contam AS MATERIALIZED (
+             |  SELECT x.nid AS bid, min(b.nid) AS eval_match
+             |  FROM mem x JOIN mem b ON x.nid % 97 <> 0 AND x.nid % 2 = 1
+             |    AND b.nid % 97 = 0
+             |    AND x.cn2 > 0 AND b.cn2 > 0
+             |    AND (list_reduce(list_transform(range(1, len(x.ce) + 1),
+             |        i -> x.ce[i]::double * b.ce[i]::double), (u, w) -> u + w)
+             |     / (sqrt(x.cn2) * sqrt(b.cn2))) >= 0.4
+             |  GROUP BY 1
+             |), ver AS (
+             |  SELECT x.nid AS bid, y.nid AS mid
+             |  FROM mem x JOIN mem y ON x.cell = y.cell
+             |  WHERE x.nid % 97 <> 0 AND x.nid % 2 = 1
+             |    AND x.nid NOT IN (SELECT bid FROM contam)
+             |    AND y.nid % 97 <> 0
+             |    AND (y.nid % 2 = 0 OR (y.nid < x.nid
+             |      AND y.nid NOT IN (SELECT bid FROM contam)))
+             |    AND x.cn2 > 0 AND y.cn2 > 0
+             |    AND (list_reduce(list_transform(range(1, len(x.ce) + 1),
+             |        i -> x.ce[i]::double * y.ce[i]::double), (u, w) -> u + w)
+             |     / (sqrt(x.cn2) * sqrt(y.cn2))) >= 0.4
+             |)
+             |SELECT m.nid AS vec_id,
+             |  CASE WHEN c.bid IS NOT NULL THEN false
+             |    ELSE count(v.mid) = 0 END AS admitted,
+             |  min(v.mid) AS first_match,
+             |  c.bid IS NOT NULL AS contaminated,
+             |  c.eval_match
+             |FROM (SELECT nid FROM mem WHERE nid % 97 <> 0 AND nid % 2 = 1) m
+             |LEFT JOIN contam c ON m.nid = c.bid
+             |LEFT JOIN ver v ON m.nid = v.bid
+             |GROUP BY m.nid, c.bid, c.eval_match
+             |ORDER BY m.nid""".stripMargin)))
 }

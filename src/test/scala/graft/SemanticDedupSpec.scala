@@ -227,4 +227,82 @@ class SemanticDedupSpec extends AnyFunSuite {
         (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3)))
     assert(r.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
   }
+
+  test("semanticDecontaminate: near-eval vectors flag, orthogonal and " +
+      "zero vectors never do; multi-hit counts") {
+    val evalSet = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (200L, Array(0.999f, 0.02f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.999f, 0.01f, 0.0f)),  // cos ≥ .9 to BOTH eval vectors
+      (2L, Array(0.0f, 1.0f, 0.0f)),     // orthogonal — clean
+      (3L, Array(0.0f, 0.0f, 0.0f)))     // zero vector — undefined cosine, clean
+      .toDF("vec_id", "embedding")
+    val r = SemanticDedup.semanticDecontaminate(corpus, evalSet, 0.9)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getBoolean(3)))
+      .sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, 2L, 100L, true),   // both eval hits counted, first_match = min id
+      (2L, 0L, -1L, false),
+      (3L, 0L, -1L, false)))
+  }
+
+  test("semanticDecontaminateCelled ≡ exact when the contaminated pair " +
+      "shares a cell; a cross-cell pair is missed by design") {
+    val cent = Seq((1, Array(1.0f, 0.0f, 0.0f)), (2, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cell", "cvec")
+    val evalSet = Seq((100L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")  // lands in cell 1
+    val corpus = Seq(
+      (1L, Array(0.999f, 0.01f, 0.0f)), // cell 1, cos ≈ 1 to eval → both gates hit
+      // cos to eval ≈ 0.687 ≥ 0.65, but argmax cell = 2 (0.727 vs 0.687):
+      // the exact gate flags it, the cell-blocked gate misses it
+      (2L, Array(0.69f, 0.73f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)))    // cell 2, clean under both
+      .toDF("vec_id", "embedding")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getBoolean(3))).sortBy(_._1).toSeq
+    val exact =
+      verdicts(SemanticDedup.semanticDecontaminate(corpus, evalSet, 0.65))
+    val celled = verdicts(
+      SemanticDedup.semanticDecontaminateCelled(corpus, evalSet, cent, 0.65))
+    assert(exact == Seq((1L, true), (2L, true), (3L, false)))
+    assert(celled == Seq((1L, true), (2L, false), (3L, false)),
+      "the cell boundary hides the off-cell pair — the documented " +
+        "SemDeDup approximation, priced in q123's comment")
+  }
+
+  test("semanticAdmitDecontam: contaminated vectors are rejected AND " +
+      "excluded from the comparison set — they cannot shield a clean " +
+      "near-copy; corpus dups still reject; zero vectors admit clean") {
+    val cent = Seq((1, Array(0.5f, 0.5f, 0.0f))).toDF("cell", "cvec")
+    val evalSet = Seq((100L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((50L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Array(0.999f, 0.01f, 0.0f)), // cos to eval ≈ 1 → contaminated
+      // cos to eval ≈ 0.921 < 0.95 (clean) but cos to vec 1 ≈ 0.925 ≥ 0.9:
+      // only vec 1's EXCLUSION lets this near-copy through — the pin
+      (3L, Array(0.92f, 0.39f, 0.0f)),
+      (5L, Array(0.01f, 0.999f, 0.0f)), // corpus dup of 50 → rejected, clean
+      (7L, Array(0.0f, 0.0f, 0.0f)))    // zero vector → admitted, clean
+      .toDF("vec_id", "embedding")
+    val r = SemanticDedup.semanticAdmitDecontam(
+        batch, corpus, evalSet,
+        dupThreshold = 0.9, decontamThreshold = 0.95, cent)
+      .collect()
+      .map(x => (x.getLong(0), x.getBoolean(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getBoolean(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4)))
+      .sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, false, -1L, true, 100L),
+      (3L, true, -1L, false, -1L),
+      (5L, false, 50L, false, -1L),
+      (7L, true, -1L, false, -1L)))
+  }
 }
