@@ -391,19 +391,36 @@ object SemanticDedup {
     */
   def semanticAdmit(batch: DataFrame, corpus: DataFrame, threshold: Double,
       centroids: DataFrame,
+      scope: DataFrame => DataFrame = Dedup.cachedSketch): DataFrame =
+    admitVsReps(batch,
+      repsOfAsg(Ann.indexWithCentroids(corpus, centroids).assigned),
+      threshold, centroids, scope)
+
+  /** Distinct-vector rep collapse over an assignment frame: one
+    * (rep, cell, ce, cn2) row per distinct nonzero vector, rep = min id. */
+  private def repsOfAsg(asg: DataFrame): DataFrame = asg
+    .filter(col("cn2") > 0)
+    .groupBy(cefp(col("ce")).as("cefp"))
+    .agg(min_by(struct(col("nid"), col("cell"), col("ce"), col("cn2")),
+      col("nid")).as("g"))
+    .select(col("g.nid").as("rep"), col("g.cell").as("cell"),
+      col("g.ce").as("ce"), col("g.cn2").as("cn2"))
+
+  /** [[semanticAdmit]] with the corpus side given as ALREADY-ASSIGNED
+    * distinct-vector reps (cell, rep, ce, cn2) — the streaming form's
+    * entry point: [[graft.streaming.SemanticStream]]'s reps ledger is
+    * cell-bucketed at rest, so the per-wave probe must not re-run the
+    * O(corpus) argmax assignment the batch path performs on a raw
+    * corpus. Semantics identical to [[semanticAdmit]] by construction
+    * (that method delegates here). */
+  private[graft] def admitVsReps(batch: DataFrame, corpusReps: DataFrame,
+      threshold: Double, centroids: DataFrame,
       scope: DataFrame => DataFrame = Dedup.cachedSketch): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"semantic-dup cosine threshold must lie in (0, 1], got $threshold")
-    def repsOf(asg: DataFrame) = asg
-      .filter(col("cn2") > 0)
-      .groupBy(cefp(col("ce")).as("cefp"))
-      .agg(min_by(struct(col("nid"), col("cell"), col("ce"), col("cn2")),
-        col("nid")).as("g"))
-      .select(col("g.nid").as("rep"), col("g.cell").as("cell"),
-        col("g.ce").as("ce"), col("g.cn2").as("cn2"))
     val ba = scope(Ann.indexWithCentroids(batch, centroids).assigned)
-    val br = scope(repsOf(ba))
-    val cr = repsOf(Ann.indexWithCentroids(corpus, centroids).assigned)
+    val br = scope(repsOfAsg(ba))
+    val cr = corpusReps
     val cos = VectorFunctions.cosinePrenormed(
       FloatVecDot.dot(col("e_a"), col("e_b")), col("n_a"), col("n_b"))
     val probe = br.select(col("cell"), col("rep").as("bid"),

@@ -488,5 +488,77 @@ object Text extends QueryModule {
              |  coalesce(1.0 / (60 + rank_lex), 0.0)
              |    + coalesce(1.0 / (60 + rank_dense), 0.0) AS rrf
              |FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id
-             |ORDER BY rrf DESC, coalesce(l.doc_id, dn.doc_id)""".stripMargin)))
+             |ORDER BY rrf DESC, coalesce(l.doc_id, dn.doc_id)""".stripMargin)),
+
+    // TRAINED text classifier (multinomial NB, add-one smoothing): the
+    // %7 split trains, the rest scores — the fastText/CCNet-style
+    // trained-filter rung above q20-23's heuristics and q96's
+    // corpus-adaptive perplexity. Every ln() is micro-quantized at the
+    // TERM level (q96's parity discipline), so the per-doc score is an
+    // order-independent long sum and the argmax (score DESC, label ASC)
+    // replays exactly. The fixture's text carries NO lang signal (all
+    // tokens shared across all 5 langs — measured), so the gate here is
+    // the exact model/argmax replay; NaiveBayesSpec's planted separable
+    // corpus pins that the learner actually learns.
+    "q125_nb_classifier" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.text.NaiveBayes.trainScore(
+            d.filter(col("doc_id") % 7 === 0),
+            d.filter(col("doc_id") % 7 =!= 0),
+            "text", "doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (
+             |  SELECT lang AS label,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 7 = 0
+             |), trocc AS (
+             |  SELECT label, unnest(toks) AS token FROM tr
+             |), counts AS MATERIALIZED (
+             |  SELECT label, token, count(*) AS cnt FROM trocc GROUP BY 1, 2
+             |), ct AS (
+             |  SELECT label, sum(cnt) AS t_occ FROM counts GROUP BY 1
+             |), v AS (
+             |  SELECT count(DISTINCT token) AS v_vocab FROM counts
+             |), pri AS (
+             |  SELECT lang AS label, count(*) AS n_c FROM documents
+             |  WHERE doc_id % 7 = 0 GROUP BY 1
+             |), n AS (SELECT sum(n_c) AS n_train FROM pri),
+             |classes AS MATERIALIZED (
+             |  SELECT label,
+             |    cast(floor(ln(cast(n_c AS double) / cast(n_train AS double))
+             |      * 1e6) AS bigint) AS prior_u,
+             |    cast(floor(ln(1.0 / (cast(t_occ AS double)
+             |        + cast(v_vocab AS double))) * 1e6) AS bigint) AS unseen_u
+             |  FROM pri CROSS JOIN n JOIN ct USING (label) CROSS JOIN v
+             |), toku AS MATERIALIZED (
+             |  SELECT label, token,
+             |    cast(floor(ln((cast(cnt AS double) + 1.0)
+             |        / (cast(t_occ AS double) + cast(v_vocab AS double)))
+             |      * 1e6) AS bigint) AS tok_u
+             |  FROM counts JOIN ct USING (label) CROSS JOIN v
+             |), sd AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |), socc AS (
+             |  SELECT doc_id, unnest(toks) AS token FROM sd
+             |), pc AS (
+             |  SELECT s.doc_id, c.label,
+             |    sum(coalesce(t.tok_u, c.unseen_u)) AS tok_sum
+             |  FROM socc s CROSS JOIN classes c
+             |  LEFT JOIN toku t ON t.label = c.label AND t.token = s.token
+             |  GROUP BY 1, 2
+             |), fl AS (
+             |  SELECT d.doc_id, c.label,
+             |    c.prior_u + coalesce(pc.tok_sum, 0) AS score_u
+             |  FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+             |  CROSS JOIN classes c
+             |  LEFT JOIN pc ON pc.doc_id = d.doc_id AND pc.label = c.label
+             |)
+             |SELECT doc_id, label AS predicted, score_u
+             |FROM (SELECT doc_id, label, score_u, row_number()
+             |        OVER (PARTITION BY doc_id ORDER BY score_u DESC, label)
+             |        AS rn FROM fl)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
 }

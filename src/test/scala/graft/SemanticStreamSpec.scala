@@ -311,4 +311,77 @@ class SemanticStreamSpec extends AnyFunSuite {
       s"$dRoot/reps", maxOverMean = 4.0, refineIters = 0).isEmpty,
       "the next cadence after a rebalancing retrain must not fire")
   }
+
+  test("semantic admission stream with eval gate: wave verdicts ≡ " +
+      "sequential batch composition, contaminated vectors never ledger, " +
+      "shield exclusion, crash-window heal, replay no-op") {
+    val root = freshDir("graft-sem-admit-stream")
+    val verdicts = s"$root/verdicts"; val reps = s"$root/reps"
+    val evalSet = Seq((100L, vx)).toDF("vec_id", "embedding")
+    // dup 0.89 / decontam 0.97: vx is contaminated (cos 1 to eval);
+    // vy is clean (0.92 < 0.97) but WOULD be vx's dup (0.92 ≥ 0.89) —
+    // only vx's exclusion admits it; vu is vw's dup (cos ≈ 0.9 ≥ 0.89)
+    val w = SemanticStream.admitWriter(verdicts, reps, "embedding",
+      "vec_id", centroids, evalSet,
+      dupThreshold = 0.89, decontamThreshold = 0.97, compactEvery = 0)
+    val waves = Seq(
+      Seq((0L, vx), (1L, vw)),
+      Seq((10L, vy), (11L, vx)),
+      Seq((20L, vy), (21L, vu), (99L, zero)))
+
+    // sequential batch-composition reference: same waves through
+    // SemanticDedup.semanticAdmitDecontam, corpus = prior admissions
+    var refCorpus = spark.emptyDataset[(Long, Seq[Float])]
+      .toDF("vec_id", "embedding")
+    val expected = scala.collection.mutable.Buffer[(Long, Boolean, Long, Boolean, Long)]()
+    waves.foreach { rows =>
+      val wave = rows.toDF("vec_id", "embedding")
+      val v = SemanticDedup.semanticAdmitDecontam(wave, refCorpus, evalSet,
+        dupThreshold = 0.89, decontamThreshold = 0.97, centroids).collect()
+      expected ++= v.map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      val admitted = v.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+      refCorpus = refCorpus.unionByName(
+        rows.filter(r => admitted(r._1)).toDF("vec_id", "embedding"))
+    }
+
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      w(rows.toDF("vec_id", "embedding"), i.toLong) }
+    def streamVerdicts() = SemanticStream.admitVerdicts(spark, verdicts)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Boolean]("admitted"),
+        Option(r.getAs[Any]("first_match")).fold(-1L)(_.asInstanceOf[Long]),
+        r.getAs[Boolean]("contaminated"),
+        Option(r.getAs[Any]("eval_match")).fold(-1L)(_.asInstanceOf[Long])))
+      .toSet
+    assert(streamVerdicts() == expected.toSet,
+      "stream verdicts must equal the sequential batch composition")
+    // the three contracts the fixture pins
+    val byId = streamVerdicts().map(t => t._1 -> t).toMap
+    assert(byId(0L) == ((0L, false, -1L, true, 100L)), "vx contaminated")
+    assert(byId(10L) == ((10L, true, -1L, false, -1L)),
+      "vy admits ONLY because contaminated vx never entered the ledger")
+    assert(byId(21L)._2 == false && byId(21L)._3 == 1L, "vu is vw's dup")
+    assert(byId(99L) == ((99L, true, -1L, false, -1L)), "zero admits clean")
+    val ledger = SemanticStream.ledgerReps(spark, reps)
+      .select("rep").collect().map(_.getLong(0)).toSet
+    assert(ledger == Set(1L, 10L),
+      "ledger = admitted distinct nonzero reps; contaminated and zero " +
+        s"vectors never enter: $ledger")
+
+    // crash window: verdicts committed, reps delta lost → replay heals
+    val fs = new org.apache.hadoop.fs.Path(reps).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$reps/batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$reps/_committed-1"), false)
+    w(waves(1).toDF("vec_id", "embedding"), 1L)
+    assert(SemanticStream.ledgerReps(spark, reps)
+      .select("rep").collect().map(_.getLong(0)).toSet == Set(1L, 10L),
+      "replay must re-derive the lost reps delta from committed verdicts")
+    // full replay no-op: markers everywhere → byte-identical state
+    val before = streamVerdicts()
+    w(waves(0).toDF("vec_id", "embedding"), 0L)
+    assert(streamVerdicts() == before, "marker-gated replay is a no-op")
+  }
 }
