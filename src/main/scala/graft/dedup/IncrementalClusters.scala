@@ -448,7 +448,16 @@ object IncrementalClusters {
     * exact-Jaccard edges in [[foldWaveExact]], within-IVF-cell cosine
     * edges in [[SemanticDedup.foldWaveSemantic]]) folds into the same
     * label/merge ledgers with the same union-over-waves ≡ from-scratch
-    * closure guarantee. `sk` supplies the wave's ids (column `id`);
+    * closure guarantee.
+    *
+    * RETURNED FRAMES ARE LEAF-SHAPED on both paths — parallelized local
+    * arrays under the driver gate, localCheckpoint leaves past it — so
+    * callers fold them into their ledgers with PLAIN unions: a per-wave
+    * cumulative `union(...).localCheckpoint()` on top re-copies the
+    * whole ledger every wave (O(waves·corpus) for the fold) and pays an
+    * extra eager action+job, for lineage that is already cut.
+    *
+    * `sk` supplies the wave's ids (column `id`);
     * `edges` must be cheap to re-evaluate (scoped/persisted by the
     * caller or built over persisted parents).
     *
@@ -609,6 +618,14 @@ object IncrementalClusters {
       .join(sk.select(col("id")), Seq("id"), "left_anti")
       .filter(col("comp") =!= col("id"))
       .select(col("id").as("old_label"), col("comp").as("new_label"))
-    (labelRows, mergeRows)
+    // truncate HERE, not in every caller: these frames embed the wave's
+    // whole edge plan (band probe + verify + CC), and the fold contract
+    // (see foldEdgeFrame's scaladoc) is that returned rows are
+    // leaf-shaped — the driver-gated path returns parallelized local
+    // arrays, so this path must hand back the same thing or the callers'
+    // ledger unions re-nest the fat plan per wave. The checkpoint also
+    // means a writer's two sink actions (labels, merges) share one
+    // materialization instead of re-running the edge plan each.
+    (labelRows.localCheckpoint(), mergeRows.localCheckpoint())
   }
 }

@@ -353,14 +353,40 @@ object CurationQueries extends QueryModule {
               org.apache.spark.sql.expressions.Window
                 .partitionBy("fp").orderBy("doc_id")))
             .filter(col("rn") === 1).drop("rn"))
-          val sk = cache(Dedup.MinHashLsh.sigsFor(
-            exactNew, "text", "doc_id", portable = true))
-          val verdict = cache(Dedup.MinHashLsh.nearDupAdmitApproxSketched(
+          // the wave sketch is cut EAGERLY (not just cached): the verdict
+          // plan references it from four subtrees whose AQE stages race
+          // the unmaterialized cache chain — tasks of the losing stages
+          // sit on BlockInfoManager locks while one computes (measured
+          // at sf0.1: 28 s/wave of blocked executorRunTime vs 20 s CPU,
+          // and the fused-checkpoint wall drops ~1 s/wave with the leaf)
+          val sk = Dedup.MinHashLsh.sigsFor(
+            exactNew, "text", "doc_id", portable = true).localCheckpoint()
+          val verdict = Dedup.MinHashLsh.nearDupAdmitApproxSketched(
             sk, bands, sigs, threshold = 0.35, cache,
-            knownRows = Some(nDocs)))
-          val waveOut = scored.select(col("doc_id"), col("quality"),
+            knownRows = Some(nDocs))
+          // ONE per-wave lineage cut (q108's discipline, fused): the
+          // wave's ENTIRE product — verdict columns + the fp ledger
+          // delta + the admitted-survivor sigs — rides a single
+          // localCheckpoint; the three ledger deltas AND the wave's
+          // output rows are then leaf PROJECTIONS of it. The previous
+          // shape cut the fp delta and the admitted sketch as two
+          // separate eager actions and left `out` uncut, so every wave
+          // paid two full analyze/plan/schedule round-trips over the
+          // nested fold tree and the FINAL action re-analyzed all four
+          // waves' verdict subtrees once more — measured at sf0.1 as
+          // ~2.5 s of pure driver time for the final noop write alone
+          // (0.4 s executor) and 3.3 s wall per admitted-sketch
+          // checkpoint. Fused: one action per wave, every consumer
+          // (ledgers, final union) bottoms out at ≤ waves leaves, final
+          // analysis is over leaf projections. Row/byte cost vs the old
+          // checkpoints: + the wave's quality-reject rows (small, and
+          // wave-sized either way); `sig` is masked to admitted rows so
+          // the leaf never retains a rejected doc's 256 B signature.
+          val cpW = scored.select(col("doc_id"), col("quality"),
               (col("quality") >= 0.7).as("q_pass"))
-            .join(exactNew.select(col("doc_id"), lit(true).as("en")),
+            .join(exactNew.select(col("doc_id"), col("fp"),
+              lit(true).as("en")), Seq("doc_id"), "left")
+            .join(sk.select(col("id").as("doc_id"), col("sig")),
               Seq("doc_id"), "left")
             .join(verdict.select(col("doc_id"),
               col("admitted").as("adm"), col("first_match")),
@@ -368,42 +394,20 @@ object CurationQueries extends QueryModule {
             .select(col("doc_id"), col("quality"), col("q_pass"),
               coalesce(col("en"), lit(false)).as("exact_new"),
               coalesce(col("adm"), lit(false)).as("admitted"),
-              col("first_match"))
-          // q108's lineage discipline, but for ALL THREE feedback ledgers:
-          // every wave's stage plans reference the previous wave's ledgers,
-          // which reference that wave's stage caches, which reference the
-          // wave before — without a hard lineage cut the (DAG-shaped) plan
-          // renders as an exponentially-nested TREE (measured at sf0.001:
-          // 120 s of plan analysis, then OOM inside explainString).
-          // localCheckpoint is eager, so each wave's work also executes
-          // here, wave by wave, exactly like the streaming writer would.
-          // Checkpoint the per-wave DELTA, not the cumulative union: the
-          // union of checkpointed leaves is the same hard cut (every
-          // ledger plan bottoms out at ≤ waves leaves — linear nesting),
-          // but each wave materializes only ITS OWN rows where the
-          // cumulative form re-copied the whole ledger every wave —
-          // O(corpus) per wave, O(waves·corpus) for the fold. Measured
-          // at sf0.1: 13.6 → 12.3 s together with the shared
-          // admitted-survivor materialization below (small here because
-          // sf0.1 ledgers are tiny — the re-copy scales with the corpus,
-          // so the saving grows with the tier); the residual per-wave
-          // cost is scheduler fixed cost over ~12 small stages, not
-          // data. The streaming writer has the delta shape for free:
-          // IdempotentSink appends delta batch dirs.
-          // `out` needs NO cut: with the ledgers checkpointed, each
-          // waveOut bottoms out at that wave's caches + checkpoint leaves
-          // — linear nesting, and one fewer eager materialization of the
-          // verdict join per wave.
+              col("first_match"), col("fp"),
+              when(coalesce(col("adm"), lit(false)), col("sig")).as("sig"))
+            .localCheckpoint()
+          val waveOut = cpW.select(col("doc_id"), col("quality"),
+            col("q_pass"), col("exact_new"), col("admitted"),
+            col("first_match"))
           out = if (out == null) waveOut else out.unionByName(waveOut)
           fpLedger = fpLedger.unionByName(
-            exactNew.select("fp").localCheckpoint())
-          // ONE materialization feeds both admission ledgers: band rows
-          // are a pure projection (posexplode of the sig column) of the
-          // checkpointed survivors, so deriving them lazily off the leaf
-          // keeps the lineage cut without a second eager job per wave
-          val admittedSk = sk.join(
-            verdict.filter(col("admitted")).select(col("doc_id").as("id")),
-            Seq("id")).localCheckpoint()
+            cpW.filter(col("exact_new")).select("fp"))
+          // band rows are a pure projection (posexplode of the sig
+          // column) of the checkpointed survivors — lazily derived off
+          // the same leaf
+          val admittedSk = cpW.filter(col("admitted"))
+            .select(col("doc_id").as("id"), col("sig"))
           bands = bands.unionByName(
             Dedup.MinHashLsh.bandRowsOfSigs(admittedSk))
           sigs = sigs.unionByName(admittedSk.select("id", "sig"))
@@ -485,15 +489,27 @@ object CurationQueries extends QueryModule {
               org.apache.spark.sql.expressions.Window
                 .partitionBy("fp").orderBy("doc_id")))
             .filter(col("rn") === 1).drop("rn"))
-          val sk = cache(Dedup.MinHashLsh.sigsFor(
-            exactNew, "text", "doc_id", portable = true))
-          val verdict = cache(Dedup.MinHashLsh.nearDupAdmitApproxSketched(
+          // the wave sketch is cut EAGERLY (not just cached): the verdict
+          // plan references it from four subtrees whose AQE stages race
+          // the unmaterialized cache chain — tasks of the losing stages
+          // sit on BlockInfoManager locks while one computes (measured
+          // at sf0.1: 28 s/wave of blocked executorRunTime vs 20 s CPU,
+          // and the fused-checkpoint wall drops ~1 s/wave with the leaf)
+          val sk = Dedup.MinHashLsh.sigsFor(
+            exactNew, "text", "doc_id", portable = true).localCheckpoint()
+          val verdict = Dedup.MinHashLsh.nearDupAdmitApproxSketched(
             sk, bands, sigs, threshold = 0.35, cache,
-            knownRows = Some(nDocs)))
-          val waveOut = scored.select(col("doc_id"), col("quality"),
+            knownRows = Some(nDocs))
+          // same fused per-wave lineage cut as q116 (see its in-fold
+          // comment): verdict columns + fp delta + admitted sigs ride
+          // ONE localCheckpoint; ledgers and the output union are leaf
+          // projections of it
+          val cpW = scored.select(col("doc_id"), col("quality"),
               (col("quality") >= 0.7).as("q_pass"),
               col("n_shared_grams"), col("clean"))
-            .join(exactNew.select(col("doc_id"), lit(true).as("en")),
+            .join(exactNew.select(col("doc_id"), col("fp"),
+              lit(true).as("en")), Seq("doc_id"), "left")
+            .join(sk.select(col("id").as("doc_id"), col("sig")),
               Seq("doc_id"), "left")
             .join(verdict.select(col("doc_id"),
               col("admitted").as("adm"), col("first_match")),
@@ -502,15 +518,17 @@ object CurationQueries extends QueryModule {
               col("n_shared_grams"), col("clean"),
               coalesce(col("en"), lit(false)).as("exact_new"),
               coalesce(col("adm"), lit(false)).as("admitted"),
-              col("first_match"))
-          // same lineage discipline as q116 (see its in-fold comment):
-          // per-wave DELTA checkpoints on the three feedback ledgers
+              col("first_match"), col("fp"),
+              when(coalesce(col("adm"), lit(false)), col("sig")).as("sig"))
+            .localCheckpoint()
+          val waveOut = cpW.select(col("doc_id"), col("quality"),
+            col("q_pass"), col("n_shared_grams"), col("clean"),
+            col("exact_new"), col("admitted"), col("first_match"))
           out = if (out == null) waveOut else out.unionByName(waveOut)
           fpLedger = fpLedger.unionByName(
-            exactNew.select("fp").localCheckpoint())
-          val admittedSk = sk.join(
-            verdict.filter(col("admitted")).select(col("doc_id").as("id")),
-            Seq("id")).localCheckpoint()
+            cpW.filter(col("exact_new")).select("fp"))
+          val admittedSk = cpW.filter(col("admitted"))
+            .select(col("doc_id").as("id"), col("sig"))
           bands = bands.unionByName(
             Dedup.MinHashLsh.bandRowsOfSigs(admittedSk))
           sigs = sigs.unionByName(admittedSk.select("id", "sig"))

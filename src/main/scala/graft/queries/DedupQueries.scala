@@ -506,30 +506,25 @@ object DedupQueries extends QueryModule {
           col("id").as("new_label"))
         val cache: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
-        // band/sig state stays a PLAIN UNION of the per-wave cached
-        // sketch frames (cheap projections over TransientCache entries —
-        // no extra action, nothing to release); only labels/merges, which
-        // feed BACK through the fold and would nest their plans per wave,
-        // are lineage-truncated — and each wave releases its predecessor
-        // (localCheckpoint is eager, so the successor is materialized
-        // first; the connectedComponents release pattern). The first cut
-        // checkpointed all four per wave and released nothing: measured
-        // at the 100× tier as 52 → 130 s on the 2nd/3rd TimeQ samples
-        // (retained blocks), and ~20 s of fixed checkpoint orchestration
-        // at sf0.1.
-        var old: Seq[org.apache.spark.sql.DataFrame] = Nil
+        // ALL FOUR ledgers stay PLAIN UNIONS: band/sig state is cheap
+        // projections over TransientCache entries, and the fold's
+        // label/merge returns are LEAF-SHAPED by contract (parallelized
+        // driver arrays under the wave gate, localCheckpoint leaves past
+        // it — see foldEdgeFrame's scaladoc), so the former per-wave
+        // cumulative union+localCheckpoint re-copied the whole ledger
+        // every wave and paid an eager action+job each, for lineage that
+        // was already cut (measured at sf0.1: two actions/wave of pure
+        // orchestration; the union of ≤4 leaves analyzes linearly).
         (0 until 4).foreach { w =>
           val sk = cache(Dedup.MinHashLsh.sigsFor(
             docs.filter(pmod(col("doc_id"), lit(4)) === w),
             "text", "doc_id", portable = true))
           val (lr, mr) = graft.dedup.IncrementalClusters.foldWave(
             sk, bands, sigs, labels, merges, threshold = 0.35, cache)
-          labels = labels.unionByName(lr).localCheckpoint()
-          merges = merges.unionByName(mr).localCheckpoint()
+          labels = labels.unionByName(lr)
+          merges = merges.unionByName(mr)
           bands = bands.unionByName(Dedup.MinHashLsh.bandRowsOfSigs(sk))
           sigs = sigs.unionByName(sk)
-          old.foreach(_.unpersist(false))
-          old = Seq(labels, merges)
         }
         graft.dedup.IncrementalClusters.clusters(labels, merges)
           .orderBy("doc_id")
@@ -572,7 +567,9 @@ object DedupQueries extends QueryModule {
           col("id").as("new_label"))
         val cache: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame = graft.core.TransientCache.persist
-        var old: Seq[org.apache.spark.sql.DataFrame] = Nil
+        // ledger lineage: plain unions throughout — the fold's returns
+        // are leaf-shaped by contract (see q108's in-fold comment and
+        // foldEdgeFrame's scaladoc)
         (0 until 4).foreach { w =>
           val wave = docs.filter(pmod(col("doc_id"), lit(4)) === w)
           val toks = graft.text.TextFunctions.tokens(col("text"))
@@ -585,13 +582,11 @@ object DedupQueries extends QueryModule {
             .withColumn("sz", size(col("sset"))))
           val (lr, mr) = graft.dedup.IncrementalClusters.foldWaveExact(
             sk, wave, bands, sets, labels, merges, threshold = 0.35, cache)
-          labels = labels.unionByName(lr).localCheckpoint()
-          merges = merges.unionByName(mr).localCheckpoint()
+          labels = labels.unionByName(lr)
+          merges = merges.unionByName(mr)
           bands = bands.unionByName(
             Dedup.MinHashLsh.bandRowsOf(sk.select("id", "sig", "sz")))
           sets = sets.unionByName(sk.select("id", "sset"))
-          old.foreach(_.unpersist(false))
-          old = Seq(labels, merges)
         }
         graft.dedup.IncrementalClusters.clusters(labels, merges)
           .orderBy("doc_id")
@@ -874,25 +869,21 @@ object DedupQueries extends QueryModule {
         var members = s.range(0).select(col("id"),
           lit(null).cast("int").as("cell"),
           lit(null).cast("double").as("centroid_sim"))
-        // q108's lineage discipline: labels/merges feed BACK through the
-        // fold and are truncated per wave (predecessor released after the
-        // eager localCheckpoint materializes the successor); reps/fps/
-        // members stay plain unions of projections over per-wave cached
-        // frames
-        var old: Seq[org.apache.spark.sql.DataFrame] = Nil
+        // ledger lineage: plain unions throughout — the fold's
+        // label/merge returns are leaf-shaped by contract (see
+        // foldEdgeFrame's scaladoc); reps/fps/members stay plain unions
+        // of projections over per-wave cached frames as before
         (0 until 4).foreach { w =>
           val asg = cache(graft.dedup.SemanticDedup.assignWithSim(
             emb.filter(pmod(col("vec_id"), lit(4)) === w), cent))
           val (lr, mr, mem, nr, nf) =
             graft.dedup.SemanticDedup.foldWaveSemantic(
               asg, reps, fps, labels, merges, threshold = 0.4, cache)
-          labels = labels.unionByName(lr).localCheckpoint()
-          merges = merges.unionByName(mr).localCheckpoint()
+          labels = labels.unionByName(lr)
+          merges = merges.unionByName(mr)
           members = members.unionByName(mem)
           reps = reps.unionByName(nr)
           fps = fps.unionByName(nf)
-          old.foreach(_.unpersist(false))
-          old = Seq(labels, merges)
         }
         graft.dedup.SemanticDedup
           .clustersFromLedgers(members, labels, merges)
