@@ -417,8 +417,10 @@ object IncrementalClusters {
       scope: DataFrame => DataFrame = Dedup.cachedSketch,
       knownRows: Option[Long] = None,
       hotBandCap: Int = 0): (DataFrame, DataFrame) =
-    foldEdgeFrame(sk, scope(Dedup.MinHashLsh.approxVerifiedPairs(
-      sk, corpusBands, corpusSigs, threshold, scope, knownRows, hotBandCap)),
+    // no scope() on the edge frame: foldEdgeFrame cuts it to a leaf
+    // itself, and a cache on top would just hold a redundant copy
+    foldEdgeFrame(sk, Dedup.MinHashLsh.approxVerifiedPairs(
+      sk, corpusBands, corpusSigs, threshold, scope, knownRows, hotBandCap),
       labels, merges, scope)
 
   /** [[foldWave]] with the EXACT-Jaccard edge kernel
@@ -437,8 +439,8 @@ object IncrementalClusters {
       labels: DataFrame, merges: DataFrame, threshold: Double,
       scope: DataFrame => DataFrame = Dedup.cachedSketch,
       hotBandCap: Int = 0): (DataFrame, DataFrame) =
-    foldEdgeFrame(sk, scope(Dedup.MinHashLsh.exactVerifiedPairs(
-      sk, sizeHint, corpusBands, corpusSets, threshold, scope, hotBandCap)),
+    foldEdgeFrame(sk, Dedup.MinHashLsh.exactVerifiedPairs(
+      sk, sizeHint, corpusBands, corpusSets, threshold, scope, hotBandCap),
       labels, merges, scope)
 
   /** The shared fold over an already-built (bid, mid) wave edge frame —
@@ -479,10 +481,22 @@ object IncrementalClusters {
       labels: DataFrame, merges: DataFrame,
       scope: DataFrame => DataFrame = Dedup.cachedSketch): (DataFrame, DataFrame) = {
     val spark = sk.sparkSession
-    val nPairs = edges.count()
+    // cut the edge frame to a leaf BEFORE the fold's driver round trips:
+    // the gate count, the packed collect, and (driver path) nothing else
+    // reference the wave's fat admission plan — un-cut, each action
+    // re-ANALYZED it (measured at sf0.1: 0.3-0.4 s of driver gap per
+    // count across q108/q110's waves; q110's whole wall was 114 tiny
+    // stages + 3.6 s of such gaps over 6.7 s total executor time).
+    // Storage class is unchanged — the caller's scope() cache put the
+    // materialized edges in MEMORY_AND_DISK already; a localCheckpoint
+    // leaf is the same bytes minus the re-analysis. The distributed
+    // path gets the leaf too (its five consumers then share one
+    // materialization).
+    val e = edges.localCheckpoint()
+    val nPairs = e.count()
     if (nPairs > driverMaxPairs(spark))
-      return foldWaveDistributed(spark, sk, edges, labels, merges, scope)
-    val blocks = packedPairs(edges, "bid", "mid")
+      return foldWaveDistributed(spark, sk, e, labels, merges, scope)
+    val blocks = packedPairs(e, "bid", "mid")
     // distinct endpoints
     val seenEp = scala.collection.mutable.LongMap.empty[Boolean]
     val eps = scala.collection.mutable.ArrayBuilder.make[Long]

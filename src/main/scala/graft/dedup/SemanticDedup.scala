@@ -291,11 +291,23 @@ object SemanticDedup {
     val (edges, newReps) =
       semanticWaveDelta(asg, corpusReps, corpusFps, threshold, scope)
     val (labelRows, mergeRows) = IncrementalClusters.foldEdgeFrame(
-      asg.select(col("nid").as("id")), scope(edges), labels, merges, scope)
+      asg.select(col("nid").as("id")), edges, labels, merges, scope)
+    // Cut the rep delta to a LEAF before projecting the two ledger
+    // deltas from it: a caller folds rep/fp rows back into the ledgers
+    // the NEXT wave's probe joins against, so un-cut deltas nest every
+    // prior wave's assignment+probe plan into each subsequent wave's
+    // edge plan — measured on the q111 fold at sf0.1 as driver gaps
+    // growing to ~1 s per action by wave 3 (6.8 s of a 12 s wall in
+    // Catalyst re-analysis). The checkpoint is wave-sized, reads the
+    // already-scoped probe cache (the edge fold just materialized it),
+    // and matches the fold contract: every returned frame leaf-shaped.
+    val repDelta = newReps
+      .select(col("cefp"), col("rep"), col("cell"), col("ce"), col("cn2"))
+      .localCheckpoint()
     (labelRows, mergeRows,
       asg.select(col("nid").as("id"), col("cell"), col("centroid_sim")),
-      newReps.select(col("cell"), col("rep"), col("ce"), col("cn2")),
-      newReps.select(col("cefp"), col("rep")))
+      repDelta.select(col("cell"), col("rep"), col("ce"), col("cn2")),
+      repDelta.select(col("cefp"), col("rep")))
   }
 
   /** [[semanticDedup]]'s exact output shape from the incremental ledger

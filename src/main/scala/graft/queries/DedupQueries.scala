@@ -432,8 +432,14 @@ object DedupQueries extends QueryModule {
           reps = reps.unionByName(nrc.select("cell", "rep", "ce", "cn2"))
           fps = fps.unionByName(nrc.select("cefp", "rep"))
         }
-        val (_, remapped) =
-          graft.dedup.SemanticDedup.retrainRemap(reps, refineIters = 0)
+        // ONE lineage cut at the fold/retrain boundary: the retrain path
+        // takes several actions over the reps ledger (count + hash-draw
+        // top-k + remap + final sort), and each re-ANALYZED the 4-wave
+        // union of semanticWaveDelta plans — measured at sf0.1 as 4.7 s
+        // of pure driver gaps on an 8.4 s wall (0.6-0.9 s per action).
+        // Behind the leaf every retrain action analyzes one scan.
+        val (_, remapped) = graft.dedup.SemanticDedup.retrainRemap(
+          reps.localCheckpoint(), refineIters = 0)
         remapped.select(col("rep"), col("cell").cast("long").as("cell"))
           .orderBy("rep")
       },
