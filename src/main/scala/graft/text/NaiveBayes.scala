@@ -43,7 +43,12 @@ object NaiveBayes {
     val trOcc = graft.core.Parallelism.ensure(
         train.select(col(labelCol).as("label"), col(textCol)))
       .select(col("label"), explode(toks).as("token"))
-    val counts = trOcc.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    // compute-once persist: the (label, token) count table — the model
+    // itself, |V|·|C| rows — feeds the class-table collect AND the
+    // pivoted scoring join; un-persisted it would re-run the training
+    // tokenize+shuffle once per action
+    val counts = graft.core.TransientCache.persist(
+      trOcc.groupBy("label", "token").agg(count(lit(1)).as("cnt")))
     val classTotals = counts.groupBy("label").agg(sum("cnt").as("t_occ"))
     val vocabRow = counts.select("token").distinct()
       .agg(count(lit(1)).as("v_vocab"))
@@ -67,23 +72,46 @@ object NaiveBayes {
             (col("t_occ").cast("double") + col("v_vocab").cast("double")))
           * lit(1e6)).cast("long").as("tok_u"))
 
-    // ── scoring: token stream × |C| classes, then the argmax ──
+    // ── scoring: ONE token-keyed model join, per-class sums as columns ──
+    // The first cut crossJoined the token stream × |C| classes and
+    // aggregated 5× the rows by (doc, label) — at the 100× tier the ×|C|
+    // inflation of the token stream BEFORE the partial agg was the
+    // query's dominant stage (25.4 s of the scale family's sf10 run).
+    // Pivot the model token-wide instead: the token stream joins the
+    // token-keyed model exactly once, per-class likelihood sums ride one
+    // groupBy(doc) as |C| aggregate columns, and the argmax is a
+    // row-local array_min over (−score, label) structs — identical
+    // integer math, identical tie rule (score DESC, label ASC), 1/|C|
+    // the aggregated rows. The |C|-row class table is collected to drive
+    // the pivot and the literals — bounded by the label DOMAIN (a
+    // handful), the same budget class as the centroid draws.
+    val classRows = classes.select("label", "prior_u", "unseen_u")
+      .orderBy("label").collect()
+    val labels = classRows.map(_.getString(0))
+    val priors = classRows.map(_.getLong(1))
+    val unseen = classRows.map(_.getLong(2))
+    val tokWide = tokU.groupBy("token")
+      .pivot("label", labels.toIndexedSeq).agg(first(col("tok_u")))
+      .toDF("token" +: labels.indices.map(i => s"c$i"): _*)
     val sOcc = graft.core.Parallelism.ensure(
         score.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(toks).as("token"))
-    val perClass = sOcc
-      .crossJoin(broadcast(classes.select("label", "unseen_u")))
-      .join(tokU, Seq("label", "token"), "left")
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(coalesce(col("tok_u"), col("unseen_u"))).as("tok_sum"))
-    score.select(col(idCol))
-      .crossJoin(broadcast(classes.select("label", "prior_u")))
-      .join(perClass, Seq(idCol, "label"), "left")
-      .select(col(idCol), col("label"),
-        (col("prior_u") + coalesce(col("tok_sum"), lit(0L))).as("score_u"))
+    val perDoc = sOcc
+      .join(tokWide, Seq("token"), "left")
       .groupBy(col(idCol))
-      .agg(min_by(struct(col("label"), col("score_u")),
-        struct((-col("score_u")).as("neg"), col("label"))).as("w"))
+      .agg(labels.indices.map(i =>
+        sum(coalesce(col(s"c$i"), lit(unseen(i)))).as(s"ts$i")).head,
+        labels.indices.map(i =>
+          sum(coalesce(col(s"c$i"), lit(unseen(i)))).as(s"ts$i")).tail: _*)
+    // one row per scored doc even when it has no token rows (empty text
+    // scores priors alone — ts_i null → 0)
+    val cands = array(labels.indices.map { i =>
+      val s = lit(priors(i)) + coalesce(col(s"ts$i"), lit(0L))
+      struct((-s).as("neg"), lit(labels(i)).as("label"), s.as("score_u"))
+    }: _*)
+    score.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), array_min(cands).as("w"))
       .select(col(idCol), col("w.label").as("predicted"),
         col("w.score_u").as("score_u"))
   }
