@@ -91,5 +91,6 @@ object Parallelism {
   private def smallInputBytesPerCore(
       spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("spark.graft.parallelism.smallInputBytes")
-      .map(_.toLong).getOrElse(8L << 20)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(8L << 20)
 }

@@ -494,9 +494,17 @@ object IncrementalClusters {
     // materialization).
     val e = edges.localCheckpoint()
     val nPairs = e.count()
-    if (nPairs > driverMaxPairs(spark))
-      return foldWaveDistributed(spark, sk, e, labels, merges, scope)
+    if (nPairs > driverMaxPairs(spark)) {
+      val out = foldWaveDistributed(spark, sk, e, labels, merges, scope)
+      // the returned deltas were localCheckpointed eagerly inside
+      // foldWaveDistributed, so nothing re-evaluates the edge leaf —
+      // release its blocks now instead of waiting on ContextCleaner GC
+      graft.core.Leaves.release(e)
+      return out
+    }
     val blocks = packedPairs(e, "bid", "mid")
+    // the packed collect was the leaf's last consumer on this path
+    graft.core.Leaves.release(e)
     // distinct endpoints
     val seenEp = scala.collection.mutable.LongMap.empty[Boolean]
     val eps = scala.collection.mutable.ArrayBuilder.make[Long]

@@ -551,7 +551,7 @@ object Text extends QueryModule {
              |  GROUP BY 1, 2
              |), fl AS (
              |  SELECT d.doc_id, c.label,
-             |    c.prior_u + coalesce(pc.tok_sum, 0) AS score_u
+             |    cast(c.prior_u + coalesce(pc.tok_sum, 0) AS bigint) AS score_u
              |  FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
              |  CROSS JOIN classes c
              |  LEFT JOIN pc ON pc.doc_id = d.doc_id AND pc.label = c.label

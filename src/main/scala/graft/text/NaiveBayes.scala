@@ -87,6 +87,13 @@ object NaiveBayes {
     // handful), the same budget class as the centroid draws.
     val classRows = classes.select("label", "prior_u", "unseen_u")
       .orderBy("label").collect()
+    if (classRows.isEmpty) {
+      // degenerate empty training split: no classes — every doc scores
+      // null predicted/score (the old crossJoin path's natural output)
+      return score.select(col(idCol),
+        lit(null).cast("string").as("predicted"),
+        lit(null).cast("long").as("score_u"))
+    }
     val labels = classRows.map(_.getString(0))
     val priors = classRows.map(_.getLong(1))
     val unseen = classRows.map(_.getLong(2))
