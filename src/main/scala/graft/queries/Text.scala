@@ -308,24 +308,57 @@ object Text extends QueryModule {
     // from-scratch corpus pass.
     "q113_bm25_incremental" -> QueryDef(
       (s, dir) => {
+        // Per-wave DOCSTATS LEAF instead of tokenized-base persists (r17,
+        // guide §2.4/§5): the former shape persisted every wave's
+        // tokenized base AND docstats, and the single final action then
+        // materialized 8 cache chains CONCURRENTLY under AQE — the q116
+        // pathology: tasks of the losing stages sat on BlockInfoManager
+        // locks while one computed each partition (measured at sf0.1:
+        // 106.7 s executorRunTime, stages of 10-19 s run for wave-sized
+        // reads, 6.66 s min-of-3 wall). Now each wave's docstats —
+        // 16 B/row, the slim ledger the operator persists in production —
+        // is cut to ONE eager wave-sized localCheckpoint; the totals
+        // delta and the dl rollup are leaf projections of it (zero
+        // re-tokenize), and the only remaining tokenize passes are the
+        // 4 eager docstats builds plus the postings branch's
+        // term-filtered pass (the filter pushes below the tf aggregate,
+        // so the full inverted index never materializes — unchanged).
+        // 2 corpus-tokenize passes total instead of 4 racing ones, and
+        // no token ARRAYS in the block store (the q92-documented cost).
         val docs = Tables.documents(s, dir)
         var postings: org.apache.spark.sql.DataFrame = null
         var stats: org.apache.spark.sql.DataFrame = null
-        var totals: org.apache.spark.sql.DataFrame = null
         (0 until 4).foreach { w =>
           val (p, st) = graft.text.IncrementalBm25.indexWave(
-            docs.filter(pmod(col("doc_id"), lit(4)) === w), "text", "doc_id",
-            scope = graft.core.TransientCache.persist)
-          val stc = graft.core.TransientCache.persist(st)
-          val t = graft.text.IncrementalBm25.totalsDelta(stc, w.toLong)
+            docs.filter(pmod(col("doc_id"), lit(4)) === w), "text", "doc_id")
           postings = if (postings == null) p else postings.unionByName(p)
-          stats = if (stats == null) stc else stats.unionByName(stc)
-          totals = if (totals == null) t else totals.unionByName(t)
+          stats = if (stats == null) st else stats.unionByName(st)
         }
+        // ONE fused docstats leaf for all four waves (1 eager action, 1
+        // tokenize pass) instead of 4 per-wave cuts; the totals ledger is
+        // a leaf projection grouped by the SAME wave key the loop used —
+        // wave w's docs are exactly pmod(doc_id,4)=w, and n_docs/sum_dl
+        // are integer aggregates, so the ledger rows are identical to 4
+        // per-wave totalsDelta calls (all waves non-empty here; an empty
+        // wave would drop its (w,0,0) row, which the downstream SUM
+        // treats identically).
+        val statsLeaf = stats.localCheckpoint()
+        val totals = statsLeaf
+          .groupBy(pmod(col("doc_id"), lit(4)).cast("long").as("batch_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+        stats = statsLeaf
+        // scope = EAGER leaf, not a lazy persist: scoreFromIndex's dl and
+        // tf frames each feed two consumers, and under AQE both consumers
+        // kick off the unmaterialized cache chain CONCURRENTLY — in-flight
+        // computation doesn't dedup, so the postings explode pass ran
+        // twice (measured: two 128-task explode-shaped stage groups,
+        // 33.6 + 61.4 s executorRunTime). An eager cut computes each
+        // once; both frames are slim (doc_id,dl / term postings).
         quantizeBm25(graft.text.IncrementalBm25.scoreFromIndex(
           postings, stats, Seq("spark", "merge", "stream"),
           totalsLedger = Some(totals),
-          scope = graft.core.TransientCache.persist))
+          scope = df => df.localCheckpoint()))
       },
       Some(bm25OracleSql)),
   ) ++ queries2
