@@ -38,13 +38,34 @@ object TransientCache {
     df
   }
 
+  /** EAGER leaf variant of [[persist]]: cut `df` to a localCheckpoint
+    * leaf and register it for release on the next [[clear]]. For the
+    * mid-frames a SINGLE action consumes from several subtrees: a lazy
+    * persist's consumers race the unmaterialized cache chain under AQE
+    * (concurrent stage materialization does not dedup in-flight
+    * computation — tasks of losing stages block on BlockInfoManager
+    * locks, and two consumers can compute the whole chain twice), while
+    * the eager cut computes the frame exactly once and every consumer
+    * reads stored blocks. Same storage class (MEMORY_AND_DISK), plus the
+    * lineage truncation that keeps re-analysis off the driver. Costs one
+    * eager action per call — use [[persist]] when the caller runs its
+    * own sequenced actions anyway (streaming writers).
+    */
+  def leaf(df: DataFrame): DataFrame = {
+    val l = df.localCheckpoint()
+    entries.add(l)
+    l
+  }
+
   /** Unpersist every registered frame (lazily — blocking eviction buys
-    * nothing here) and empty the registry.
+    * nothing here), release any leaf-checkpoint blocks, and empty the
+    * registry.
     */
   def clear(): Unit = {
     var d = entries.poll()
     while (d != null) {
       d.unpersist(false)
+      Leaves.release(d)
       d = entries.poll()
     }
   }

@@ -494,10 +494,12 @@ object Dedup {
       */
     def nearDupIncremental(batch: DataFrame, corpus: DataFrame,
         textCol: String, idCol: String, threshold: Double = 0.5,
-        portable: Boolean = false): DataFrame =
+        portable: Boolean = false,
+        scope: DataFrame => DataFrame = cachedSketch): DataFrame =
       nearDupIncrementalLedger(batch, textCol, idCol,
         bandsFor(corpus, textCol, idCol, portable),
-        setsFor(corpus, textCol, idCol, portable), threshold, portable)
+        setsFor(corpus, textCol, idCol, portable), threshold, portable,
+        scope)
 
     /** The (band, bkey, id, kpfx, sz) rows of a document frame — what
       * production PERSISTS (bucketed on (band, bkey)) as the near-dup
@@ -584,7 +586,8 @@ object Dedup {
       */
     def nearDupIncrementalLedger(batch: DataFrame, textCol: String,
         idCol: String, corpusBands: DataFrame, corpusSets: DataFrame,
-        threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+        threshold: Double = 0.5, portable: Boolean = false,
+        scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
       val toks = TextFunctions.tokens(col(textCol))
       // one-pass batch sketch (sig + sset in one shingle traversal, sz =
       // set length); the banding and verification branches below each
@@ -598,10 +601,11 @@ object Dedup {
            else graft.functions.Sketches.minhashSigSet(toks)).as("ms"))
         .select(col("id"), col("ms.sig").as("sig"), col("ms.sset").as("sset"))
         .withColumn("sz", size(col("sset")))
-      // batch-sized cache: the banding and verification subtrees below
-      // would otherwise each re-run the kernel over the batch
-      nearDupAdmitSketched(cachedSketch(sk), batch, corpusBands, corpusSets,
-        threshold)
+      // batch-sized scope (cache or eager leaf — the caller's choice):
+      // the banding and verification subtrees below would otherwise each
+      // re-run the kernel over the batch
+      nearDupAdmitSketched(scope(sk), batch, corpusBands, corpusSets,
+        threshold, scope)
     }
 
     /** [[nearDupIncrementalLedger]] over an ALREADY-SKETCHED batch:
@@ -853,10 +857,12 @@ object Dedup {
       */
     def nearDupIncrementalApprox(batch: DataFrame, corpus: DataFrame,
         textCol: String, idCol: String, threshold: Double = 0.5,
-        portable: Boolean = false): DataFrame =
+        portable: Boolean = false,
+        scope: DataFrame => DataFrame = cachedSketch): DataFrame =
       nearDupIncrementalLedgerApprox(batch, textCol, idCol,
         bandsForApprox(corpus, textCol, idCol, portable),
-        sigsFor(corpus, textCol, idCol, portable), threshold, portable)
+        sigsFor(corpus, textCol, idCol, portable), threshold, portable,
+        scope)
 
     /** [[nearDupIncrementalApprox]] against PERSISTED ledgers:
       * `corpusBands` = (band, bkey, id, kpfx) rows and `corpusSigs` =
@@ -870,15 +876,16 @@ object Dedup {
       */
     def nearDupIncrementalLedgerApprox(batch: DataFrame, textCol: String,
         idCol: String, corpusBands: DataFrame, corpusSigs: DataFrame,
-        threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+        threshold: Double = 0.5, portable: Boolean = false,
+        scope: DataFrame => DataFrame = cachedSketch): DataFrame = {
       val toks = TextFunctions.tokens(col(textCol))
       val sk = graft.core.Parallelism.ensure(
           batch.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"),
           (if (portable) graft.functions.Sketches.minhashTokensPortable(toks)
            else graft.functions.Sketches.minhashTokens(toks)).as("sig"))
-      nearDupAdmitApproxSketched(cachedSketch(sk), corpusBands, corpusSigs,
-        threshold)
+      nearDupAdmitApproxSketched(scope(sk), corpusBands, corpusSigs,
+        threshold, scope)
     }
 
     /** [[nearDupIncrementalLedgerApprox]] over an ALREADY-SKETCHED

@@ -454,10 +454,18 @@ object DedupQueries extends QueryModule {
     "q106_incremental_neardup_approx" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // scope = EAGER leaf (r17): the admission plan's one action
+        // consumed the batch sketch / banded-batch / candidate persists
+        // from several AQE subtrees at once — concurrent stage
+        // materialization re-computed the chains and blocked on
+        // BlockInfoManager locks (see q113's identical fix). Leaves
+        // compute each mid-frame once; TransientCache releases them
+        // between queries exactly like the persists they replace.
         Dedup.MinHashLsh.nearDupIncrementalApprox(
             docs.filter(pmod(col("doc_id"), lit(2)) === 1),
             docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-            "text", "doc_id", threshold = 0.35, portable = true)
+            "text", "doc_id", threshold = 0.35, portable = true,
+            scope = graft.core.TransientCache.leaf)
           .orderBy("doc_id")
       },
       Some(incrementalNearDupApproxOracleSql)),
@@ -686,10 +694,12 @@ object DedupQueries extends QueryModule {
     "q104_incremental_neardup" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // scope = EAGER leaf — see q106's comment (same fix, exact mode)
         Dedup.MinHashLsh.nearDupIncremental(
             docs.filter(pmod(col("doc_id"), lit(2)) === 1),
             docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-            "text", "doc_id", threshold = 0.35, portable = true)
+            "text", "doc_id", threshold = 0.35, portable = true,
+            scope = graft.core.TransientCache.leaf)
           .orderBy("doc_id")
       },
       Some(incrementalNearDupOracleSql)),
