@@ -463,6 +463,21 @@ object IncrementalClusters {
     * `edges` must be cheap to re-evaluate (scoped/persisted by the
     * caller or built over persisted parents).
     *
+    * FAILURE SEMANTICS of the lineage cuts: every eager cut in the fold
+    * family (here, [[SemanticDedup.foldWaveSemantic]], and the fold
+    * queries' per-wave leaves) uses `localCheckpoint` — executor-local,
+    * non-replicated blocks. On `local[n]` (this engine's measured tier)
+    * executor loss is process death, so the risk is zero; on a real
+    * cluster, losing an executor makes a truncated-lineage RDD
+    * unrecoverable and FAILS THE JOB — the recovery contract is
+    * re-run-the-batch (every fold is a pure function of (wave, committed
+    * ledgers), so a re-run is safe and exactly-once under the streaming
+    * writers' marker protocol). Deployments that prefer in-job recovery
+    * over batch re-runs should set a Spark checkpoint dir and route cuts
+    * through `Dataset.checkpoint()` (the convention
+    * [[Dedup.connectedComponents]] and [[SemanticDedup.fromIndex]]
+    * already follow via `getCheckpointDir.isDefined`).
+    *
     * The edge plan is the fold's ONE fat plan (band probe + verify over
     * the ledgers). Materialize it, then fetch the wave-sized edge list as
     * packed long arrays and run the graph work ON THE DRIVER over
